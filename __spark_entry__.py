@@ -1,10 +1,14 @@
 """Driver contract for the spark-graft builder (PySpark target).
 
-The driver's verify runs ``entry(spark)`` as a smoke check, runs
-each ``queries()[name]`` at sf=0.01 and compares it against the
-matching ``oracle_sql()[name]`` via DuckDB (row-count + schema +
-order-insensitive value-hash → CORRECTNESS_r{N}.json). Fill these in
-as you implement operators from SURVEY.md §2.
+``entry(spark)``   — flagship extraction pipeline over sf0.001 transcripts.
+``queries()``      — one entry per implemented operator (SURVEY.md §2).
+``oracle_sql()``   — DuckDB-equivalent SQL for the correctness gate.
+
+Correctness design: synthetic transcripts derive deterministically from the
+``documents`` parquet with fixed entity payloads per ``doc_id % N``
+(xponents_spark/sources/payloads.py), so the oracle states expected
+extraction output as literal VALUES rows — independent of any regex engine —
+including span offsets computed from ``length(text)``.
 """
 
 from __future__ import annotations
@@ -12,27 +16,179 @@ from __future__ import annotations
 from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from xponents_spark import oracle as O
+from xponents_spark.operators import (
+    cosine_topk_bruteforce,
+    cosine_topk_lsh,
+    exact_dedup,
+    fingerprint,
+    lang_id,
+    minhash_near_dups,
+    quality_score,
+    simhash_near_dups,
+    token_stats,
+)
+from xponents_spark.pipeline import exploded_matches, extract
+from xponents_spark.plans import ordered_output, salted_repartition
+from xponents_spark.sources import synthesize_transcripts
+
+SF0001 = "/root/testdata/sf0.001"
+
+_MATCH_BASE_COLS = ["conv_id", "turn_idx", "span_start", "span_end",
+                    "matchtext", "label"]
 
 
 def entry(spark: SparkSession) -> DataFrame:
-    """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
-    raise NotImplementedError("fill in: load sf0.001 parquet → run flagship query")
+    """Flagship: read transcripts -> salted repartition -> one-stage Arrow
+    extraction -> stable (conv_id, turn_idx) ordering."""
+    t = synthesize_transcripts(spark, SF0001)
+    t = salted_repartition(t, 8)
+    out = extract(t)
+    return ordered_output(
+        out.select("conv_id", "turn_idx", "role", "tool", "ts",
+                   "main_text", "matches"))
+
+
+# --- query helpers -----------------------------------------------------------
+
+def _docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return spark.read.parquet(f"{sf_dir}/documents.parquet")
+
+
+def _emb(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+
+
+def _extracted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return extract(synthesize_transcripts(spark, sf_dir))
+
+
+def q_transcripts(spark, sf_dir):
+    return synthesize_transcripts(spark, sf_dir)
+
+
+def q_main_content(spark, sf_dir):
+    t = synthesize_transcripts(spark, sf_dir)
+    return extract(t, features=("content",)).select("conv_id", "turn_idx", "main_text")
+
+
+def q_xcoord(spark, sf_dir):
+    ex = exploded_matches(_extracted(spark, sf_dir), label="coord")
+    return ex.select(*_MATCH_BASE_COLS, "lat", "lon", "prec", "geohash")
+
+
+def q_xtemporal(spark, sf_dir):
+    ex = exploded_matches(_extracted(spark, sf_dir), label="date")
+    return ex.select(*_MATCH_BASE_COLS, "date_norm", "epoch", "resolution")
+
+
+def q_poli(spark, sf_dir):
+    ex = exploded_matches(_extracted(spark, sf_dir))
+    return (ex.filter(F.col("label").isin("email", "phone", "money", "ip", "url", "mac"))
+              .select(*_MATCH_BASE_COLS))
+
+
+def q_label_histogram(spark, sf_dir):
+    ex = exploded_matches(_extracted(spark, sf_dir))
+    return ex.groupBy("label").agg(F.count("*").alias("n_matches"))
+
+
+def q_exact_dedup(spark, sf_dir):
+    return exact_dedup(_docs(spark, sf_dir))
+
+
+def q_prefix_dedup(spark, sf_dir):
+    docs = _docs(spark, sf_dir)
+    key = F.md5(F.concat_ws(" ", F.slice(F.split(F.col("text"), " "), 1, 8)))
+    return (docs.groupBy(key.alias("prefix_md5"))
+                .agg(F.count("*").alias("n_docs"), F.min("doc_id").alias("keep_doc")))
+
+
+def q_token_stats(spark, sf_dir):
+    return token_stats(_docs(spark, sf_dir))
+
+
+def q_quality(spark, sf_dir):
+    return quality_score(_docs(spark, sf_dir))
+
+
+def q_lang_id(spark, sf_dir):
+    return lang_id(_docs(spark, sf_dir))
+
+
+def q_fingerprint(spark, sf_dir):
+    return fingerprint(_docs(spark, sf_dir))
+
+
+def _queries_from(spark, sf_dir, n=10):
+    rows = (_emb(spark, sf_dir).filter(F.col("vec_id") < n)
+            .select("vec_id", "embedding").collect())
+    return [(int(r["vec_id"]), list(r["embedding"])) for r in rows]
+
+
+def q_ann_topk(spark, sf_dir):
+    qs = _queries_from(spark, sf_dir)
+    return (cosine_topk_bruteforce(_emb(spark, sf_dir), qs, k=5)
+            .select("query_id", "vec_id", "rank"))
+
+
+def q_ann_lsh(spark, sf_dir):
+    qs = _queries_from(spark, sf_dir)
+    return (cosine_topk_lsh(_emb(spark, sf_dir), qs, k=5)
+            .select("query_id", "vec_id", "rank"))
+
+
+def q_minhash_dedup(spark, sf_dir):
+    return minhash_near_dups(_docs(spark, sf_dir), threshold=0.2)
+
+
+def q_simhash_dedup(spark, sf_dir):
+    return simhash_near_dups(_docs(spark, sf_dir), max_hamming=8)
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """One entry per implemented operator from SURVEY.md §2.
-
-    Each callable takes (spark, sf_dir) and returns a DataFrame.
-    Alias every computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+    return {
+        "transcripts_synth": q_transcripts,
+        "main_content": q_main_content,
+        "xcoord_extract": q_xcoord,
+        "xtemporal_extract": q_xtemporal,
+        "poli_extract": q_poli,
+        "match_label_histogram": q_label_histogram,
+        "exact_dedup": q_exact_dedup,
+        "prefix_dedup": q_prefix_dedup,
+        "token_stats": q_token_stats,
+        "quality_score": q_quality,
+        "lang_id": q_lang_id,
+        "fingerprint": q_fingerprint,
+        "ann_cosine_topk": q_ann_topk,
+        "ann_lsh_topk": q_ann_lsh,          # rows-only (approximate op)
+        "minhash_near_dups": q_minhash_dedup,   # rows-only
+        "simhash_near_dups": q_simhash_dedup,   # rows-only
+    }
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    return {
+        "transcripts_synth": O.transcripts_oracle(),
+        "main_content": O.main_content_oracle(),
+        "xcoord_extract": O.extraction_oracle(
+            ("coord",), ("lat", "lon", "prec", "geohash"),
+            ", exp.lat AS lat, exp.lon AS lon, "
+            "CAST(exp.prec AS INTEGER) AS prec, exp.geohash AS geohash"),
+        "xtemporal_extract": O.extraction_oracle(
+            ("date",), ("date_norm", "epoch", "resolution"),
+            ", exp.date_norm AS date_norm, CAST(exp.epoch AS BIGINT) AS epoch, "
+            "exp.resolution AS resolution"),
+        "poli_extract": O.extraction_oracle(
+            ("email", "phone", "money", "ip", "url", "mac"), ()),
+        "match_label_histogram": O.label_histogram_oracle(),
+        "exact_dedup": O.EXACT_DEDUP_ORACLE,
+        "prefix_dedup": O.PREFIX_DEDUP_ORACLE,
+        "token_stats": O.TOKEN_STATS_ORACLE,
+        "quality_score": O.QUALITY_ORACLE,
+        "lang_id": O.lang_id_oracle(),
+        "fingerprint": O.FINGERPRINT_ORACLE,
+        "ann_cosine_topk": O.ANN_TOPK_ORACLE,
+    }

@@ -1,0 +1,134 @@
+#!/usr/bin/env python
+"""Benchmark harness.
+
+Prints ONE JSON line:
+  {"metric": "turns_per_sec_extraction", "value": N, "unit": "sec", ...,
+   "queries": {q: sec}, "sf": ...}
+
+Headline metric: end-to-end extraction throughput (read -> salted
+repartition -> mapInPandas extraction -> ordered parquet write) in
+turns/sec over transcripts synthesized from $SPARK_GRAFT_SF_DIR (default
+/root/testdata/sf0.1), replicated to ~100k turns.
+
+Env:
+  SPARK_GRAFT_SF_DIR   input scale dir            (default /root/testdata/sf0.1)
+  SPARK_GRAFT_CPUS     local[] parallelism        (default 32)
+  BENCH_SCALING=1      also run the local[8]-vs-local[32] scaling protocol
+                       (BASELINE.json north_rule evidence; writes the numbers
+                       into the JSON as "scaling")
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import shutil
+import sys
+import tempfile
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+from pyspark.sql import SparkSession  # noqa: E402
+from pyspark.sql import functions as F  # noqa: E402
+
+SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+CPUS = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+TARGET_TURNS = int(os.environ.get("BENCH_TURNS", "100000"))
+
+
+def _spark(cpus: int) -> SparkSession:
+    from xponents_spark.session import get_spark
+    active = SparkSession.getActiveSession()
+    if active:
+        active.stop()
+        # new JVM-side context requires a fresh builder
+        SparkSession.builder._options = {}
+    s = get_spark(app=f"bench-{cpus}", master=f"local[{cpus}]",
+                  shuffle_partitions=cpus)
+    s.sparkContext.setLogLevel("ERROR")
+    return s
+
+
+def _n_docs(spark) -> int:
+    return spark.read.parquet(f"{SF_DIR}/documents.parquet").count()
+
+
+def bench_extraction(spark, turns_per_doc: int) -> tuple[float, int]:
+    """Full pipeline incl. ordered write; returns (seconds, turns)."""
+    from xponents_spark.pipeline import extract
+    from xponents_spark.plans import salted_repartition
+    from xponents_spark.sources import synthesize_transcripts
+
+    out_dir = tempfile.mkdtemp(prefix="bench_out_")
+    try:
+        t = synthesize_transcripts(spark, SF_DIR, turns_per_doc=turns_per_doc)
+        t = salted_repartition(t, spark.sparkContext.defaultParallelism * 2)
+        n = t.count()
+        # warm python workers (pandas/numpy import + pattern compile) so the
+        # timed region measures steady-state throughput, not cold forks
+        extract(t.limit(2048)).write.mode("overwrite").format("noop").save()
+        t0 = time.time()
+        out = extract(t)
+        # ordered write: hash-partition by conv_id + in-partition sort gives
+        # stable (conv_id, turn_idx) order per conversation without the
+        # double-execution a range partitioner's sampling pass would cost
+        (out.repartition(8, "conv_id")
+            .sortWithinPartitions("conv_id", "turn_idx")
+            .write.mode("overwrite").parquet(out_dir))
+        dt = time.time() - t0
+        return dt, n
+    finally:
+        shutil.rmtree(out_dir, ignore_errors=True)
+
+
+def timed(fn) -> float:
+    t0 = time.time()
+    fn()
+    return time.time() - t0
+
+
+def bench_queries(spark) -> dict[str, float]:
+    import __spark_entry__ as entry
+    picks = ["xcoord_extract", "xtemporal_extract", "main_content",
+             "match_label_histogram", "exact_dedup", "minhash_near_dups",
+             "simhash_near_dups", "ann_cosine_topk", "token_stats", "lang_id"]
+    qs = entry.queries()
+    out = {}
+    for name in picks:
+        fn = qs[name]
+        out[name] = round(timed(lambda: fn(spark, SF_DIR).write
+                                .mode("overwrite").format("noop").save()), 3)
+    return out
+
+
+def main():
+    result = {"metric": "turns_per_sec_extraction", "unit": "sec", "sf": SF_DIR}
+
+    spark = _spark(CPUS)
+    n_docs = _n_docs(spark)
+    tpd = max(1, TARGET_TURNS // n_docs)
+
+    dt, turns = bench_extraction(spark, tpd)
+    result["value"] = round(turns / dt, 1)
+    result["turns"] = turns
+    result["extract_write_sec"] = round(dt, 3)
+    result["queries"] = bench_queries(spark)
+
+    if os.environ.get("BENCH_SCALING"):
+        scaling = {}
+        for cpus in (8, 32):
+            s = _spark(cpus)
+            d, n = bench_extraction(s, tpd)
+            scaling[f"local[{cpus}]"] = {"sec": round(d, 3),
+                                         "turns_per_sec": round(n / d, 1)}
+        tp8 = scaling["local[8]"]["turns_per_sec"]
+        tp32 = scaling["local[32]"]["turns_per_sec"]
+        scaling["efficiency_8_to_32"] = round(tp32 / (4 * tp8), 3)
+        result["scaling"] = scaling
+
+    print(json.dumps(result))
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,31 @@
+#!/usr/bin/env python
+"""Regenerate the _FROZEN fixture block in xponents_spark/sources/payloads.py
+from current extractor output.  Run only when extractor semantics change
+intentionally; review the diff — these pins are the reference-derived
+fixture contract."""
+
+import io
+import os
+import sys
+
+sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
+
+from xponents_spark.sources import payloads  # noqa: E402
+
+path = payloads.__file__
+src = open(path).read()
+if "\n\n_FROZEN" in src:
+    src = src[:src.index("\n\n_FROZEN")]
+
+exp = payloads.compute_expected()
+buf = io.StringIO()
+buf.write("\n\n_FROZEN: dict[int, list[dict]] = {\n")
+for idx, rows in exp.items():
+    buf.write(f"    {idx}: [  # {payloads.PAYLOADS[idx][0]}\n")
+    for r in rows:
+        buf.write(f"        {r!r},\n")
+    buf.write("    ],\n")
+buf.write("}\nEXPECTED.update(_FROZEN)\n")
+
+open(path, "w").write(src + buf.getvalue())
+print(f"wrote {sum(len(v) for v in exp.values())} fixture rows to {path}")

@@ -1,0 +1,11 @@
+"""Training-data pipeline operators over document/embedding tables.
+
+Beyond the reference's extraction operators, a 100 TB corpus pipeline needs
+dedup, similarity search, text analysis, and multimodal plumbing — all
+implemented Spark-first: JVM-side expressions where possible, Arrow-batched
+pandas UDFs where vector math is needed, never row-at-a-time Python UDFs.
+"""
+
+from .textstats import token_stats, quality_score, lang_id, fingerprint  # noqa: F401
+from .dedup import exact_dedup, minhash_signatures, minhash_near_dups, simhash_near_dups  # noqa: F401
+from .similarity import cosine_topk_bruteforce, cosine_topk_lsh  # noqa: F401

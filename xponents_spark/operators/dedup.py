@@ -1,0 +1,174 @@
+"""Deduplication operators.
+
+* exact: hash group-by (pure JVM, map-side partial aggregation).
+* MinHash + LSH: shingle -> minhash signature (vectorized numpy inside a
+  pandas UDF) -> band buckets -> bucket self-join -> exact Jaccard verify.
+  The shuffle is on band buckets, so cost scales with candidate collisions,
+  not n² — the standard published LSH banding scheme.
+* SimHash: 64-bit signature, near-dup via 4x16-bit band join + Hamming check.
+
+Signatures use deterministic multiply-shift hashing (no Python ``hash``,
+which is salted per process and would break distributed determinism).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+_MERSENNE = (1 << 61) - 1
+_MAX_SHINGLE = (1 << 32) - 1
+
+
+def exact_dedup(df: DataFrame, text_col: str = "text",
+                id_col: str = "doc_id") -> DataFrame:
+    """Groups of byte-identical docs: (text_md5, n_docs, keep_doc).
+    Map-side combine makes this one cheap shuffle of (hash, count)."""
+    return (df
+            .groupBy(F.md5(F.col(text_col)).alias("text_md5"))
+            .agg(F.count("*").alias("n_docs"),
+                 F.min(id_col).alias("keep_doc"))
+            )
+
+
+def _hash_tokens(tokens: list[str]) -> np.ndarray:
+    """Deterministic 32-bit token hashes (FNV-1a)."""
+    out = np.empty(len(tokens), dtype=np.uint64)
+    for i, t in enumerate(tokens):
+        h = np.uint64(2166136261)
+        for b in t.encode("utf-8"):
+            h = np.uint64((int(h) ^ b) * 16777619 & 0xFFFFFFFF)
+        out[i] = h
+    return out
+
+
+def _shingles(tokens: list[str], k: int) -> np.ndarray:
+    th = _hash_tokens(tokens)
+    if len(th) < k:
+        return np.unique(th) if len(th) else np.array([0], dtype=np.uint64)
+    # rolling combine of k token hashes into one 61-bit shingle id
+    sh = np.zeros(len(th) - k + 1, dtype=np.uint64)
+    for j in range(k):
+        sh = (sh * np.uint64(1000003) + th[j:len(th) - k + 1 + j]) % np.uint64(_MERSENNE)
+    return np.unique(sh)
+
+
+def _minhash_params(num_perm: int, seed: int = 42):
+    rng = np.random.RandomState(seed)
+    a = rng.randint(1, _MERSENNE, size=num_perm, dtype=np.int64).astype(np.uint64)
+    b = rng.randint(0, _MERSENNE, size=num_perm, dtype=np.int64).astype(np.uint64)
+    return a, b
+
+
+def minhash_signatures(df: DataFrame, text_col: str = "text",
+                       id_col: str = "doc_id", num_perm: int = 64,
+                       shingle_k: int = 3) -> DataFrame:
+    """id + minhash signature array<long>, computed per Arrow batch."""
+    out_schema = T.StructType([
+        T.StructField(id_col, df.schema[id_col].dataType, False),
+        T.StructField("sig", T.ArrayType(T.LongType()), False),
+    ])
+    a, b = _minhash_params(num_perm)
+
+    def run(batches):
+        for pdf in batches:
+            sigs = []
+            for text in pdf[text_col].tolist():
+                sh = _shingles((text or "").split(), shingle_k)
+                # (a*x+b) mod p for all perms x shingles, min over shingles
+                vals = (a[None, :] * sh[:, None] + b[None, :]) % np.uint64(_MERSENNE)
+                sigs.append(vals.min(axis=0).astype(np.int64).tolist())
+            yield pd.DataFrame({id_col: pdf[id_col], "sig": sigs})
+
+    return df.select(id_col, text_col).mapInPandas(run, schema=out_schema)
+
+
+def minhash_near_dups(df: DataFrame, text_col: str = "text",
+                      id_col: str = "doc_id", num_perm: int = 64,
+                      bands: int = 16, shingle_k: int = 3,
+                      threshold: float = 0.5) -> DataFrame:
+    """Candidate pairs via LSH banding, verified by signature Jaccard.
+
+    Returns (doc_a, doc_b, est_jaccard) with doc_a < doc_b.  The only wide
+    operation is the groupBy on (band, band_hash) — collisions only.
+    """
+    rows_per_band = num_perm // bands
+    sigs = minhash_signatures(df, text_col, id_col, num_perm, shingle_k)
+    sigs = sigs.cache()
+
+    banded = sigs.select(
+        F.col(id_col),
+        F.col("sig"),
+        F.explode(F.array(*[
+            F.struct(F.lit(i).alias("band"),
+                     F.hash(*[F.col("sig")[i * rows_per_band + j]
+                              for j in range(rows_per_band)]).alias("bh"))
+            for i in range(bands)])).alias("bk"))
+    pairs = (banded.alias("l")
+             .join(banded.alias("r"),
+                   (F.col("l.bk") == F.col("r.bk"))
+                   & (F.col(f"l.{id_col}") < F.col(f"r.{id_col}")))
+             .select(F.col(f"l.{id_col}").alias("doc_a"),
+                     F.col(f"r.{id_col}").alias("doc_b"),
+                     F.col("l.sig").alias("sig_a"),
+                     F.col("r.sig").alias("sig_b"))
+             .dropDuplicates(["doc_a", "doc_b"]))
+    est = F.expr(
+        "size(filter(zip_with(sig_a, sig_b, (x, y) -> x = y), v -> v)) "
+        f"/ CAST({num_perm} AS DOUBLE)")
+    return (pairs.select("doc_a", "doc_b", est.alias("est_jaccard"))
+                 .filter(F.col("est_jaccard") >= threshold))
+
+
+def simhash_near_dups(df: DataFrame, text_col: str = "text",
+                      id_col: str = "doc_id", max_hamming: int = 3) -> DataFrame:
+    """64-bit SimHash near-dups: 4x16-bit block join (pigeonhole: hamming<=3
+    guarantees one identical block), then exact Hamming verify."""
+    out_schema = T.StructType([
+        T.StructField(id_col, df.schema[id_col].dataType, False),
+        T.StructField("simhash", T.LongType(), False),
+    ])
+
+    def run(batches):
+        for pdf in batches:
+            hashes = []
+            for text in pdf[text_col].tolist():
+                th = _hash_tokens((text or "").split())
+                if not len(th):
+                    hashes.append(0)
+                    continue
+                # spread 32-bit token hashes to 64 bits deterministically
+                h64 = (th * np.uint64(0x9E3779B97F4A7C15)) & np.uint64(0xFFFFFFFFFFFFFFFF)
+                bits = ((h64[:, None] >> np.arange(64, dtype=np.uint64)[None, :])
+                        & np.uint64(1)).astype(np.int32)
+                vote = (2 * bits - 1).sum(axis=0)
+                sim = 0
+                for i in range(64):
+                    if vote[i] > 0:
+                        sim |= (1 << i)
+                hashes.append(sim - (1 << 64) if sim >= (1 << 63) else sim)
+            yield pd.DataFrame({id_col: pdf[id_col], "simhash": hashes})
+
+    sh = df.select(id_col, text_col).mapInPandas(run, schema=out_schema).cache()
+    blocks = sh.select(
+        F.col(id_col), F.col("simhash"),
+        F.explode(F.array(*[
+            F.struct(F.lit(i).alias("blk"),
+                     F.shiftrightunsigned("simhash", i * 16).bitwiseAND(F.lit(0xFFFF)).alias("bv"))
+            for i in range(4)])).alias("b"))
+    pairs = (blocks.alias("l")
+             .join(blocks.alias("r"),
+                   (F.col("l.b") == F.col("r.b"))
+                   & (F.col(f"l.{id_col}") < F.col(f"r.{id_col}")))
+             .select(F.col(f"l.{id_col}").alias("doc_a"),
+                     F.col(f"r.{id_col}").alias("doc_b"),
+                     F.col("l.simhash").alias("h_a"),
+                     F.col("r.simhash").alias("h_b"))
+             .dropDuplicates(["doc_a", "doc_b"]))
+    hamming = F.bit_count(F.col("h_a").bitwiseXOR(F.col("h_b")))
+    return (pairs.select("doc_a", "doc_b", hamming.alias("hamming"))
+                 .filter(F.col("hamming") <= max_hamming))

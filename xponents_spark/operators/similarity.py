@@ -1,0 +1,145 @@
+"""Similarity search over embedding columns (``array<float>``).
+
+* Brute-force cosine top-k: the correctness baseline.  Query vectors are a
+  small broadcast numpy matrix; each Arrow batch emits only its local top-k
+  per query, then one narrow shuffle takes the global top-k — shuffle volume
+  is O(k x batches x queries), never O(corpus).
+* LSH-bucketed variant: random-hyperplane signatures put vectors in buckets;
+  queries probe their own bucket plus single-bit-flip neighbors — the scale
+  path (probing cost independent of corpus size; per-bucket brute force).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+_PAIR_SCHEMA = T.StructType([
+    T.StructField("query_id", T.LongType(), False),
+    T.StructField("vec_id", T.LongType(), False),
+    T.StructField("sim", T.DoubleType(), False),
+])
+
+
+def _unit(m: np.ndarray) -> np.ndarray:
+    n = np.linalg.norm(m, axis=1, keepdims=True)
+    n[n == 0] = 1.0
+    return m / n
+
+
+def cosine_topk_bruteforce(df: DataFrame, queries: list[tuple[int, list[float]]],
+                           k: int = 5, id_col: str = "vec_id",
+                           vec_col: str = "embedding",
+                           round_digits: int | None = 6) -> DataFrame:
+    """Top-k corpus neighbors for each (query_id, vector).
+
+    ``queries`` is a small driver-side list (broadcast via closure capture —
+    numpy matrix, not a join).  Result: (query_id, vec_id, sim, rank), rank
+    by (sim desc, vec_id asc); self-matches excluded; sims rounded for
+    cross-engine determinism.
+    """
+    qids = np.array([q[0] for q in queries], dtype=np.int64)
+    qmat = _unit(np.array([q[1] for q in queries], dtype=np.float64))
+
+    def run(batches):
+        for pdf in batches:
+            ids = pdf[id_col].to_numpy(dtype=np.int64)
+            mat = _unit(np.array(pdf[vec_col].tolist(), dtype=np.float64))
+            sims = qmat @ mat.T  # (nq, batch)
+            rows_q, rows_v, rows_s = [], [], []
+            for qi in range(len(qids)):
+                s = sims[qi]
+                mask = ids != qids[qi]
+                cand = np.nonzero(mask)[0]
+                if not len(cand):
+                    continue
+                top = cand[np.argsort(-s[cand], kind="stable")[:k]]
+                rows_q.extend([qids[qi]] * len(top))
+                rows_v.extend(ids[top].tolist())
+                rows_s.extend(s[top].tolist())
+            yield pd.DataFrame({"query_id": rows_q, "vec_id": rows_v, "sim": rows_s})
+
+    partial = df.select(id_col, vec_col).mapInPandas(run, schema=_PAIR_SCHEMA)
+    sim = F.round(F.col("sim"), round_digits) if round_digits else F.col("sim")
+    ranked = (partial
+              .select("query_id", "vec_id", sim.alias("sim"))
+              .withColumn("rank", F.row_number().over(
+                  Window.partitionBy("query_id")
+                        .orderBy(F.col("sim").desc(), F.col("vec_id").asc())))
+              .filter(F.col("rank") <= k))
+    return ranked
+
+
+def _hyperplanes(dim: int, bits: int, seed: int = 42) -> np.ndarray:
+    rng = np.random.RandomState(seed)
+    return rng.standard_normal((bits, dim))
+
+
+def lsh_bucket_ids(df: DataFrame, bits: int = 12, id_col: str = "vec_id",
+                   vec_col: str = "embedding", dim: int = 64) -> DataFrame:
+    """Assign each vector its random-hyperplane signature bucket."""
+    planes = _hyperplanes(dim, bits)
+    weights = (1 << np.arange(bits)).astype(np.int64)
+    schema = T.StructType([
+        T.StructField(id_col, T.LongType(), False),
+        T.StructField("bucket", T.LongType(), False),
+    ])
+
+    def run(batches):
+        for pdf in batches:
+            mat = np.array(pdf[vec_col].tolist(), dtype=np.float64)
+            signs = (mat @ planes.T) >= 0
+            buckets = (signs * weights).sum(axis=1)
+            yield pd.DataFrame({id_col: pdf[id_col], "bucket": buckets})
+
+    return df.select(id_col, vec_col).mapInPandas(run, schema=schema)
+
+
+def cosine_topk_lsh(df: DataFrame, queries: list[tuple[int, list[float]]],
+                    k: int = 5, bits: int = 8, probes: int = 4,
+                    id_col: str = "vec_id", vec_col: str = "embedding",
+                    dim: int = 64) -> DataFrame:
+    """Approximate top-k: probe the query's bucket plus its ``probes``
+    nearest single-bit-flip buckets, brute-force within.  Recall/probe-count
+    trade-off is the standard multi-probe LSH scheme."""
+    planes = _hyperplanes(dim, bits)
+    weights = (1 << np.arange(bits)).astype(np.int64)
+    probe_sets = {}
+    for qid, vec in queries:
+        proj = planes @ _unit(np.array([vec], dtype=np.float64))[0]
+        base = int(((proj >= 0) * weights).sum())
+        # flip the lowest-|margin| bits first: most likely boundary errors
+        order = np.argsort(np.abs(proj))
+        bs = [base] + [base ^ int(weights[i]) for i in order[:probes]]
+        probe_sets[qid] = bs
+
+    buckets = lsh_bucket_ids(df, bits, id_col, vec_col, dim)
+    corpus = df.join(buckets, id_col)
+    probe_rows = [(qid, b) for qid, bl in probe_sets.items() for b in bl]
+    spark = df.sparkSession
+    probe_df = spark.createDataFrame(probe_rows, ["query_id", "bucket"])
+    candidates = (corpus.join(F.broadcast(probe_df), "bucket")
+                        .select("query_id", id_col, vec_col))
+
+    qmap = {qid: _unit(np.array([vec], dtype=np.float64))[0] for qid, vec in queries}
+
+    def score(batches):
+        for pdf in batches:
+            mat = _unit(np.array(pdf[vec_col].tolist(), dtype=np.float64))
+            qarr = np.array([qmap[q] for q in pdf["query_id"]])
+            sims = (qarr * mat).sum(axis=1)
+            yield pd.DataFrame({"query_id": pdf["query_id"],
+                                "vec_id": pdf[id_col],
+                                "sim": sims})
+
+    scored = candidates.mapInPandas(score, schema=_PAIR_SCHEMA)
+    return (scored
+            .filter(F.col("vec_id") != F.col("query_id"))
+            .withColumn("rank", F.row_number().over(
+                Window.partitionBy("query_id")
+                      .orderBy(F.col("sim").desc(), F.col("vec_id").asc())))
+            .filter(F.col("rank") <= k))

@@ -1,0 +1,96 @@
+"""Text analysis operators — all JVM-side (whole-stage codegen; no Python in
+the hot path).  Token semantics assume whitespace tokenization; inputs are
+normalized by the main-content stage first.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+# disjoint marker-token sets for the n-gram/stopword language heuristic
+LANG_MARKERS = {
+    "en": ("the", "and", "of", "is", "was"),
+    "de": ("der", "das", "und", "ist", "nicht"),
+    "fr": ("le", "les", "et", "est", "une"),
+    "es": ("el", "los", "que", "es", "una"),
+}
+
+_STOPWORDS = ("the", "a", "and", "of", "to", "in", "is")
+
+
+def _tokens(col: str) -> Column:
+    return F.split(F.trim(F.col(col)), r"\s+")
+
+
+def token_stats(df: DataFrame, text_col: str = "text",
+                id_col: str = "doc_id") -> DataFrame:
+    """Per-doc token counting: whitespace tokens + a BPE-ish subword estimate
+    (ceil(chars/4) is the published rule-of-thumb for byte-pair vocabularies).
+    """
+    toks = _tokens(text_col)
+    return df.select(
+        F.col(id_col),
+        F.size(toks).alias("n_tokens"),
+        F.length(text_col).alias("n_chars"),
+        F.expr(f"CAST(ceil(length({text_col}) / 4.0) AS INT)").alias("n_subwords_est"),
+        F.expr(
+            f"aggregate(transform(split(trim({text_col}), '\\\\s+'), x -> length(x)), "
+            "0, (acc, x) -> acc + x)").alias("token_chars"),
+    )
+
+
+def quality_score(df: DataFrame, text_col: str = "text",
+                  id_col: str = "doc_id") -> DataFrame:
+    """Document quality signals: length, mean token length, stopword ratio.
+    All exact integer/float arithmetic (parity-checkable against SQL)."""
+    toks = _tokens(text_col)
+    stop_arr = ", ".join(f"'{w}'" for w in _STOPWORDS)
+    n_stop = F.expr(
+        f"size(filter(split(trim({text_col}), '\\\\s+'), x -> x IN ({stop_arr})))")
+    n_tok = F.size(toks)
+    return df.select(
+        F.col(id_col),
+        n_tok.alias("n_tokens"),
+        (F.length(text_col).cast("double") / n_tok).alias("chars_per_token"),
+        (n_stop.cast("double") / n_tok).alias("stopword_ratio"),
+    )
+
+
+def lang_id(df: DataFrame, text_col: str = "text",
+            id_col: str = "doc_id") -> DataFrame:
+    """Marker-token language vote (the classic stopword-profile heuristic).
+    Deterministic tie-break by fixed language order; zero votes -> 'und'."""
+    cols = [F.col(id_col)]
+    votes = {}
+    for lang, markers in LANG_MARKERS.items():
+        arr = ", ".join(f"'{w}'" for w in markers)
+        votes[lang] = F.expr(
+            f"size(filter(split(trim({text_col}), '\\\\s+'), x -> x IN ({arr})))")
+    best = None
+    for lang in LANG_MARKERS:  # first language with the max vote wins
+        cond = (votes[lang] > 0)
+        for other in LANG_MARKERS:
+            if other != lang:
+                op = votes[lang] >= votes[other] if _order(lang) < _order(other) \
+                    else votes[lang] > votes[other]
+                cond = cond & op
+        best = F.when(cond, lang) if best is None else best.when(cond, lang)
+    cols.append(best.otherwise("und").alias("lang_pred"))
+    return df.select(*cols)
+
+
+def _order(lang: str) -> int:
+    return list(LANG_MARKERS).index(lang)
+
+
+def fingerprint(df: DataFrame, text_col: str = "text",
+                id_col: str = "doc_id", prefix_tokens: int = 8) -> DataFrame:
+    """Content fingerprint: md5 of the full text plus a prefix-shingle key
+    (cheap near-head dedup key).  Pure JVM expressions."""
+    toks = _tokens(text_col)
+    return df.select(
+        F.col(id_col),
+        F.md5(F.col(text_col)).alias("text_md5"),
+        F.md5(F.concat_ws(" ", F.slice(toks, 1, prefix_tokens))).alias("prefix_md5"),
+    )

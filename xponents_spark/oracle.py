@@ -1,0 +1,169 @@
+"""DuckDB oracle SQL builders.
+
+The driver's correctness gate runs each ``queries()`` entry in Spark AND its
+``oracle_sql()`` string in DuckDB over the same parquet views, comparing
+row-count + schema + value hash.  For extraction queries the oracle does NOT
+re-implement regex: the synthetic transcripts embed *fixed* payloads
+(``sources/payloads.py``), so expected matches are literal VALUES rows joined
+on the payload class — an independent statement of the expected output,
+offsets included (span = base length + 1 + payload-relative offset).
+"""
+
+from __future__ import annotations
+
+from .sources.payloads import EXPECTED, HTML_CLASS, NUM_PAYLOADS
+from .sources.transcripts import transcripts_oracle_cte
+
+
+def _sq(s: str) -> str:
+    return "'" + s.replace("'", "''") + "'"
+
+
+def _fixture_values(label_filter=None, fields=()) -> tuple[str, int]:
+    """(VALUES ...) rows: (k, rel_start, rel_end, matchtext, label, *fields).
+    Returns SQL + row count."""
+    rows = []
+    for k, matches in EXPECTED.items():
+        for m in matches:
+            if label_filter and m["label"] not in label_filter:
+                continue
+            vals = [str(k), str(m["rel_start"]), str(m["rel_end"]),
+                    _sq(m["matchtext"]), _sq(m["label"])]
+            for f in fields:
+                v = m.get(f)
+                if v is None:
+                    vals.append("NULL")
+                elif isinstance(v, str):
+                    vals.append(_sq(v))
+                elif isinstance(v, float):
+                    # string literal -> correctly-rounded parse; a bare
+                    # numeric literal would go through DECIMAL and lose the
+                    # shortest-repr bit-exact round trip
+                    vals.append(f"CAST('{v!r}' AS DOUBLE)")
+                else:
+                    vals.append(str(v))
+            rows.append("(" + ", ".join(vals) + ")")
+    cols = ["k", "rel_start", "rel_end", "matchtext", "label", *fields]
+    sql = ("(VALUES " + ", ".join(rows) + ") AS exp(" + ", ".join(cols) + ")")
+    return sql, len(rows)
+
+
+def extraction_oracle(label_filter: tuple, extra_fields: tuple,
+                      extra_select: str = "") -> str:
+    """Oracle for exploded-match queries filtered to given labels."""
+    fixture, _n = _fixture_values(label_filter, extra_fields)
+    return f"""
+WITH {transcripts_oracle_cte()}
+SELECT t.conv_id,
+       t.turn_idx,
+       CAST(t.base_len + 1 + exp.rel_start AS INTEGER) AS span_start,
+       CAST(t.base_len + 1 + exp.rel_end AS INTEGER)   AS span_end,
+       exp.matchtext,
+       exp.label{extra_select}
+FROM transcripts t
+JOIN {fixture} ON t.payload_k = exp.k
+"""
+
+
+def label_histogram_oracle() -> str:
+    fixture, _n = _fixture_values(None, ())
+    return f"""
+WITH {transcripts_oracle_cte()}
+SELECT exp.label, count(*) AS n_matches
+FROM transcripts t
+JOIN {fixture} ON t.payload_k = exp.k
+GROUP BY exp.label
+"""
+
+
+def transcripts_oracle() -> str:
+    return f"""
+WITH {transcripts_oracle_cte()}
+SELECT conv_id, turn_idx, role, text, tool, ts FROM transcripts
+"""
+
+
+def main_content_oracle() -> str:
+    return f"""
+WITH {transcripts_oracle_cte()}
+SELECT t.conv_id, t.turn_idx,
+       CASE WHEN t.payload_k = {HTML_CLASS} THEN d.text ELSE t.text END AS main_text
+FROM transcripts t JOIN documents d USING (doc_id)
+"""
+
+
+# --- training-data operators ------------------------------------------------
+
+EXACT_DEDUP_ORACLE = """
+SELECT md5(text) AS text_md5, count(*) AS n_docs, min(doc_id) AS keep_doc
+FROM documents GROUP BY 1
+"""
+
+PREFIX_DEDUP_ORACLE = """
+SELECT md5(array_to_string(list_slice(string_split(text, ' '), 1, 8), ' ')) AS prefix_md5,
+       count(*) AS n_docs, min(doc_id) AS keep_doc
+FROM documents GROUP BY 1
+"""
+
+TOKEN_STATS_ORACLE = """
+SELECT doc_id,
+       len(string_split(trim(text), ' ')) AS n_tokens,
+       length(text) AS n_chars,
+       CAST(ceil(length(text) / 4.0) AS INTEGER) AS n_subwords_est,
+       list_sum(list_transform(string_split(trim(text), ' '), x -> length(x))) AS token_chars
+FROM documents
+"""
+
+QUALITY_ORACLE = """
+SELECT doc_id,
+       len(string_split(trim(text), ' ')) AS n_tokens,
+       CAST(length(text) AS DOUBLE) / len(string_split(trim(text), ' ')) AS chars_per_token,
+       CAST(len(list_filter(string_split(trim(text), ' '),
+                x -> x IN ('the','a','and','of','to','in','is'))) AS DOUBLE)
+         / len(string_split(trim(text), ' ')) AS stopword_ratio
+FROM documents
+"""
+
+
+def lang_id_oracle() -> str:
+    from .operators.textstats import LANG_MARKERS
+    votes = {}
+    for lang, markers in LANG_MARKERS.items():
+        arr = ", ".join(_sq(w) for w in markers)
+        votes[lang] = (f"len(list_filter(string_split(trim(text), ' '), "
+                       f"x -> x IN ({arr})))")
+    langs = list(LANG_MARKERS)
+    case = "CASE "
+    for i, lang in enumerate(langs):
+        conds = [f"{votes[lang]} > 0"]
+        for j, other in enumerate(langs):
+            if i == j:
+                continue
+            op = ">=" if i < j else ">"
+            conds.append(f"{votes[lang]} {op} {votes[other]}")
+        case += f"WHEN {' AND '.join(conds)} THEN '{lang}' "
+    case += "ELSE 'und' END"
+    return f"SELECT doc_id, {case} AS lang_pred FROM documents"
+
+
+FINGERPRINT_ORACLE = """
+SELECT doc_id, md5(text) AS text_md5,
+       md5(array_to_string(list_slice(string_split(trim(text), ' '), 1, 8), ' ')) AS prefix_md5
+FROM documents
+"""
+
+ANN_TOPK_ORACLE = """
+WITH q AS (SELECT vec_id AS query_id, embedding AS qv FROM embeddings WHERE vec_id < 10),
+sims AS (
+  SELECT q.query_id, e.vec_id,
+         round(list_cosine_similarity(CAST(q.qv AS DOUBLE[]), CAST(e.embedding AS DOUBLE[])), 6) AS sim
+  FROM q, embeddings e
+  WHERE e.vec_id != q.query_id
+),
+ranked AS (
+  SELECT query_id, vec_id, sim,
+         row_number() OVER (PARTITION BY query_id ORDER BY sim DESC, vec_id ASC) AS rank
+  FROM sims
+)
+SELECT query_id, vec_id, CAST(rank AS INTEGER) AS rank FROM ranked WHERE rank <= 5
+"""

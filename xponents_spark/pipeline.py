@@ -1,0 +1,120 @@
+"""The extraction pipeline: transcripts DataFrame -> main_text + matches[].
+
+Topology (SURVEY.md §3.1 "Spark shape"):
+
+    read -> (salted repartition) -> mapInPandas(extract_batch) -> ordered write
+
+The whole reference pipeline (XText conversion -> FlexPat families ->
+gazetteer tagging -> rules) is a pure function ``turn_text -> matches[]``
+given broadcast reference data, so it runs as ONE Arrow-batched stage with
+no shuffle; the only shuffles in a job are the optional salting repartition
+and the final (conv_id, turn_idx) output ordering.
+
+Executor-side state (compiled pattern managers, automata) initializes lazily
+once per Python worker process — the Spark analog of the reference's Solr
+pump-priming (GazetteerMatcher.java:128-139).
+"""
+
+from __future__ import annotations
+
+from typing import Iterable, Iterator
+
+import pandas as pd
+
+from pyspark.sql import DataFrame
+
+from .schemas import MATCH_FIELD_NAMES, extraction_output_schema
+
+DEFAULT_FEATURES = ("content", "coordinates", "dates", "patterns")
+
+_MATCH_TEMPLATE = {name: None for name in MATCH_FIELD_NAMES}
+
+
+def _match_row(**kw) -> dict:
+    row = dict(_MATCH_TEMPLATE)
+    row.update(kw)
+    return row
+
+
+def extract_turn(text: str, features: tuple) -> tuple[str, list[dict]]:
+    """Pure per-turn extraction: main-content recovery then pattern families.
+    Offsets are into ``main_text``.  Import-inside keeps executor pickles
+    small; modules cache their compiled managers process-wide."""
+    from .extractors import poli as _poli
+    from .extractors import xcoord as _xcoord
+    from .extractors import xtemporal as _xtemporal
+    from .textract import extract_main_content
+
+    if text is None:
+        return None, []
+    main = extract_main_content(text) if "content" in features else text
+    out: list[dict] = []
+
+    if "coordinates" in features:
+        for m in _xcoord.extract_coordinates(main):
+            if m.filtered_out:
+                continue
+            out.append(_match_row(
+                span_start=m.start, span_end=m.end, matchtext=m.text,
+                label="coord", pattern_id=m.pattern_id, filtered_out=False,
+                lat=m.attrs["lat"], lon=m.attrs["lon"], prec=m.attrs["prec"],
+                geohash=m.attrs["geohash"], method=m.pattern_id))
+    if "dates" in features:
+        for m in _xtemporal.extract_dates(main):
+            if m.filtered_out:
+                continue
+            out.append(_match_row(
+                span_start=m.start, span_end=m.end, matchtext=m.text,
+                label="date", pattern_id=m.pattern_id, filtered_out=False,
+                date_norm=m.attrs["datenorm"], epoch=m.attrs["epoch"],
+                resolution=m.attrs["resolution"], method=m.pattern_id))
+    if "patterns" in features:
+        for m in _poli.extract_poli(main):
+            if m.filtered_out:
+                continue
+            out.append(_match_row(
+                span_start=m.start, span_end=m.end, matchtext=m.text,
+                label=m.family.lower(), pattern_id=m.pattern_id,
+                filtered_out=False, method=m.pattern_id))
+
+    # stable output ordering by span (reference orders candidates by start
+    # offset via TreeMap — GazetteerMatcher.java:445)
+    out.sort(key=lambda r: (r["span_start"], r["span_end"], r["label"]))
+    return main, out
+
+
+def extract(df: DataFrame, features: Iterable[str] = DEFAULT_FEATURES,
+            text_col: str = "text") -> DataFrame:
+    """Append ``main_text`` + ``matches`` columns via one mapInPandas stage.
+
+    The plan stays scan -> project -> mapInPandas: no shuffle, predicate
+    pushdown and column pruning reach the parquet scan untouched.
+    """
+    feats = tuple(features)
+    out_schema = extraction_output_schema(df.schema)
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            mains = []
+            matches = []
+            for text in pdf[text_col].tolist():
+                main, rows = extract_turn(text, feats)
+                mains.append(main)
+                matches.append(rows)
+            pdf = pdf.copy()
+            pdf["main_text"] = mains
+            pdf["matches"] = matches
+            yield pdf
+
+    return df.mapInPandas(run, schema=out_schema)
+
+
+def exploded_matches(df: DataFrame, label: str | None = None) -> DataFrame:
+    """matches array -> one row per match with turn keys, span-ordered
+    columns promoted to top level.  ``F.inline`` keeps it JVM-side."""
+    from pyspark.sql import functions as F
+    out = df.select("conv_id", "turn_idx", F.explode("matches").alias("m"))
+    out = out.select("conv_id", "turn_idx", "m.*")
+    if label:
+        out = out.filter(F.col("label") == label)
+    return out

@@ -1,0 +1,6 @@
+"""Plan helpers: skew salting, stable output ordering, resumable runs with
+per-partition lineage + metrics manifests (BASELINE.json north_rule).
+"""
+
+from .salting import salted_repartition, ordered_output  # noqa: F401
+from .checkpoints import run_resumable, read_manifests  # noqa: F401

@@ -1,0 +1,38 @@
+"""SparkSession builder with the configuration this engine assumes.
+
+Tuned for the extraction workload: Arrow-batched pandas UDFs, AQE for
+runtime re-planning, UTC session timezone (timestamp determinism vs the
+DuckDB oracle), and shuffle-partition counts sized for the local harness.
+On a real cluster the same builder applies — only master/partitions change.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import SparkSession
+
+
+def get_spark(app: str = "xponents-spark", master: str | None = None,
+              shuffle_partitions: int | None = None,
+              arrow_batch: int = 2048) -> SparkSession:
+    cpus = os.environ.get("SPARK_GRAFT_CPUS", "32")
+    master = master or f"local[{cpus}]"
+    if shuffle_partitions is None:
+        shuffle_partitions = int(cpus) if cpus.isdigit() else 32
+    return (
+        SparkSession.builder
+        .appName(app)
+        .master(master)
+        .config("spark.sql.session.timeZone", "UTC")
+        .config("spark.sql.shuffle.partitions", str(shuffle_partitions))
+        .config("spark.sql.adaptive.enabled", "true")
+        .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+        .config("spark.sql.adaptive.skewJoin.enabled", "true")
+        .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+        .config("spark.sql.execution.arrow.maxRecordsPerBatch", str(arrow_batch))
+        # extraction output rows are wide (match arrays); keep file splits sane
+        .config("spark.sql.files.maxPartitionBytes", "128m")
+        .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEM", "8g"))
+        .getOrCreate()
+    )

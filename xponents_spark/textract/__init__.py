@@ -1,0 +1,123 @@
+"""Main-content extraction — the XText-equivalent stage (SURVEY.md §2.1 S1).
+
+The reference wraps Tika for file conversion and exposes an HTML scrubber
+(``XText.enableHTMLScrubber``, usage at ``/root/reference/Examples/src/main/
+java/org/opensextant/examples/BasicGeoTemporalProcessing.java:135-157``).
+Per the build's north rule this stage is a fresh design: the input is
+already a text column, so "conversion" means
+
+1. charset repair for byte payloads (:func:`decode_bytes`),
+2. HTML boilerplate removal via a block-level tag/link-density heuristic
+   (the published boilerpipe/readability family of methods),
+3. whitespace canonicalization (``squeeze_whitespace``).
+
+Everything is pure-Python over single strings; the Spark pipeline maps it
+over pandas batches inside ``mapInPandas`` (no per-row Python UDFs).
+"""
+
+from __future__ import annotations
+
+import html as _html
+import re
+
+from ..functions.textnorm import squeeze_whitespace
+
+_HTML_HINT = re.compile(r"<\s*(?:html|body|div|p|br|span|head|nav|table|h[1-6])\b", re.I)
+# containers stripped wholesale: non-content by construction
+_DROP_BLOCKS = re.compile(
+    r"<(script|style|head|nav|header|footer|aside|noscript|svg|form|iframe)\b[^>]*>.*?</\1\s*>",
+    re.I | re.S)
+_COMMENTS = re.compile(r"<!--.*?-->", re.S)
+# id/class naming that marks boilerplate even in generic divs
+_BOILER_ATTR = re.compile(r'(?:id|class)\s*=\s*["\'][^"\']*'
+                          r'(?:nav|menu|footer|sidebar|banner|breadcrumb|advert|cookie|share|social)',
+                          re.I)
+_BLOCK_SPLIT = re.compile(r"<(?:p|div|td|th|li|article|section|main|h[1-6]|blockquote|pre|tr|br)\b[^>]*/?>", re.I)
+_TAG = re.compile(r"<[^>]+>")
+_ANCHOR_TEXT = re.compile(r"<a\b[^>]*>(.*?)</a\s*>", re.I | re.S)
+
+
+def is_htmlish(text: str) -> bool:
+    return _HTML_HINT.search(text) is not None
+
+
+def extract_main_content(text: str) -> str:
+    """Turn text -> extracted main content.
+
+    Plain text passes through whitespace-squeezed.  HTML-ish text is scrubbed:
+    script/style/nav/header/footer/aside blocks drop, remaining markup splits
+    into blocks, and each block is kept if its link density < 0.5 and it
+    carries real text (len >= 3 after tag strip).  Survivors join with single
+    spaces.  Deterministic; tested for exact recovery of wrapped content.
+    """
+    if not text:
+        return ""
+    if not is_htmlish(text):
+        return squeeze_whitespace(text)
+
+    doc = _COMMENTS.sub(" ", text)
+    # iterate: nested same-name blocks need repeated passes (regex is non-nesting)
+    prev = None
+    while prev != doc:
+        prev = doc
+        doc = _DROP_BLOCKS.sub(" ", doc)
+
+    # drop generic elements whose id/class flags boilerplate (non-nested scan)
+    doc = _drop_flagged_elements(doc)
+
+    kept: list[str] = []
+    for block in _BLOCK_SPLIT.split(doc):
+        if not block or not block.strip():
+            continue
+        anchor_len = sum(len(_TAG.sub("", m)) for m in _ANCHOR_TEXT.findall(block))
+        visible = squeeze_whitespace(_html.unescape(_TAG.sub(" ", block)))
+        if not visible or len(visible) < 3:
+            continue
+        link_density = anchor_len / max(1, len(visible))
+        if link_density >= 0.5:
+            continue
+        kept.append(visible)
+    return squeeze_whitespace(" ".join(kept))
+
+
+_FLAGGED_OPEN = re.compile(r"<([a-z][a-z0-9]*)\b[^>]*>", re.I)
+
+
+def _drop_flagged_elements(doc: str) -> str:
+    """Remove elements whose open tag carries a boilerplate id/class.
+    Single linear scan balancing same-name tags."""
+    out = []
+    i = 0
+    n = len(doc)
+    while i < n:
+        m = _FLAGGED_OPEN.search(doc, i)
+        if not m:
+            out.append(doc[i:])
+            break
+        if not _BOILER_ATTR.search(m.group(0)):
+            out.append(doc[i:m.end()])
+            i = m.end()
+            continue
+        out.append(doc[i:m.start()])
+        name = m.group(1).lower()
+        depth = 1
+        j = m.end()
+        pat = re.compile(rf"<(/?){name}\b[^>]*>", re.I)
+        while depth and (m2 := pat.search(doc, j)):
+            depth += -1 if m2.group(1) else 1
+            j = m2.end()
+        i = j if depth == 0 else m.end()
+    return "".join(out)
+
+
+def decode_bytes(payload: bytes) -> str:
+    """Charset/encoding normalization for binary payload columns: BOM sniff,
+    UTF-8, then windows-1252 fallback (the common mislabeled-latin1 case)."""
+    if payload.startswith(b"\xef\xbb\xbf"):
+        return payload[3:].decode("utf-8", errors="replace")
+    if payload.startswith((b"\xff\xfe", b"\xfe\xff")):
+        return payload.decode("utf-16", errors="replace")
+    try:
+        return payload.decode("utf-8")
+    except UnicodeDecodeError:
+        return payload.decode("windows-1252", errors="replace")
