@@ -90,6 +90,27 @@ def q_poli(spark, sf_dir):
               .select(*_MATCH_BASE_COLS))
 
 
+def q_places(spark, sf_dir):
+    ex = exploded_matches(_extracted(spark, sf_dir))
+    return (ex.filter(F.col("label").isin("place", "country"))
+              .select(*_MATCH_BASE_COLS, "cc", "adm1", "feat_class",
+                      "feat_code", "place_id", "name", "lat", "lon",
+                      "confidence"))
+
+
+def q_taxons(spark, sf_dir):
+    ex = exploded_matches(_extracted(spark, sf_dir))
+    return (ex.filter(F.col("label").isin("person", "org", "nationality"))
+              .select(*_MATCH_BASE_COLS, "taxon", "catalog", "cc"))
+
+
+def q_country_histogram(spark, sf_dir):
+    """A1: corpus-level country mention histogram over geotagged matches."""
+    ex = exploded_matches(_extracted(spark, sf_dir))
+    return (ex.filter(F.col("label").isin("place", "country"))
+              .groupBy("cc").agg(F.count("*").alias("n_mentions")))
+
+
 def q_label_histogram(spark, sf_dir):
     ex = exploded_matches(_extracted(spark, sf_dir))
     return ex.groupBy("label").agg(F.count("*").alias("n_matches"))
@@ -155,6 +176,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "xcoord_extract": q_xcoord,
         "xtemporal_extract": q_xtemporal,
         "poli_extract": q_poli,
+        "place_extract": q_places,
+        "taxon_extract": q_taxons,
+        "country_histogram": q_country_histogram,
         "match_label_histogram": q_label_histogram,
         "exact_dedup": q_exact_dedup,
         "prefix_dedup": q_prefix_dedup,
@@ -183,6 +207,19 @@ def oracle_sql() -> dict[str, str]:
             "exp.resolution AS resolution"),
         "poli_extract": O.extraction_oracle(
             ("email", "phone", "money", "ip", "url", "mac"), ()),
+        "place_extract": O.extraction_oracle(
+            ("place", "country"),
+            ("cc", "adm1", "feat_class", "feat_code", "place_id", "name",
+             "lat", "lon", "confidence"),
+            ", exp.cc AS cc, exp.adm1 AS adm1, exp.feat_class AS feat_class, "
+            "exp.feat_code AS feat_code, exp.place_id AS place_id, "
+            "exp.name AS name, exp.lat AS lat, exp.lon AS lon, "
+            "CAST(exp.confidence AS INTEGER) AS confidence"),
+        "taxon_extract": O.extraction_oracle(
+            ("person", "org", "nationality"),
+            ("taxon", "catalog", "cc"),
+            ", exp.taxon AS taxon, exp.catalog AS catalog, exp.cc AS cc"),
+        "country_histogram": O.country_histogram_oracle(),
         "match_label_histogram": O.label_histogram_oracle(),
         "exact_dedup": O.EXACT_DEDUP_ORACLE,
         "prefix_dedup": O.PREFIX_DEDUP_ORACLE,

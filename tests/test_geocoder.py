@@ -1,0 +1,126 @@
+"""Geocoder disambiguation probes — the reference's test corpus classes
+(src/test/resources/data/placename-tests.txt; PlaceGeocoderTester.java)."""
+
+import pytest
+
+from xponents_spark.gazetteer import country_histogram, geocode
+from xponents_spark.gazetteer.matcher import tag_places
+
+
+def places(text, labels=("place", "country")):
+    return [m for m in geocode(text) if m["label"] in labels]
+
+
+def top(text):
+    ms = places(text)
+    assert ms, f"no place in {text!r}"
+    return ms[0]
+
+
+# (text, expected name, cc, adm1-or-None)
+QUALIFIED = [
+    ("San Diego, CA", "San Diego", "US", "CA"),
+    ("San Diego, Calif.", "San Diego", "US", "CA"),
+    ("San Diego, California", "San Diego", "US", "CA"),
+    ("Pittsburgh, PA", "Pittsburgh", "US", "PA"),
+    ("Pittsburgh, CA", "Pittsburgh", "US", "CA"),   # the probe's point
+    ("London, England", "London", "GB", "ENG"),
+    ("New York, New York", "New York", "US", "NY"),
+    ("Albany | NY", "Albany", "US", "NY"),
+    ("Orange County, California", "Orange County", "US", "CA"),
+    ("Palermo, BsAs", "Palermo", "AR", "BA"),
+    ("Eugene, OR", "Eugene", "US", "OR"),           # person-name resurrect
+    ("Jackson MISS", "Jackson", "US", "MS"),
+]
+
+
+@pytest.mark.parametrize("text,name,cc,adm1", QUALIFIED, ids=[q[0] for q in QUALIFIED])
+def test_qualified_disambiguation(text, name, cc, adm1):
+    m = top(text)
+    assert m["name"] == name
+    assert m["cc"] == cc
+    if adm1:
+        assert m["adm1"] == adm1
+    assert m["confidence"] >= 60
+
+
+def test_bare_major_city_wins():
+    m = top("the London office called")
+    assert m["cc"] == "GB"          # 8.9M-pop capital beats London, Ontario
+
+
+def test_texas_cases():
+    for t in ("Texas", "texas"):
+        m = top(t)
+        assert m["cc"] == "US" and m["adm1"] == "TX"
+
+
+def test_person_filtered_without_qualifier():
+    assert not places("Eugene called me")
+    ms = geocode("Eugene called me")
+    assert any(m["label"] == "person" for m in ms)
+
+
+def test_org_suppresses_place_but_not_city():
+    ms = geocode("Is the YMCA nearby when I'll be in Cleveland?")
+    labels = {(m["label"], m["matchtext"]) for m in ms}
+    assert ("org", "YMCA") in labels
+    assert any(m["label"] == "place" and m["name"] == "Cleveland" for m in ms)
+
+
+def test_bare_acronym_low_confidence():
+    for t in ("Where is PRT?", "Just GA. Nothing more."):
+        ms = places(t)
+        assert all(m["confidence"] <= 25 for m in ms), (t, ms)
+
+
+def test_known_abbreviations_survive():
+    m = top("How are the cafes in DPRK?")
+    assert m["cc"] == "KP" and m["confidence"] >= 50
+    m = top("What part of NYC is best for curry?")
+    assert m["cc"] == "US" and m["adm1"] == "NY"
+
+
+def test_stop_collisions_filtered():
+    assert not places("Hi Ma, In where is my clean shirt?")
+    assert not places("Hi Ma In where is my clean shirt")
+
+
+def test_nationality_infers_country_scope():
+    ms = geocode("the Iraqi offensive in Falluja")
+    nat = [m for m in ms if m["label"] == "nationality"]
+    assert nat and nat[0]["cc"] == "IQ"
+    pl = [m for m in ms if m["label"] == "place"]
+    assert pl and pl[0]["cc"] == "IQ" and pl[0]["confidence"] >= 70
+
+
+def test_country_codes_need_upper():
+    # 'In' mixed case is not the country code IN
+    assert not places("In where is my shirt?")
+
+
+def test_coordinate_association_boosts_confidence():
+    near_sydney = [(-33.87, 151.21)]
+    ms = [m for m in geocode("meet me in Sydney", coords=near_sydney)
+          if m["label"] == "place"]
+    assert ms and ms[0]["confidence"] >= 90
+    assert "Coordinate.proximity" in ms[0]["method"]
+
+
+def test_country_histogram():
+    ms = geocode("from Brazil to Falluja and San Diego, CA")
+    h = country_histogram(ms)
+    assert h.get("BR") == 1 and h.get("IQ") == 1 and h.get("US") == 1
+
+
+def test_longest_dominant_right():
+    # 'New York City' must win over nested 'New York'
+    cands = tag_places("visit New York City today")
+    assert any(c.text == "New York City" for c in cands)
+    assert not any(c.text == "New York" for c in cands)
+
+
+def test_us_abbrev_absorbs_period():
+    m = top("Will I make it to the shores of U.S.?")
+    assert m["matchtext"] == "U.S."
+    assert m["cc"] == "US"

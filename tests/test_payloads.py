@@ -1,0 +1,47 @@
+"""Fixture-drift gate: the pipeline must still produce exactly the pinned
+payload fixtures (the reference-derived per-turn contract), and payload
+matches must shift cleanly when embedded after arbitrary base text."""
+
+from xponents_spark.pipeline import DEFAULT_FEATURES, extract_turn
+from xponents_spark.sources.payloads import (
+    EXPECTED,
+    HTML_PREFIX,
+    HTML_SUFFIX,
+    NUM_PAYLOADS,
+    PAYLOADS,
+    compute_expected,
+)
+
+
+def test_fixtures_not_drifted():
+    assert compute_expected() == EXPECTED
+
+
+def test_every_class_has_fixture_entry():
+    assert set(EXPECTED) == set(range(NUM_PAYLOADS))
+
+
+def test_payload_matches_shift_with_base_text():
+    base = "alpha beta gamma delta epsilon"
+    off = len(base) + 1
+    for idx, (name, payload) in enumerate(PAYLOADS):
+        if payload is None:
+            continue
+        _main, rows = extract_turn(f"{base} {payload}", DEFAULT_FEATURES)
+        got = [(r["span_start"] - off, r["span_end"] - off, r["matchtext"], r["label"])
+               for r in rows]
+        want = [(e["rel_start"], e["rel_end"], e["matchtext"], e["label"])
+                for e in EXPECTED[idx]]
+        assert got == want, name
+
+
+def test_html_class_recovers_inner_text():
+    inner = "scan row big customer merge group window"
+    main, rows = extract_turn(HTML_PREFIX + inner + HTML_SUFFIX, DEFAULT_FEATURES)
+    assert main == inner
+    assert rows == []
+
+
+def test_plain_text_passthrough():
+    main, _ = extract_turn("hello   world\n next", ("content",))
+    assert main == "hello world next"

@@ -1,0 +1,292 @@
+"""Gazetteer phrase tagging: the FST-tagger equivalent (SURVEY.md §2.2 T1-T3).
+
+The reference streams text through a Solr FST of ~25M normalized names with
+``overlaps=LONGEST_DOMINANT_RIGHT``
+(solr/solr7/gazetteer/conf/solrconfig.xml:1114-1120,
+GazetteerMatcher.java:151-163).  Here the dictionary is a token-keyed phrase
+index built once per executor process from broadcast gazetteer rows:
+
+* normalization (T3): ASCII-fold -> lowercase -> edge-punct strip, applied
+  identically to gazetteer phrases at build time and document tokens at tag
+  time (the pinned normalization standing in for the Solr analyzer chain —
+  SURVEY.md §4.3.1);
+* scan: at each token position try the longest phrase first (bounded by the
+  index's max phrase length) — O(tokens x max_len) lookups;
+* overlap resolution: longest-dominant-right sweep (longer span wins; equal
+  length prefers the rightmost), same policy as the Solr tagger.
+
+Tag-time filters F1-F10 (SURVEY.md §2.4) apply as candidates are built.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+
+from ..functions.textnorm import (
+    count_formatting_space,
+    has_irregular_punctuation,
+    is_lower,
+    is_upper,
+    strip_diacritics,
+)
+from . import data
+
+_EDGE_PUNCT = ".,;:'\"!?()[]|"
+
+
+@dataclass
+class Place:
+    place_id: str
+    name: str
+    name_type: str   # N=name A=abbreviation C=code
+    feat_class: str
+    feat_code: str
+    cc: str
+    adm1: str
+    lat: float
+    lon: float
+    id_bias: int
+    pop: int
+
+    @property
+    def hierarchical_path(self) -> str:
+        return f"{self.cc}.{self.adm1}" if self.adm1 else self.cc
+
+    @property
+    def is_country(self) -> bool:
+        return self.feat_code.startswith("PCL") and self.feat_code != "PCLD"
+
+    @property
+    def is_admin1(self) -> bool:
+        return self.feat_code in ("ADM1", "PCLD")
+
+
+@dataclass
+class PlaceCandidate:
+    start: int
+    end: int
+    text: str
+    places: list[Place]
+    filtered_out: bool = False
+    filter_reason: str | None = None
+    is_country: bool = False
+    is_continent: bool = False
+    is_abbreviation: bool = False
+    is_acronym: bool = False
+    is_person: bool = False
+    is_org: bool = False
+    is_nationality: bool = False
+    scores: dict = field(default_factory=dict)      # id(place row) -> score
+    rules: list = field(default_factory=list)
+    evidence_cc: set = field(default_factory=set)
+    linked_admin: Place | None = None               # NAME, CODE association
+    merged_end: int | None = None                   # related-name merge span
+    chosen: Place | None = None
+    second: Place | None = None
+    confidence: int = -1
+
+    @property
+    def textnorm(self) -> str:
+        return normalize_token(self.text)
+
+    def add_rule(self, rule: str) -> None:
+        if rule not in self.rules:
+            self.rules.append(rule)
+
+    def score_place(self, place: Place, pts: float, rule: str) -> None:
+        """Increment-once-per-rule guard, as ScoredPlace.incrementScore."""
+        key = (id(place), rule)
+        if key in self.scores:
+            return
+        self.scores[key] = pts
+        self.add_rule(rule)
+
+    def total_score(self, place: Place) -> float:
+        return sum(v for (pid, _r), v in self.scores.items() if pid == id(place))
+
+
+def normalize_token(tok: str) -> str:
+    return strip_diacritics(tok).lower().strip(_EDGE_PUNCT)
+
+
+def _tokens_with_offsets(text: str) -> list[tuple[str, int, int]]:
+    """(normalized_token, start, end) with offsets of the stripped core."""
+    out = []
+    i, n = 0, len(text)
+    while i < n:
+        while i < n and text[i].isspace():
+            i += 1
+        j = i
+        while j < n and not text[j].isspace():
+            j += 1
+        if j > i:
+            s, e = i, j
+            while s < e and text[s] in _EDGE_PUNCT:
+                s += 1
+            e2 = e
+            while e2 > s and text[e2 - 1] in _EDGE_PUNCT:
+                e2 -= 1
+            # keep inner dots of abbreviations: 'U.S.' strips to 'U.S'
+            if e2 > s:
+                out.append((normalize_token(text[s:e2]), s, e2))
+        i = j
+    return out
+
+
+class PhraseIndex:
+    """Token-keyed phrase dictionary with longest-first lookup."""
+
+    def __init__(self, entries: list[tuple[str, object]]):
+        """entries: (phrase, payload); phrases normalize at build time."""
+        self.index: dict[str, dict[tuple, list]] = {}
+        self.max_len = 1
+        for phrase, payload in entries:
+            toks = tuple(normalize_token(t) for t in phrase.split())
+            toks = tuple(t for t in toks if t)
+            if not toks:
+                continue
+            self.max_len = max(self.max_len, len(toks))
+            bucket = self.index.setdefault(toks[0], {})
+            bucket.setdefault(toks, []).append(payload)
+
+    def scan(self, text: str) -> list[tuple[int, int, str, list]]:
+        """All (start, end, matchtext, payloads) phrase hits, LDR-resolved."""
+        toks = _tokens_with_offsets(text)
+        raw: list[tuple[int, int, str, list]] = []
+        for i, (norm, _s, _e) in enumerate(toks):
+            bucket = self.index.get(norm)
+            if not bucket:
+                continue
+            limit = min(self.max_len, len(toks) - i)
+            for ln in range(limit, 0, -1):
+                key = tuple(t[0] for t in toks[i:i + ln])
+                payloads = bucket.get(key)
+                if payloads:
+                    s, e = toks[i][1], toks[i + ln - 1][2]
+                    raw.append((s, e, text[s:e], payloads))
+        return _longest_dominant_right(raw)
+
+
+def _longest_dominant_right(matches):
+    """Solr tagger overlap policy: longer span dominates; equal length
+    prefers the rightmost (GazetteerMatcher.java:156-161 semantics)."""
+    accepted: list[tuple[int, int, str, list]] = []
+    for m in sorted(matches, key=lambda m: (-(m[1] - m[0]), -m[0])):
+        if all(m[1] <= a[0] or m[0] >= a[1] for a in accepted):
+            accepted.append(m)
+    accepted.sort(key=lambda m: m[0])
+    return accepted
+
+
+# --- gazetteer index (lazy process singleton — executor 'pump priming') -----
+
+_GAZ_INDEX: PhraseIndex | None = None
+_GAZ_ROWS: list[tuple] | None = None
+
+
+def set_gazetteer(rows: list[tuple]) -> None:
+    """Swap in external gazetteer rows (broadcast value) before first tag."""
+    global _GAZ_ROWS, _GAZ_INDEX
+    _GAZ_ROWS = rows
+    _GAZ_INDEX = None
+
+
+def gaz_index() -> PhraseIndex:
+    global _GAZ_INDEX
+    if _GAZ_INDEX is None:
+        rows = _GAZ_ROWS if _GAZ_ROWS is not None else data.GAZETTEER_ROWS
+        _GAZ_INDEX = PhraseIndex([(r[1], Place(*r)) for r in rows])
+    return _GAZ_INDEX
+
+
+def tag_places(text: str, lowercase_doc: bool | None = None) -> list[PlaceCandidate]:
+    """Scan + build candidates with tag-time filters F1-F10."""
+    if lowercase_doc is None:
+        lowercase_doc = is_lower(text)
+    out: list[PlaceCandidate] = []
+    for s, e, mtext, places in gaz_index().scan(text):
+        cand = PlaceCandidate(s, e, mtext, list(places))
+        _apply_tag_filters(cand, lowercase_doc)
+        out.append(cand)
+    return out
+
+
+def _apply_tag_filters(cand: PlaceCandidate, lowercase_doc: bool) -> None:
+    mtext = cand.text
+    norm = cand.textnorm
+
+    cand.is_abbreviation = any(p.name_type == "A" for p in cand.places)
+    cand.is_acronym = is_upper(mtext) and len(mtext.replace(".", "")) <= 4
+    if all(p.feat_code == "CONT" for p in cand.places):
+        cand.is_continent = True   # F9: flagged, filtered, kept
+        cand.filtered_out = True
+        cand.filter_reason = "continent"
+        return
+    if any(p.is_country for p in cand.places):
+        cand.is_country = True
+
+    if len(mtext) < 2:                                    # F1
+        cand.filtered_out = True
+        cand.filter_reason = "len1"
+        return
+    if count_formatting_space(mtext) > 1:                 # F6
+        cand.filtered_out = True
+        cand.filter_reason = "format-ws"
+        return
+    if has_irregular_punctuation(mtext):                  # F3/F12
+        cand.filtered_out = True
+        cand.filter_reason = "punct"
+        return
+    # F7: stop terms are case-sensitive — 'or' stops, code 'OR' does not
+    # (TagFilter case-sensitive mode, TagFilter.java:124-236)
+    if norm in data.STOPWORDS and not is_upper(mtext):
+        cand.filtered_out = True
+        cand.filter_reason = "stopword"
+        return
+    if norm in data.NON_PLACES and not is_upper(mtext):   # F7 non-places
+        cand.filtered_out = True
+        cand.filter_reason = "non-place"
+        return
+    if not lowercase_doc and is_lower(mtext) and len(mtext) <= 20:  # F5
+        cand.filtered_out = True
+        cand.filter_reason = "lower-in-mixed"
+        return
+    # F10 code/case gate: code entries demand UPPER matchtext ('In' != 'IN')
+    if not is_upper(mtext.replace(".", "")):
+        kept = [p for p in cand.places if p.name_type != "C"]
+        if not kept:
+            cand.filtered_out = True
+            cand.filter_reason = "code-case"
+            return
+        cand.places = kept
+    # pare huge candidate sets to A/P features (O6, GeocodeRule.java:249-270)
+    if len(cand.places) > 100:
+        cand.places = [p for p in cand.places if p.feat_class in ("A", "P")]
+
+
+# --- taxcat-style lexicons (T4): person / org / nationality ------------------
+
+_TAX_INDEX: PhraseIndex | None = None
+
+
+def tax_index() -> PhraseIndex:
+    global _TAX_INDEX
+    if _TAX_INDEX is None:
+        entries: list[tuple[str, object]] = []
+        for n in data.PERSON_NAMES:
+            entries.append((n, ("person", n, None)))
+        for key, canonical in data.ORG_NAMES.items():
+            entries.append((key, ("org", canonical, None)))
+        for nat, cc in data.NATIONALITIES.items():
+            entries.append((nat, ("nationality", nat, cc)))
+        _TAX_INDEX = PhraseIndex(entries)
+    return _TAX_INDEX
+
+
+def tag_taxons(text: str) -> list[tuple[int, int, str, str, str, str | None]]:
+    """(start, end, matchtext, kind, canonical, cc) taxon hits."""
+    out = []
+    for s, e, mtext, payloads in tax_index().scan(text):
+        kind, canonical, cc = payloads[0]
+        out.append((s, e, mtext, kind, canonical, cc))
+    return out

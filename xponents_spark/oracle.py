@@ -76,6 +76,17 @@ GROUP BY exp.label
 """
 
 
+def country_histogram_oracle() -> str:
+    fixture, _n = _fixture_values(("place", "country"), ("cc",))
+    return f"""
+WITH {transcripts_oracle_cte()}
+SELECT exp.cc, count(*) AS n_mentions
+FROM transcripts t
+JOIN {fixture} ON t.payload_k = exp.k
+GROUP BY exp.cc
+"""
+
+
 def transcripts_oracle() -> str:
     return f"""
 WITH {transcripts_oracle_cte()}

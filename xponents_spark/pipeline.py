@@ -25,7 +25,8 @@ from pyspark.sql import DataFrame
 
 from .schemas import MATCH_FIELD_NAMES, extraction_output_schema
 
-DEFAULT_FEATURES = ("content", "coordinates", "dates", "patterns")
+DEFAULT_FEATURES = ("content", "coordinates", "dates", "patterns",
+                    "places", "countries", "taxons")
 
 _MATCH_TEMPLATE = {name: None for name in MATCH_FIELD_NAMES}
 
@@ -49,11 +50,13 @@ def extract_turn(text: str, features: tuple) -> tuple[str, list[dict]]:
         return None, []
     main = extract_main_content(text) if "content" in features else text
     out: list[dict] = []
+    coords: list[tuple[float, float]] = []
 
     if "coordinates" in features:
         for m in _xcoord.extract_coordinates(main):
             if m.filtered_out:
                 continue
+            coords.append((m.attrs["lat"], m.attrs["lon"]))
             out.append(_match_row(
                 span_start=m.start, span_end=m.end, matchtext=m.text,
                 label="coord", pattern_id=m.pattern_id, filtered_out=False,
@@ -76,6 +79,13 @@ def extract_turn(text: str, features: tuple) -> tuple[str, list[dict]]:
                 span_start=m.start, span_end=m.end, matchtext=m.text,
                 label=m.family.lower(), pattern_id=m.pattern_id,
                 filtered_out=False, method=m.pattern_id))
+
+    geo_feats = tuple(f for f in ("places", "countries", "taxons")
+                      if f in features)
+    if geo_feats:
+        from .gazetteer import geocode
+        for g in geocode(main, coords=coords, features=geo_feats):
+            out.append(_match_row(**g))
 
     # stable output ordering by span (reference orders candidates by start
     # offset via TreeMap — GazetteerMatcher.java:445)
