@@ -99,7 +99,11 @@ _manager: PatternManager | None = None
 def manager() -> PatternManager:
     global _manager
     if _manager is None:
-        _manager = PatternManager(pattern_file("poli_patterns.cfg"))
+        _manager = PatternManager(
+            pattern_file("poli_patterns.cfg"),
+            prescreen={"PHONE": r"\d{3}", "EMAIL": r"@", "URL": r"://",
+                       "IP": r"\d+\.\d", "MAC": r"[0-9A-Fa-f]{2}:",
+                       "MONEY": r"[$€£¥]|\d (?i:USD|EUR|GBP|JPY|CAD|AUD|CHF)"})
     return _manager
 
 

@@ -380,7 +380,18 @@ _manager: PatternManager | None = None
 def manager() -> PatternManager:
     global _manager
     if _manager is None:
-        _manager = PatternManager(pattern_file("geocoord_patterns.cfg"))
+        # cheap necessary conditions per family (avoid 30 rule scans when
+        # the text cannot contain that family at all)
+        _manager = PatternManager(
+            pattern_file("geocoord_patterns.cfg"),
+            prescreen={
+                "DD": r"\d",
+                "DM": r"\d\d",
+                # DMS needs deg/min/sec symbols, dotted triplets, or >=6-digit runs
+                "DMS": r"[°º′″]|\d+['\"]|\d{6}|\d{1,2}\.\d\d\.\d\d",
+                "MGRS": r"\d ?[C-HJ-NP-Xc-hj-npx][A-HJ-NP-Za-hj-npz]{2} ?\d",
+                "UTM": r"\d{6}",
+            })
     return _manager
 
 

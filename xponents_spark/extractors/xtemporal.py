@@ -232,7 +232,10 @@ def manager() -> PatternManager:
     Spark pipeline builds it lazily per executor)."""
     global _manager
     if _manager is None:
-        _manager = PatternManager(pattern_file("datetime_patterns.cfg"))
+        # every date family requires a digit
+        _manager = PatternManager(
+            pattern_file("datetime_patterns.cfg"),
+            prescreen={f: r"\d" for f in ("MDY", "DMY", "YMD", "DTM")})
     return _manager
 
 

@@ -130,13 +130,19 @@ class PatternManager:
     (``doc/pydoc/opensextant/FlexPat.html`` source L198-385).
     """
 
-    def __init__(self, cfg_path: str):
+    def __init__(self, cfg_path: str,
+                 prescreen: dict[str, str] | None = None):
         self.cfg_path = cfg_path if os.path.exists(cfg_path) else pattern_file(cfg_path)
         self.defines: dict[str, str] = {}
         self.rules: dict[str, Rule] = {}
         self.families: set[str] = set()
         self.test_cases: list[TestCase] = []
         self.normalizer_family: dict[str, str] = {}
+        # family -> cheap necessary-condition regex; when it finds nothing
+        # the whole family's rules skip (hot-path pruning: most text has no
+        # digits/symbols, so 30+ rule scans collapse to one char scan)
+        self.prescreen: dict[str, re.Pattern] = {
+            fam: re.compile(rx) for fam, rx in (prescreen or {}).items()}
         self._parse()
 
     def _parse(self) -> None:
@@ -164,16 +170,27 @@ class PatternManager:
                     _, fam, clsname = re.split(r"[\t ]+", stmt, maxsplit=2)
                     self.normalizer_family[fam] = clsname
 
+        fam_alts: dict[str, list[str]] = {}
         for fam, key, raw in raw_rules:
             self.families.add(fam)
             group_names = _SLOT_RE.findall(raw)
             compiled = raw
+            nogroup = raw
             for slot in set(group_names):
                 if slot not in self.defines:
                     raise ValueError(f"rule {key}: <{slot}> has no #DEFINE")
                 compiled = compiled.replace(f"<{slot}>", f"({self.defines[slot]})")
+                nogroup = nogroup.replace(f"<{slot}>", f"(?:{self.defines[slot]})")
             self.rules[key] = Rule(fam, key, raw, re.compile(compiled, re.IGNORECASE),
                                    group_names)
+            fam_alts.setdefault(fam, []).append(f"(?:{nogroup})")
+        # capture-free union per family — kept for tooling/debug; measured
+        # slower than the char-class prescreens as a scan gate, so unused there
+        self.family_union: dict[str, str] = {
+            fam: "|".join(alts) for fam, alts in fam_alts.items()}
+        self.rules_by_family: dict[str, list[Rule]] = {}
+        for rule in self.rules.values():
+            self.rules_by_family.setdefault(rule.family, []).append(rule)
 
     def set_enabled(self, prefix: str, flag: bool) -> None:
         for rule in self.rules.values():
@@ -193,31 +210,43 @@ class PatternManager:
         unknown = fams - self.families
         if unknown:
             raise ValueError(f"unknown pattern families: {sorted(unknown)}")
+        if self.prescreen:
+            fams = {f for f in fams
+                    if f not in self.prescreen or self.prescreen[f].search(text)}
+            if not fams:
+                return []
         tlen = len(text)
         found: list[PatternMatch] = []
-        for rule in self.rules.values():
-            if not rule.enabled or rule.family not in fams:
+        for fam in self.rules_by_family:
+            if fam not in fams:
                 continue
-            for m in rule.regex.finditer(text):
-                slots = [
-                    (name, m.group(i + 1), m.start(i + 1), m.end(i + 1))
-                    for i, name in enumerate(rule.group_names)
-                ]
-                pm = PatternMatch(m.group(), m.start(), m.end(), rule.rule_id,
-                                  rule.family, slots)
-                pm.pre_text = text[max(0, pm.start - context_len):pm.start]
-                pm.post_text = text[pm.end:min(tlen, pm.end + context_len)]
-                norm = _NORMALIZERS.get(rule.family)
-                if norm is not None:
-                    norm(pm)
-                else:
-                    pm.textnorm = pm.text.strip()
-                found.append(pm)
+            for rule in self.rules_by_family[fam]:
+                if not rule.enabled:
+                    continue
+                self._scan_rule(rule, text, tlen, found)
         reduce_matches(found)
         for pm in found:
             if pm.is_duplicate or pm.is_submatch:
                 pm.filtered_out = True
         return found
+
+    def _scan_rule(self, rule: Rule, text: str, tlen: int,
+                   found: list[PatternMatch], context_len: int = 20) -> None:
+        for m in rule.regex.finditer(text):
+            slots = [
+                (name, m.group(i + 1), m.start(i + 1), m.end(i + 1))
+                for i, name in enumerate(rule.group_names)
+            ]
+            pm = PatternMatch(m.group(), m.start(), m.end(), rule.rule_id,
+                              rule.family, slots)
+            pm.pre_text = text[max(0, pm.start - context_len):pm.start]
+            pm.post_text = text[pm.end:min(tlen, pm.end + context_len)]
+            norm = _NORMALIZERS.get(rule.family)
+            if norm is not None:
+                norm(pm)
+            else:
+                pm.textnorm = pm.text.strip()
+            found.append(pm)
 
     # -- embedded test harness ---------------------------------------------
 

@@ -57,6 +57,8 @@ def strip_diacritics(text: str) -> str:
     marks (the reference's Solr ASCII-folding char filter,
     solr/solr7/gazetteer/conf/schema.xml:364-381, and
     TextUtils.phoneticReduction used at TagFilter.java:230)."""
+    if text.isascii():          # hot path: nothing to fold
+        return text
     return "".join(
         c for c in unicodedata.normalize("NFD", text) if not unicodedata.combining(c)
     )

@@ -35,8 +35,12 @@ def geocode(text: str, coords: list[tuple[float, float]] | None = None,
     """Per-turn geotagging; returns flat match dicts (schemas.MATCH_STRUCT
     field subset).  ``coords`` are (lat, lon) pairs from XCoord for the
     coordinate-association rule."""
-    cands = tag_places(text)
-    taxons = tag_taxons(text)
+    from .matcher import tokens_with_offsets
+    toks = tokens_with_offsets(text)       # tokenize once, share both scans
+    if not toks:
+        return []
+    cands = tag_places(text, toks=toks)
+    taxons = tag_taxons(text, toks=toks)
     scope = R.Scope()
 
     for _s, _e, _m, kind, _canon, cc in taxons:

@@ -105,31 +105,29 @@ class PlaceCandidate:
         return sum(v for (pid, _r), v in self.scores.items() if pid == id(place))
 
 
+import re as _re
+
+_WS_TOKEN = _re.compile(r"\S+")
+
+
 def normalize_token(tok: str) -> str:
+    if tok.isascii():
+        return tok.lower().strip(_EDGE_PUNCT)
     return strip_diacritics(tok).lower().strip(_EDGE_PUNCT)
 
 
-def _tokens_with_offsets(text: str) -> list[tuple[str, int, int]]:
-    """(normalized_token, start, end) with offsets of the stripped core."""
+def tokens_with_offsets(text: str) -> list[tuple[str, int, int]]:
+    """(normalized_token, start, end) with offsets of the edge-punct-stripped
+    core (inner dots of abbreviations survive: 'U.S.' -> 'u.s')."""
     out = []
-    i, n = 0, len(text)
-    while i < n:
-        while i < n and text[i].isspace():
-            i += 1
-        j = i
-        while j < n and not text[j].isspace():
-            j += 1
-        if j > i:
-            s, e = i, j
-            while s < e and text[s] in _EDGE_PUNCT:
-                s += 1
-            e2 = e
-            while e2 > s and text[e2 - 1] in _EDGE_PUNCT:
-                e2 -= 1
-            # keep inner dots of abbreviations: 'U.S.' strips to 'U.S'
-            if e2 > s:
-                out.append((normalize_token(text[s:e2]), s, e2))
-        i = j
+    for m in _WS_TOKEN.finditer(text):
+        s, e = m.start(), m.end()
+        while s < e and text[s] in _EDGE_PUNCT:
+            s += 1
+        while e > s and text[e - 1] in _EDGE_PUNCT:
+            e -= 1
+        if e > s:
+            out.append((normalize_token(text[s:e]), s, e))
     return out
 
 
@@ -149,9 +147,13 @@ class PhraseIndex:
             bucket = self.index.setdefault(toks[0], {})
             bucket.setdefault(toks, []).append(payload)
 
-    def scan(self, text: str) -> list[tuple[int, int, str, list]]:
-        """All (start, end, matchtext, payloads) phrase hits, LDR-resolved."""
-        toks = _tokens_with_offsets(text)
+    def scan(self, text: str,
+             toks: list[tuple[str, int, int]] | None = None
+             ) -> list[tuple[int, int, str, list]]:
+        """All (start, end, matchtext, payloads) phrase hits, LDR-resolved.
+        Pass precomputed ``toks`` to share tokenization across indices."""
+        if toks is None:
+            toks = tokens_with_offsets(text)
         raw: list[tuple[int, int, str, list]] = []
         for i, (norm, _s, _e) in enumerate(toks):
             bucket = self.index.get(norm)
@@ -199,12 +201,13 @@ def gaz_index() -> PhraseIndex:
     return _GAZ_INDEX
 
 
-def tag_places(text: str, lowercase_doc: bool | None = None) -> list[PlaceCandidate]:
+def tag_places(text: str, lowercase_doc: bool | None = None,
+               toks: list | None = None) -> list[PlaceCandidate]:
     """Scan + build candidates with tag-time filters F1-F10."""
     if lowercase_doc is None:
         lowercase_doc = is_lower(text)
     out: list[PlaceCandidate] = []
-    for s, e, mtext, places in gaz_index().scan(text):
+    for s, e, mtext, places in gaz_index().scan(text, toks):
         cand = PlaceCandidate(s, e, mtext, list(places))
         _apply_tag_filters(cand, lowercase_doc)
         out.append(cand)
@@ -283,10 +286,11 @@ def tax_index() -> PhraseIndex:
     return _TAX_INDEX
 
 
-def tag_taxons(text: str) -> list[tuple[int, int, str, str, str, str | None]]:
+def tag_taxons(text: str, toks: list | None = None
+               ) -> list[tuple[int, int, str, str, str, str | None]]:
     """(start, end, matchtext, kind, canonical, cc) taxon hits."""
     out = []
-    for s, e, mtext, payloads in tax_index().scan(text):
+    for s, e, mtext, payloads in tax_index().scan(text, toks):
         kind, canonical, cc = payloads[0]
         out.append((s, e, mtext, kind, canonical, cc))
     return out
