@@ -98,6 +98,12 @@ def q_places(spark, sf_dir):
                       "confidence"))
 
 
+def q_postal(spark, sf_dir):
+    ex = exploded_matches(_extracted(spark, sf_dir), label="postal")
+    return ex.select(*_MATCH_BASE_COLS, "cc", "adm1", "name", "place_id",
+                     "confidence")
+
+
 def q_taxons(spark, sf_dir):
     ex = exploded_matches(_extracted(spark, sf_dir))
     return (ex.filter(F.col("label").isin("person", "org", "nationality"))
@@ -177,6 +183,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "xtemporal_extract": q_xtemporal,
         "poli_extract": q_poli,
         "place_extract": q_places,
+        "postal_extract": q_postal,
         "taxon_extract": q_taxons,
         "country_histogram": q_country_histogram,
         "match_label_histogram": q_label_histogram,
@@ -215,6 +222,11 @@ def oracle_sql() -> dict[str, str]:
             "exp.feat_code AS feat_code, exp.place_id AS place_id, "
             "exp.name AS name, exp.lat AS lat, exp.lon AS lon, "
             "CAST(exp.confidence AS INTEGER) AS confidence"),
+        "postal_extract": O.extraction_oracle(
+            ("postal",),
+            ("cc", "adm1", "name", "place_id", "confidence"),
+            ", exp.cc AS cc, exp.adm1 AS adm1, exp.name AS name, "
+            "exp.place_id AS place_id, CAST(exp.confidence AS INTEGER) AS confidence"),
         "taxon_extract": O.extraction_oracle(
             ("person", "org", "nationality"),
             ("taxon", "catalog", "cc"),

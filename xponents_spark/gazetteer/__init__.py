@@ -31,7 +31,7 @@ from . import data
 
 
 def geocode(text: str, coords: list[tuple[float, float]] | None = None,
-            features: tuple = ("places", "countries", "taxons")) -> list[dict]:
+            features: tuple = ("places", "countries", "taxons", "postal")) -> list[dict]:
     """Per-turn geotagging; returns flat match dicts (schemas.MATCH_STRUCT
     field subset).  ``coords`` are (lat, lon) pairs from XCoord for the
     coordinate-association rule."""
@@ -94,6 +94,9 @@ def geocode(text: str, coords: list[tuple[float, float]] | None = None,
                 "place_id": p.place_id, "name": p.name,
                 "method": ";".join(sorted(c.rules)) or None,
             })
+    if "postal" in features:
+        from .postal import tag_postals
+        out.extend(tag_postals(text, cands, set(scope.countries)))
     if "taxons" in features:
         for s, e, mtext, kind, canonical, cc in taxons:
             out.append({

@@ -26,7 +26,7 @@ from pyspark.sql import DataFrame
 from .schemas import MATCH_FIELD_NAMES, extraction_output_schema
 
 DEFAULT_FEATURES = ("content", "coordinates", "dates", "patterns",
-                    "places", "countries", "taxons")
+                    "places", "countries", "taxons", "postal")
 
 _MATCH_TEMPLATE = {name: None for name in MATCH_FIELD_NAMES}
 
@@ -80,7 +80,7 @@ def extract_turn(text: str, features: tuple) -> tuple[str, list[dict]]:
                 label=m.family.lower(), pattern_id=m.pattern_id,
                 filtered_out=False, method=m.pattern_id))
 
-    geo_feats = tuple(f for f in ("places", "countries", "taxons")
+    geo_feats = tuple(f for f in ("places", "countries", "taxons", "postal")
                       if f in features)
     if geo_feats:
         from .gazetteer import geocode
