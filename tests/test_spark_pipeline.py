@@ -1,0 +1,156 @@
+"""End-to-end Spark pipeline tests: synthesized transcripts through the
+one-stage Arrow extraction, fixture equality per turn, skew salting,
+resumable checkpoints, streaming parity, multimodal plumbing."""
+
+import datetime
+import shutil
+import tempfile
+
+from pyspark.sql import Row
+from pyspark.sql import functions as F
+
+from xponents_spark.pipeline import extract, exploded_matches
+from xponents_spark.plans import ordered_output, run_resumable, salted_repartition
+from xponents_spark.plans.checkpoints import read_resumable_output
+from xponents_spark.schemas import TRANSCRIPT_SCHEMA
+from xponents_spark.sources import synthesize_transcripts
+from xponents_spark.sources.payloads import EXPECTED, NUM_PAYLOADS
+from xponents_spark.sources.transcripts import NUM_CONVS
+
+
+def test_extraction_matches_fixtures_per_turn(spark, sf_dir):
+    """The north-rule gate: per-turn equality of (main_text, matches) vs the
+    pinned fixtures under stable (conv_id, turn_idx) ordering."""
+    t = synthesize_transcripts(spark, sf_dir)
+    out = ordered_output(extract(salted_repartition(t, 8))).collect()
+    docs = {r["doc_id"]: r["text"] for r in
+            spark.read.parquet(f"{sf_dir}/documents.parquet").collect()}
+    assert len(out) == len(docs)
+    for row in out:
+        doc_id = int(row.conv_id[1:]) + row.turn_idx * NUM_CONVS
+        k = doc_id % NUM_PAYLOADS
+        base = docs[doc_id]
+        expected = EXPECTED[k]
+        got = [m.asDict() for m in row.matches]
+        assert len(got) == len(expected), (doc_id, k, got)
+        off = len(base) + 1
+        for g, e in zip(got, expected):
+            assert g["span_start"] == off + e["rel_start"]
+            assert g["span_end"] == off + e["rel_end"]
+            assert g["matchtext"] == e["matchtext"]
+            assert g["label"] == e["label"]
+        if k == 16:   # html class: main text is the recovered document text
+            assert row.main_text == base
+        else:
+            assert row.main_text == row.text
+
+
+def test_salting_spreads_skewed_conversation(spark):
+    rows = [Row(conv_id="huge", turn_idx=i, role="user", text=f"turn {i}",
+                tool=None, ts=datetime.datetime(2025, 1, 1)) for i in range(2000)]
+    df = spark.createDataFrame(rows, TRANSCRIPT_SCHEMA)
+    parts = (salted_repartition(df, 8)
+             .withColumn("p", F.spark_partition_id())
+             .groupBy("p").count().collect())
+    counts = [r["count"] for r in parts]
+    assert len(counts) == 8
+    assert max(counts) < 2000 * 0.25   # one conversation fans out
+
+def test_resumable_checkpoints(spark, sf_dir, tmp_path):
+    t = synthesize_transcripts(spark, sf_dir)
+    out = str(tmp_path / "run")
+    m1 = run_resumable(t, out, buckets=3, input_desc="sf0.001")
+    assert sum(m["rows"] for m in m1) == 500
+    assert all(m["status"] == "committed" for m in m1)
+    m2 = run_resumable(t, out, buckets=3, input_desc="sf0.001")
+    assert m1 == m2   # full resume: nothing recomputed
+    assert read_resumable_output(spark, out).count() == 500
+
+
+def test_streaming_parity_with_batch(spark, sf_dir):
+    """availableNow streaming run produces the same matches as batch."""
+    from xponents_spark.streaming import read_transcript_stream, start_extraction_sink
+
+    src = tempfile.mkdtemp(prefix="stream_src_")
+    out = tempfile.mkdtemp(prefix="stream_out_")
+    ckpt = tempfile.mkdtemp(prefix="stream_ckpt_")
+    try:
+        t = synthesize_transcripts(spark, sf_dir).limit(100)
+        t.write.mode("overwrite").parquet(src)
+        stream = read_transcript_stream(spark, src)
+        q = start_extraction_sink(stream, out, ckpt,
+                                  features=("content", "coordinates", "dates"))
+        q.awaitTermination(120)
+        got = spark.read.parquet(out)
+        want = extract(spark.read.parquet(src),
+                       features=("content", "coordinates", "dates"))
+        g = got.select("conv_id", "turn_idx", F.size("matches").alias("n")) \
+               .orderBy("conv_id", "turn_idx").collect()
+        w = want.select("conv_id", "turn_idx", F.size("matches").alias("n")) \
+                .orderBy("conv_id", "turn_idx").collect()
+        assert g == w and len(g) == 100
+    finally:
+        for d in (src, out, ckpt):
+            shutil.rmtree(d, ignore_errors=True)
+
+
+def test_multimodal_plumbing(spark):
+    from xponents_spark.operators.multimodal import (
+        extract_media_features, make_fake_media, sample_frames)
+    media = make_fake_media(spark, 16)
+    feats = extract_media_features(media).collect()
+    assert len(feats) == 16
+    assert all(len(r["features"]) == 16 for r in feats)
+    # deterministic across runs
+    again = extract_media_features(media).collect()
+    assert sorted(r["media_id"] for r in feats) == sorted(r["media_id"] for r in again)
+    f1 = {r["media_id"]: r["features"] for r in feats}
+    f2 = {r["media_id"]: r["features"] for r in again}
+    assert f1 == f2
+    frames = sample_frames(media.filter("meta.duration_ms IS NOT NULL")).collect()
+    assert len(frames) == 8 * 3   # 8 videos x 3 sampled frames
+    import pytest as _pytest
+    with _pytest.raises(Exception):
+        extract_media_features(media, decoder="real").collect()
+
+
+def test_minhash_finds_near_duplicates(spark):
+    texts = []
+    base = ("alpha beta gamma delta epsilon zeta eta theta iota kappa "
+            "lam mu nu xi omicron pi rho sigma tau upsilon").split()
+    for i in range(20):
+        words = list(base)
+        if i >= 10:
+            words[i % 5] = f"changed{i}"   # near-dup of base with 1 word off
+        texts.append((i, " ".join(words)))
+    df = spark.createDataFrame(texts, ["doc_id", "text"])
+    from xponents_spark.operators.dedup import minhash_near_dups, simhash_near_dups
+    pairs = minhash_near_dups(df, threshold=0.5).collect()
+    assert pairs, "expected near-dup pairs"
+    ids = {(r["doc_a"], r["doc_b"]) for r in pairs}
+    assert (0, 1) in ids or (0, 2) in ids   # identical docs collide
+    sh = simhash_near_dups(df, max_hamming=6).collect()
+    assert sh
+
+
+def test_ann_bruteforce_topk(spark, sf_dir):
+    from xponents_spark.operators.similarity import cosine_topk_bruteforce
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    qs = [(int(r["vec_id"]), list(r["embedding"]))
+          for r in emb.filter("vec_id < 3").collect()]
+    top = cosine_topk_bruteforce(emb, qs, k=5).collect()
+    assert len(top) == 15
+    by_q = {}
+    for r in top:
+        by_q.setdefault(r["query_id"], []).append(r)
+    for q, rows in by_q.items():
+        assert [r["rank"] for r in sorted(rows, key=lambda r: r["rank"])] == [1, 2, 3, 4, 5]
+        assert all(r["vec_id"] != q for r in rows)
+
+
+def test_exploded_matches_shape(spark, sf_dir):
+    t = synthesize_transcripts(spark, sf_dir).limit(60)
+    ex = exploded_matches(extract(t))
+    rows = ex.collect()
+    assert rows
+    assert {"conv_id", "turn_idx", "span_start", "label"} <= set(ex.columns)

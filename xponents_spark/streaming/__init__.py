@@ -1,0 +1,63 @@
+"""Structured Streaming variant of the extraction pipeline.
+
+The reference has no streaming (REST request/response only,
+XponentsGeotagger.java:150-198); this is the Spark-native growth path: the
+same single-stage Arrow extraction applied to a stream —
+``readStream -> mapInPandas(extract) -> writeStream`` — plus a watermarked
+windowed aggregation of match counts (the streaming analog of the A1/A2
+histograms).  ``extract()`` composes unchanged because it is one stateless
+mapInPandas stage.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..pipeline import DEFAULT_FEATURES, extract
+from ..schemas import TRANSCRIPT_SCHEMA
+
+
+def read_transcript_stream(spark: SparkSession, path: str,
+                           max_files_per_trigger: int = 8) -> DataFrame:
+    """Stream a growing directory of transcript parquet files."""
+    return (spark.readStream
+            .schema(TRANSCRIPT_SCHEMA)
+            .option("maxFilesPerTrigger", max_files_per_trigger)
+            .parquet(path))
+
+
+def extraction_stream(stream_df: DataFrame,
+                      features=DEFAULT_FEATURES) -> DataFrame:
+    """The batch extraction stage applied to a stream (stateless)."""
+    return extract(stream_df, features=features)
+
+
+def start_extraction_sink(stream_df: DataFrame, out_dir: str,
+                          checkpoint_dir: str, features=DEFAULT_FEATURES,
+                          available_now: bool = True):
+    """readStream -> extract -> append parquet with exactly-once checkpoints
+    (the streaming counterpart of plans.run_resumable)."""
+    writer = (extraction_stream(stream_df, features)
+              .writeStream
+              .format("parquet")
+              .option("path", out_dir)
+              .option("checkpointLocation", checkpoint_dir)
+              .outputMode("append"))
+    if available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()
+
+
+def match_rate_stream(stream_df: DataFrame, window: str = "1 hour",
+                      watermark: str = "2 hours",
+                      features=DEFAULT_FEATURES) -> DataFrame:
+    """Watermarked windowed match-count aggregation per label — late turns
+    beyond the watermark drop; emits (window, label, n_matches)."""
+    ex = extraction_stream(stream_df, features)
+    return (ex
+            .withWatermark("ts", watermark)
+            .select("ts", F.explode("matches").alias("m"))
+            .groupBy(F.window("ts", window).alias("window"),
+                     F.col("m.label").alias("label"))
+            .agg(F.count("*").alias("n_matches")))
