@@ -110,6 +110,14 @@ def q_taxons(spark, sf_dir):
               .select(*_MATCH_BASE_COLS, "taxon", "catalog", "cc"))
 
 
+def q_conv_geography(spark, sf_dir):
+    """A1 at conversation scope: per-conversation country mention counts
+    (the reference's relevantCountries, rolled up over the conv's turns)."""
+    ex = exploded_matches(_extracted(spark, sf_dir))
+    return (ex.filter(F.col("label").isin("place", "country"))
+              .groupBy("conv_id", "cc").agg(F.count("*").alias("n_mentions")))
+
+
 def q_country_histogram(spark, sf_dir):
     """A1: corpus-level country mention histogram over geotagged matches."""
     ex = exploded_matches(_extracted(spark, sf_dir))
@@ -186,6 +194,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "postal_extract": q_postal,
         "taxon_extract": q_taxons,
         "country_histogram": q_country_histogram,
+        "conv_geography": q_conv_geography,
         "match_label_histogram": q_label_histogram,
         "exact_dedup": q_exact_dedup,
         "prefix_dedup": q_prefix_dedup,
@@ -232,6 +241,7 @@ def oracle_sql() -> dict[str, str]:
             ("taxon", "catalog", "cc"),
             ", exp.taxon AS taxon, exp.catalog AS catalog, exp.cc AS cc"),
         "country_histogram": O.country_histogram_oracle(),
+        "conv_geography": O.conv_geography_oracle(),
         "match_label_histogram": O.label_histogram_oracle(),
         "exact_dedup": O.EXACT_DEDUP_ORACLE,
         "prefix_dedup": O.PREFIX_DEDUP_ORACLE,

@@ -87,6 +87,17 @@ GROUP BY exp.cc
 """
 
 
+def conv_geography_oracle() -> str:
+    fixture, _n = _fixture_values(("place", "country"), ("cc",))
+    return f"""
+WITH {transcripts_oracle_cte()}
+SELECT t.conv_id, exp.cc, count(*) AS n_mentions
+FROM transcripts t
+JOIN {fixture} ON t.payload_k = exp.k
+GROUP BY t.conv_id, exp.cc
+"""
+
+
 def transcripts_oracle() -> str:
     return f"""
 WITH {transcripts_oracle_cte()}
