@@ -51,16 +51,19 @@ def geocode(text: str, coords: list[tuple[float, float]] | None = None,
     R.person_org_filter(cands, taxons, text)
     R.country_rule(cands, scope)
     R.name_code_rule(cands, scope, text)
+    R.name_rule(cands, text)
     R.major_place_rule(cands, scope)
     R.province_association_rule(cands, scope)
     R.coordinate_association_rule(cands, coords or [], scope)
     R.heatmap_rule(cands)
     R.location_chooser_rule(cands, scope)
 
-    # NAME,CODE-qualified candidates suppress their person-taxon twin
-    # ('Jackson MISS' is a place, not a person — PersonNameFilter resurrect)
+    # qualified candidates (NAME,CODE or 'city of X') suppress their
+    # person-taxon twin ('Jackson MISS' is a place, not a person)
     resurrected = [(c.start, c.merged_end or c.end) for c in cands
-                   if not c.filtered_out and c.linked_admin is not None]
+                   if not c.filtered_out
+                   and (c.linked_admin is not None
+                        or any(r.startswith("NameRule") for r in c.rules))]
     taxons = [t for t in taxons
               if not (t[3] == "person"
                       and any(s <= t[0] and t[1] <= e for s, e in resurrected))]

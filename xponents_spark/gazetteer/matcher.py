@@ -147,6 +147,10 @@ class PhraseIndex:
             bucket = self.index.setdefault(toks[0], {})
             bucket.setdefault(toks, []).append(payload)
 
+    # reference guardrail: DEFAULT_TAG_LIMIT per doc hard error beyond
+    # (SolrMatcherSupport.java:46,186-195)
+    TAG_LIMIT = 100_000
+
     def scan(self, text: str,
              toks: list[tuple[str, int, int]] | None = None
              ) -> list[tuple[int, int, str, list]]:
@@ -166,6 +170,9 @@ class PhraseIndex:
                 if payloads:
                     s, e = toks[i][1], toks[i + ln - 1][2]
                     raw.append((s, e, text[s:e], payloads))
+                    if len(raw) > self.TAG_LIMIT:
+                        raise RuntimeError(
+                            f"tag limit {self.TAG_LIMIT} exceeded in one document")
         return _longest_dominant_right(raw)
 
 

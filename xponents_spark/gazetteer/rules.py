@@ -190,6 +190,38 @@ def major_place_rule(cands: list[PlaceCandidate], scope: "Scope") -> None:
                 c.score_place(p, 0.2, "MajorPlace.inCountry")
 
 
+# --- K9: NameRule — "city of X" / "X province" qualifiers ------------------------
+
+_CITY_QUALIFIERS = ("city of", "town of", "village of", "port of", "city")
+_ADMIN_QUALIFIERS = ("province", "county", "district", "state", "prefecture")
+
+
+def name_rule(cands: list[PlaceCandidate], text: str) -> None:
+    """+1-equivalent boost to matching feature types when a qualifier
+    prefix/suffix is adjacent (rules/NameRule.java:25-141)."""
+    low = text.lower()
+    for c in cands:
+        if c.filtered_out and c.filter_reason not in ("person", "person-title"):
+            continue
+        pre = low[max(0, c.start - 12):c.start].strip()
+        post = low[c.end:c.end + 12].strip()
+        city_q = any(pre.endswith(q) for q in _CITY_QUALIFIERS)
+        admin_q = any(post.startswith(q) for q in _ADMIN_QUALIFIERS)
+        if (city_q or admin_q) and c.filtered_out:
+            # 'city of Paris' is a place even when the bare name is a person
+            c.filtered_out = False
+            c.filter_reason = None
+            c.is_person = False
+        if city_q:
+            for p in c.places:
+                if p.feat_class == "P":
+                    c.score_place(p, 0.1, "NameRule.city")
+        if admin_q:
+            for p in c.places:
+                if p.feat_class == "A":
+                    c.score_place(p, 0.1, "NameRule.admin")
+
+
 # --- K7/J5: province containment ------------------------------------------------
 
 def province_association_rule(cands: list[PlaceCandidate], scope: "Scope") -> None:

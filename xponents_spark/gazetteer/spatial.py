@@ -1,0 +1,88 @@
+"""Reverse geocoding: broadcast spatial grid index (SURVEY.md §2.5 J4, §2.8 O3/O4).
+
+The reference answers ``placesAt(latlon, radiusKM)`` with a Solr
+``{!geofilt}`` query (SolrGazetteer.java:131-159) and resolves each found
+coordinate to its nearest populated place (top-5 nearby, 25/50 km fallbacks,
+PlaceGeocoder.java:874-978).  Here the gazetteer's located rows bucket into a
+0.5-degree grid (~55 km cells) built once per executor; a query scans the
+3x3 neighborhood and ranks by haversine — a broadcast spatial range join.
+"""
+
+from __future__ import annotations
+
+import heapq
+import math
+
+from ..functions.geo import haversine_m
+from . import data
+from .matcher import Place
+
+_CELL_DEG = 0.5
+
+
+def _cell(lat: float, lon: float) -> tuple[int, int]:
+    return int(math.floor(lat / _CELL_DEG)), int(math.floor(lon / _CELL_DEG))
+
+
+class SpatialIndex:
+    def __init__(self, places: list[Place]):
+        self.grid: dict[tuple[int, int], list[Place]] = {}
+        seen: set[str] = set()
+        for p in places:
+            # one entry per place_id; P/A features only (the reference's
+            # fallback classes, PlaceGeocoder.java:962-965)
+            if p.place_id in seen or p.feat_class not in ("P", "A") or not p.cc:
+                continue
+            seen.add(p.place_id)
+            self.grid.setdefault(_cell(p.lat, p.lon), []).append(p)
+
+    def places_at(self, lat: float, lon: float, radius_km: float = 50,
+                  limit: int = 5) -> list[tuple[float, Place]]:
+        """Nearest places within radius, ascending distance, capped at
+        ``limit`` (the reference's max=5 nearby places)."""
+        ci, cj = _cell(lat, lon)
+        reach = max(1, int(math.ceil(radius_km / 55.0)))
+        cand: list[tuple[float, str, Place]] = []
+        for di in range(-reach, reach + 1):
+            for dj in range(-reach, reach + 1):
+                for p in self.grid.get((ci + di, cj + dj), ()):
+                    d = haversine_m(lat, lon, p.lat, p.lon)
+                    if d <= radius_km * 1000:
+                        cand.append((d, p.place_id, p))
+        top = heapq.nsmallest(limit, cand)
+        return [(d, p) for d, _pid, p in top]
+
+    def nearest_place(self, lat: float, lon: float) -> Place | None:
+        """Nearest populated place at 25 km, province fallback at 50 km
+        (PlaceGeocoder.java:898-978)."""
+        near = self.places_at(lat, lon, 25)
+        pops = [p for _d, p in near if p.feat_class == "P"]
+        if pops:
+            return pops[0]
+        wider = self.places_at(lat, lon, 50)
+        for _d, p in wider:
+            if p.feat_class in ("P", "A"):
+                return p
+        return None
+
+
+_INDEX: SpatialIndex | None = None
+
+
+def spatial_index() -> SpatialIndex:
+    global _INDEX
+    if _INDEX is None:
+        from .matcher import _GAZ_ROWS
+        rows = _GAZ_ROWS if _GAZ_ROWS is not None else data.GAZETTEER_ROWS
+        _INDEX = SpatialIndex([Place(*r) for r in rows])
+    return _INDEX
+
+
+def reverse_geocode(lat: float, lon: float) -> dict:
+    """Coordinate -> related-place attributes for the coord match
+    (Transforms.java geo fields related_place_name / nearest_places)."""
+    p = spatial_index().nearest_place(lat, lon)
+    if p is None:
+        return {}
+    return {"cc": p.cc, "adm1": p.adm1 or None, "name": p.name,
+            "place_id": p.place_id}

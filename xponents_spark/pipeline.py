@@ -53,15 +53,22 @@ def extract_turn(text: str, features: tuple) -> tuple[str, list[dict]]:
     coords: list[tuple[float, float]] = []
 
     if "coordinates" in features:
+        revgeo = None
+        if "places" in features or "revgeo" in features:
+            from .gazetteer.spatial import reverse_geocode as revgeo
         for m in _xcoord.extract_coordinates(main):
             if m.filtered_out:
                 continue
             coords.append((m.attrs["lat"], m.attrs["lon"]))
+            related = revgeo(*coords[-1]) if revgeo else {}
             out.append(_match_row(
                 span_start=m.start, span_end=m.end, matchtext=m.text,
                 label="coord", pattern_id=m.pattern_id, filtered_out=False,
                 lat=m.attrs["lat"], lon=m.attrs["lon"], prec=m.attrs["prec"],
-                geohash=m.attrs["geohash"], method=m.pattern_id))
+                geohash=m.attrs["geohash"], method=m.pattern_id,
+                # J4: nearest-place reverse geocode enriches the coordinate
+                cc=related.get("cc"), adm1=related.get("adm1"),
+                name=related.get("name"), place_id=related.get("place_id")))
     if "dates" in features:
         for m in _xtemporal.extract_dates(main):
             if m.filtered_out:
