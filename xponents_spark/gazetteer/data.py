@@ -137,6 +137,17 @@ GAZETTEER_ROWS: list[tuple] = [
     ("C.PT", "PRT", "C", "A", "PCLI", "PT", "", 39.5, -8.0, 3, 10300000),
     ("C.AR", "Argentina", "N", "A", "PCLI", "AR", "", -34.0, -64.0, 10, 45400000),
     ("C.IT", "Italy", "N", "A", "PCLI", "IT", "", 42.8, 12.8, 10, 59600000),
+    # --- non-Latin names (T2 language-routed tagging; CJK names match as
+    #     character sequences, Arabic after diacritic/variant normalization) ---
+    ("BEI.CN", "北京", "N", "P", "PPLC", "CN", "22", 39.9042, 116.4074, 9, 21500000),
+    ("SHA.CN", "上海", "N", "P", "PPLA", "CN", "23", 31.2304, 121.4737, 9, 24900000),
+    ("TOK.JP", "東京", "N", "P", "PPLC", "JP", "40", 35.6762, 139.6503, 9, 13900000),
+    ("TOK.JP", "东京", "N", "P", "PPLC", "JP", "40", 35.6762, 139.6503, 8, 13900000),
+    ("SEO.KR", "서울", "N", "P", "PPLC", "KR", "11", 37.5665, 126.9780, 9, 9700000),
+    ("HKG.HK", "香港", "N", "P", "PPLC", "HK", "", 22.3193, 114.1694, 9, 7500000),
+    ("BGW.IQ", "بغداد", "N", "P", "PPLC", "IQ", "BG", 33.3152, 44.3661, 9, 7100000),
+    ("FAL.IQ2", "الفلوجة", "N", "P", "PPL", "IQ", "AN", 33.3538, 43.7866, 6, 275000),
+    ("DXB.AE", "دبي", "N", "P", "PPLA", "AE", "03", 25.2048, 55.2708, 8, 3300000),
     # --- continents (marked + filtered by F9) ---
     ("CONT.AF", "Africa", "N", "L", "CONT", "", "", 7.19, 21.1, 5, 0),
     ("CONT.EU", "Europe", "N", "L", "CONT", "", "", 48.69, 9.14, 5, 0),

@@ -106,19 +106,31 @@ class PlaceCandidate:
 
 
 import re as _re
+import unicodedata as _ud
 
 _WS_TOKEN = _re.compile(r"\S+")
+_CJK_CHAR = _re.compile(r"[⺀-鿿぀-ヿ가-힯豈-﫿]")
+# Arabic orthographic variant folding (the Solr ArabicNormalization analog,
+# schema.xml:449-471): alef variants, teh marbuta, alef maqsura, tatweel
+_AR_FOLD = str.maketrans({"أ": "ا", "إ": "ا", "آ": "ا", "ة": "ه",
+                          "ى": "ي", "ـ": None})
 
 
 def normalize_token(tok: str) -> str:
     if tok.isascii():
         return tok.lower().strip(_EDGE_PUNCT)
-    return strip_diacritics(tok).lower().strip(_EDGE_PUNCT)
+    # width-fold (NFKC) + diacritic strip + Arabic variant fold + lowercase
+    folded = _ud.normalize("NFKC", tok).translate(_AR_FOLD)
+    return strip_diacritics(folded).lower().strip(_EDGE_PUNCT)
 
 
 def tokens_with_offsets(text: str) -> list[tuple[str, int, int]]:
     """(normalized_token, start, end) with offsets of the edge-punct-stripped
-    core (inner dots of abbreviations survive: 'U.S.' -> 'u.s')."""
+    core (inner dots of abbreviations survive: 'U.S.' -> 'u.s').
+
+    CJK runs split to one token per character (T2: the Solr CJK-bigram field
+    equivalent — names index as character sequences, so contiguous
+    unsegmented text still matches multi-char names)."""
     out = []
     for m in _WS_TOKEN.finditer(text):
         s, e = m.start(), m.end()
@@ -126,8 +138,16 @@ def tokens_with_offsets(text: str) -> list[tuple[str, int, int]]:
             s += 1
         while e > s and text[e - 1] in _EDGE_PUNCT:
             e -= 1
-        if e > s:
-            out.append((normalize_token(text[s:e]), s, e))
+        if e <= s:
+            continue
+        chunk = text[s:e]
+        if not chunk.isascii() and _CJK_CHAR.search(chunk):
+            for i, ch in enumerate(chunk):
+                if _CJK_CHAR.match(ch):
+                    out.append((normalize_token(ch), s + i, s + i + 1))
+                # non-CJK chars inside a CJK run are skipped as separators
+        else:
+            out.append((normalize_token(chunk), s, e))
     return out
 
 
@@ -139,8 +159,8 @@ class PhraseIndex:
         self.index: dict[str, dict[tuple, list]] = {}
         self.max_len = 1
         for phrase, payload in entries:
-            toks = tuple(normalize_token(t) for t in phrase.split())
-            toks = tuple(t for t in toks if t)
+            # same tokenization as tag time (CJK names -> char sequences)
+            toks = tuple(t for t, _s, _e in tokens_with_offsets(phrase) if t)
             if not toks:
                 continue
             self.max_len = max(self.max_len, len(toks))
@@ -239,6 +259,19 @@ def _apply_tag_filters(cand: PlaceCandidate, lowercase_doc: bool) -> None:
         cand.filtered_out = True
         cand.filter_reason = "len1"
         return
+    # F2 language length filter (LanguageFilter.java:20-101): CJK < 2 chars
+    # out; Middle-Eastern scripts < 6 chars out unless a major feature
+    from ..functions.textnorm import has_cjk, has_middle_eastern
+    if has_cjk(mtext) and len(mtext) < 2:
+        cand.filtered_out = True
+        cand.filter_reason = "lang-len"
+        return
+    if has_middle_eastern(mtext) and len(mtext) < 6:
+        major = {"PCL", "PCLI", "PCLD", "ADM1", "PPLC"}
+        if not any(p.feat_code in major for p in cand.places):
+            cand.filtered_out = True
+            cand.filter_reason = "lang-len"
+            return
     if count_formatting_space(mtext) > 1:                 # F6
         cand.filtered_out = True
         cand.filter_reason = "format-ws"

@@ -30,8 +30,10 @@ class SpatialIndex:
         seen: set[str] = set()
         for p in places:
             # one entry per place_id; P/A features only (the reference's
-            # fallback classes, PlaceGeocoder.java:962-965)
-            if p.place_id in seen or p.feat_class not in ("P", "A") or not p.cc:
+            # fallback classes, PlaceGeocoder.java:962-965); country
+            # centroids (PCL*) are not meaningful nearest-place anchors
+            if (p.place_id in seen or p.feat_class not in ("P", "A")
+                    or not p.cc or p.feat_code.startswith("PCL")):
                 continue
             seen.add(p.place_id)
             self.grid.setdefault(_cell(p.lat, p.lon), []).append(p)
