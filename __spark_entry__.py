@@ -175,6 +175,31 @@ def q_ann_lsh(spark, sf_dir):
             .select("query_id", "vec_id", "rank"))
 
 
+def q_event_hourly(spark, sf_dir):
+    """Tumbling-window aggregation over the events stream table: counts,
+    integer-cent sums (deterministic across engines), distinct users."""
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    return (ev.groupBy(F.window("ts", "1 hour").alias("w"),
+                       F.col("event_type"))
+              .agg(F.count("*").alias("n_events"),
+                   F.sum(F.expr("CAST(round(value * 100) AS BIGINT)")).alias("sum_cents"),
+                   F.countDistinct("user_id").alias("n_users"))
+              .select(F.col("w.start").alias("win_start"), "event_type",
+                      "n_events", "sum_cents", "n_users"))
+
+
+def q_characterize(spark, sf_dir):
+    from xponents_spark.pipeline import characterize
+    return characterize(_docs(spark, sf_dir)).select(
+        "doc_id", "n_chars", "is_lower", "is_upper", "has_cjk", "has_mideast")
+
+
+def q_embedding_near_dups(spark, sf_dir):
+    from xponents_spark.operators.similarity import embedding_near_dups
+    return (embedding_near_dups(_emb(spark, sf_dir), threshold=0.8)
+            .select("vec_a", "vec_b"))
+
+
 def q_minhash_dedup(spark, sf_dir):
     return minhash_near_dups(_docs(spark, sf_dir), threshold=0.2)
 
@@ -202,7 +227,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "quality_score": q_quality,
         "lang_id": q_lang_id,
         "fingerprint": q_fingerprint,
+        "event_hourly_windows": q_event_hourly,
+        "characterize": q_characterize,
         "ann_cosine_topk": q_ann_topk,
+        "embedding_near_dups": q_embedding_near_dups,   # rows-only (LSH approx)
         "ann_lsh_topk": q_ann_lsh,          # rows-only (approximate op)
         "minhash_near_dups": q_minhash_dedup,   # rows-only
         "simhash_near_dups": q_simhash_dedup,   # rows-only
@@ -250,4 +278,6 @@ def oracle_sql() -> dict[str, str]:
         "lang_id": O.lang_id_oracle(),
         "fingerprint": O.FINGERPRINT_ORACLE,
         "ann_cosine_topk": O.ANN_TOPK_ORACLE,
+        "event_hourly_windows": O.EVENT_HOURLY_ORACLE,
+        "characterize": O.CHARACTERIZE_ORACLE,
     }

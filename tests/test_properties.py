@@ -1,0 +1,94 @@
+"""Property-based tests (hypothesis) for the pure kernels — beyond the
+reference's example-based strategy (SURVEY.md §5.7 notes it has none)."""
+
+import math
+import re
+
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+from xponents_spark.flexpat import PatternMatch, reduce_matches
+from xponents_spark.functions.geo import (
+    geohash_encode, haversine_m, ll_to_mgrs, ll_to_utm, mgrs_to_ll, utm_to_ll)
+from xponents_spark.functions.textnorm import levenshtein, squeeze_whitespace
+
+
+@settings(max_examples=200, deadline=None)
+@given(st.floats(min_value=-79.9, max_value=83.9),
+       st.floats(min_value=-179.9, max_value=179.9))
+def test_utm_roundtrip_property(lat, lon):
+    z, b, e, n = ll_to_utm(lat, lon)
+    lat2, lon2 = utm_to_ll(z, lat >= 0, e, n)
+    assert abs(lat2 - lat) < 1e-5
+    assert abs((lon2 - lon + 180) % 360 - 180) < 1e-5
+
+
+@settings(max_examples=100, deadline=None)
+@given(st.floats(min_value=-79.5, max_value=83.5),
+       st.floats(min_value=-179.5, max_value=179.5))
+def test_mgrs_roundtrip_property(lat, lon):
+    s = ll_to_mgrs(lat, lon)
+    m = re.match(r"^(\d{1,2})([C-HJ-NP-X])([A-HJ-NP-Z]{2})(\d{5})(\d{5})$", s)
+    assert m, s
+    la, lo = mgrs_to_ll(int(m.group(1)), m.group(2), m.group(3),
+                        int(m.group(4)), int(m.group(5)))
+    assert abs(la - lat) < 2e-4
+    assert abs((lo - lon + 180) % 360 - 180) < 2e-4
+
+
+@settings(max_examples=100, deadline=None)
+@given(st.floats(min_value=-90, max_value=90),
+       st.floats(min_value=-180, max_value=180))
+def test_geohash_prefix_property(lat, lon):
+    # longer geohashes refine shorter ones (prefix property)
+    g8 = geohash_encode(lat, lon, 8)
+    for p in (3, 5, 6):
+        assert geohash_encode(lat, lon, p) == g8[:p]
+
+
+@settings(max_examples=100, deadline=None)
+@given(st.floats(min_value=-89, max_value=89),
+       st.floats(min_value=-179, max_value=179),
+       st.floats(min_value=-89, max_value=89),
+       st.floats(min_value=-179, max_value=179))
+def test_haversine_metric_properties(a, b, c, d):
+    assert haversine_m(a, b, a, b) < 1e-6
+    d1, d2 = haversine_m(a, b, c, d), haversine_m(c, d, a, b)
+    assert math.isclose(d1, d2, rel_tol=1e-9)
+    assert d1 <= math.pi * 6371008.8 + 1
+
+
+@settings(max_examples=200, deadline=None)
+@given(st.text(max_size=20), st.text(max_size=20))
+def test_levenshtein_properties(a, b):
+    d = levenshtein(a, b)
+    assert d == levenshtein(b, a)
+    assert (d == 0) == (a == b)
+    assert d <= max(len(a), len(b))
+    assert d >= abs(len(a) - len(b))
+
+
+@settings(max_examples=200, deadline=None)
+@given(st.text(alphabet=" \t\nabc", max_size=40))
+def test_squeeze_whitespace_idempotent(s):
+    once = squeeze_whitespace(s)
+    assert squeeze_whitespace(once) == once
+    assert "  " not in once and "\t" not in once and "\n" not in once
+
+
+@settings(max_examples=150, deadline=None)
+@given(st.lists(st.tuples(st.integers(0, 50), st.integers(1, 20)), max_size=10))
+def test_reduce_matches_invariants(spans):
+    ms = [PatternMatch("x" * ln, s, s + ln, "T-01", "T") for s, ln in spans]
+    reduce_matches(ms)
+    # every span pair relationship must be consistent with the flags
+    for i, m in enumerate(ms):
+        for n in ms[i + 1:]:
+            same = m.start == n.start and m.end == n.end
+            if same:
+                assert m.is_duplicate or n.is_duplicate
+    # a duplicate never exists without an identical-span twin
+    for m in ms:
+        if m.is_duplicate:
+            assert any(o is not m and o.start == m.start and o.end == m.end
+                       for o in ms)

@@ -133,6 +133,32 @@ def test_minhash_finds_near_duplicates(spark):
     assert sh
 
 
+def test_embedding_near_dups_finds_planted_pair(spark):
+    import numpy as np
+    from xponents_spark.operators.similarity import embedding_near_dups
+    rng = np.random.RandomState(0)
+    vecs = [(i, rng.standard_normal(64).tolist()) for i in range(40)]
+    twin = list(vecs[5][1])
+    twin[0] += 0.01                      # near-identical twin of vec 5
+    vecs.append((99, twin))
+    df = spark.createDataFrame(vecs, ["vec_id", "embedding"])
+    pairs = embedding_near_dups(df, threshold=0.95).collect()
+    assert any((r["vec_a"], r["vec_b"]) == (5, 99) for r in pairs)
+    assert all(r["cosine"] >= 0.95 for r in pairs)
+
+
+def test_characterize_columns(spark):
+    from xponents_spark.pipeline import characterize
+    df = spark.createDataFrame(
+        [(0, "hello world"), (1, "HELLO"), (2, "北京 visit"), (3, "في بغداد")],
+        ["doc_id", "text"])
+    rows = {r["doc_id"]: r for r in characterize(df).collect()}
+    assert rows[0]["is_lower"] and not rows[0]["is_upper"]
+    assert rows[1]["is_upper"]
+    assert rows[2]["has_cjk"] and not rows[2]["has_mideast"]
+    assert rows[3]["has_mideast"]
+
+
 def test_ann_bruteforce_topk(spark, sf_dir):
     from xponents_spark.operators.similarity import cosine_topk_bruteforce
     emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")

@@ -74,6 +74,39 @@ def cosine_topk_bruteforce(df: DataFrame, queries: list[tuple[int, list[float]]]
     return ranked
 
 
+def embedding_near_dups(df: DataFrame, threshold: float = 0.95,
+                        bits: int = 10, id_col: str = "vec_id",
+                        vec_col: str = "embedding", dim: int = 64) -> DataFrame:
+    """Embedding-cosine near-duplicate pairs: LSH-bucket self-join (candidates
+    share a hyperplane signature) then exact cosine verify — the embedding
+    flavor of near-dup detection; shuffle cost scales with bucket collisions."""
+    buckets = lsh_bucket_ids(df, bits, id_col, vec_col, dim)
+    corpus = df.select(id_col, vec_col).join(buckets, id_col)
+    pairs = (corpus.alias("l")
+             .join(corpus.alias("r"),
+                   (F.col("l.bucket") == F.col("r.bucket"))
+                   & (F.col(f"l.{id_col}") < F.col(f"r.{id_col}")))
+             .select(F.col(f"l.{id_col}").alias("vec_a"),
+                     F.col(f"r.{id_col}").alias("vec_b"),
+                     F.col(f"l.{vec_col}").alias("va"),
+                     F.col(f"r.{vec_col}").alias("vb")))
+    schema = T.StructType([
+        T.StructField("vec_a", T.LongType(), False),
+        T.StructField("vec_b", T.LongType(), False),
+        T.StructField("cosine", T.DoubleType(), False),
+    ])
+
+    def score(batches):
+        for pdf in batches:
+            a = _unit(np.array(pdf["va"].tolist(), dtype=np.float64))
+            b = _unit(np.array(pdf["vb"].tolist(), dtype=np.float64))
+            yield pd.DataFrame({"vec_a": pdf["vec_a"], "vec_b": pdf["vec_b"],
+                                "cosine": (a * b).sum(axis=1)})
+
+    return (pairs.mapInPandas(score, schema=schema)
+                 .filter(F.col("cosine") >= threshold))
+
+
 def _hyperplanes(dim: int, bits: int, seed: int = 42) -> np.ndarray:
     rng = np.random.RandomState(seed)
     return rng.standard_normal((bits, dim))

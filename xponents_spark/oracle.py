@@ -174,6 +174,26 @@ SELECT doc_id, md5(text) AS text_md5,
 FROM documents
 """
 
+EVENT_HOURLY_ORACLE = """
+SELECT date_trunc('hour', ts) AS win_start,
+       event_type,
+       count(*) AS n_events,
+       CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS sum_cents,
+       count(DISTINCT user_id) AS n_users
+FROM events
+GROUP BY 1, 2
+"""
+
+CHARACTERIZE_ORACLE = """
+SELECT doc_id,
+       CAST(length(text) AS INTEGER) AS n_chars,
+       (text = lower(text) AND text != upper(text)) AS is_lower,
+       (text = upper(text) AND text != lower(text)) AS is_upper,
+       regexp_matches(text, '[⺀-鿿぀-ヿ가-힯豈-﫿]') AS has_cjk,
+       regexp_matches(text, '[֐-׿؀-ۿݐ-ݿﭐ-﷿ﹰ-﻿]') AS has_mideast
+FROM documents
+"""
+
 ANN_TOPK_ORACLE = """
 WITH q AS (SELECT vec_id AS query_id, embedding AS qv FROM embeddings WHERE vec_id < 10),
 sims AS (

@@ -126,6 +126,23 @@ def extract(df: DataFrame, features: Iterable[str] = DEFAULT_FEATURES,
     return df.mapInPandas(run, schema=out_schema)
 
 
+def characterize(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Case/script characterization columns (the reference's TextInput
+    derivation: isLower/isUpper/hasCJK/hasMiddleEastern —
+    PlaceGeocoder.java:419-446, TagFilter.java:146-185).  Pure JVM exprs."""
+    from pyspark.sql import functions as F
+    t = F.col(text_col)
+    cjk = "[⺀-鿿぀-ヿ가-힯豈-﫿]"
+    mideast = "[֐-׿؀-ۿݐ-ݿﭐ-﷿ﹰ-﻿]"
+    return df.withColumns({
+        "n_chars": F.length(t),
+        "is_lower": (t == F.lower(t)) & (t != F.upper(t)),
+        "is_upper": (t == F.upper(t)) & (t != F.lower(t)),
+        "has_cjk": t.rlike(cjk),
+        "has_mideast": t.rlike(mideast),
+    })
+
+
 def exploded_matches(df: DataFrame, label: str | None = None) -> DataFrame:
     """matches array -> one row per match with turn keys, span-ordered
     columns promoted to top level.  ``F.inline`` keeps it JVM-side."""
