@@ -52,6 +52,7 @@ def geocode(text: str, coords: list[tuple[float, float]] | None = None,
     R.country_rule(cands, scope)
     R.name_code_rule(cands, scope, text)
     R.name_rule(cands, text)
+    R.contextual_org_rule(cands, scope)
     R.major_place_rule(cands, scope)
     R.province_association_rule(cands, scope)
     R.coordinate_association_rule(cands, coords or [], scope)

@@ -290,6 +290,21 @@ def _apply_tag_filters(cand: PlaceCandidate, lowercase_doc: bool) -> None:
         cand.filtered_out = True
         cand.filter_reason = "non-place"
         return
+    # F4: apostrophe-contraction heads ('s ...) never start a place
+    if mtext[:2].lower() in ("'s",) or mtext.lower().endswith("'s"):
+        cand.filtered_out = True
+        cand.filter_reason = "contraction"
+        return
+    # F12 NonsenseFilter (trivial-article bigram): 'the hotel' style phrases
+    # where the article is part of the match but the name isn't articled
+    norm_words = norm.split()
+    if (len(mtext) <= 20 and len(norm_words) == 2
+            and norm_words[0] in ("the", "a", "an", "el", "la", "le")
+            and not any(normalize_token(p.name).startswith(norm_words[0] + " ")
+                        for p in cand.places)):
+        cand.filtered_out = True
+        cand.filter_reason = "nonsense-article"
+        return
     if not lowercase_doc and is_lower(mtext) and len(mtext) <= 20:  # F5
         cand.filtered_out = True
         cand.filter_reason = "lower-in-mixed"

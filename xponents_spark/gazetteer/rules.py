@@ -190,6 +190,24 @@ def major_place_rule(cands: list[PlaceCandidate], scope: "Scope") -> None:
                 c.score_place(p, 0.2, "MajorPlace.inCountry")
 
 
+# --- K10: ContextualOrganizationRule ---------------------------------------------
+
+def contextual_org_rule(cands: list[PlaceCandidate], scope: "Scope") -> None:
+    """Un-filter org-suppressed city names when a boundary for them is in
+    scope (rules/ContextualOrganizationRule.java:1-64): 'Cleveland Clinic'
+    suppressed as org, but with Ohio in scope Cleveland reads as a place."""
+    for c in cands:
+        if not c.filtered_out or c.filter_reason != "org":
+            continue
+        for p in c.places:
+            if p.adm1 and p.hierarchical_path in scope.admins:
+                c.filtered_out = False
+                c.filter_reason = None
+                c.is_org = False
+                c.add_rule("ContextualOrg")
+                break
+
+
 # --- K9: NameRule — "city of X" / "X province" qualifiers ------------------------
 
 _CITY_QUALIFIERS = ("city of", "town of", "village of", "port of", "city")
