@@ -94,6 +94,48 @@ def test_streaming_parity_with_batch(spark, sf_dir):
             shutil.rmtree(d, ignore_errors=True)
 
 
+def test_stateful_conversation_stream(spark, sf_dir):
+    """applyInPandasWithState accumulates per-conversation counts across
+    micro-batches (update mode, memory sink)."""
+    from xponents_spark.streaming import conversation_state_stream, read_transcript_stream
+
+    src = tempfile.mkdtemp(prefix="state_src_")
+    ckpt = tempfile.mkdtemp(prefix="state_ckpt_")
+    try:
+        t = synthesize_transcripts(spark, sf_dir).limit(80).cache()
+        # two files -> two micro-batches with maxFilesPerTrigger=1
+        t.limit(40).coalesce(1).write.mode("overwrite").parquet(src + "/f1")
+        import glob
+        import shutil as sh
+        for f in glob.glob(src + "/f1/*.parquet"):
+            sh.move(f, src + "/a.parquet")
+        t.subtract(t.limit(40)).coalesce(1).write.mode("overwrite").parquet(src + "/f2")
+        for f in glob.glob(src + "/f2/*.parquet"):
+            sh.move(f, src + "/b.parquet")
+        sh.rmtree(src + "/f1"), sh.rmtree(src + "/f2")
+
+        stream = read_transcript_stream(spark, src, max_files_per_trigger=1)
+        q = (conversation_state_stream(stream)
+             .writeStream.format("memory").queryName("convstate")
+             .outputMode("update").trigger(availableNow=True).start())
+        q.awaitTermination(120)
+        rows = spark.sql("select * from convstate").collect()
+        assert rows
+        # final state per conversation must equal the batch ground truth
+        final = {}
+        for r in rows:   # later updates overwrite earlier ones per conv
+            cur = final.get(r["conv_id"])
+            if cur is None or r["n_turns"] >= cur["n_turns"]:
+                final[r["conv_id"]] = r
+        truth = {r["conv_id"]: r["cnt"] for r in
+                 t.groupBy("conv_id").agg(F.count("*").alias("cnt")).collect()}
+        got = {c: r["n_turns"] for c, r in final.items()}
+        assert got == truth
+    finally:
+        shutil.rmtree(src, ignore_errors=True)
+        shutil.rmtree(ckpt, ignore_errors=True)
+
+
 def test_multimodal_plumbing(spark):
     from xponents_spark.operators.multimodal import (
         extract_media_features, make_fake_media, sample_frames)

@@ -385,8 +385,12 @@ def manager() -> PatternManager:
         _manager = PatternManager(
             pattern_file("geocoord_patterns.cfg"),
             prescreen={
-                "DD": r"\d",
-                "DM": r"\d\d",
+                # every DD form needs a hemisphere letter/sign/degree symbol
+                # adjacent to digits, or a Lat/Lon keyword
+                "DD": r"(?i)[NSEW]\s?\d|\d\s?[°ºNSEW]|[-+]\d+\.\d|LAT[A-Z]*[:=\s]",
+                # DM forms need a hemi letter beside digits, a degree
+                # symbol/DEG keyword, a slashed military form, or sign pairs
+                "DM": r"(?i)[NSEW]\d|\d\s?[NSEW]|[°º]|\dDEG|\d DEG|[-+]\d+[\s.]\d|/\d{4}",
                 # DMS needs deg/min/sec symbols, dotted triplets, or >=6-digit runs
                 "DMS": r"[°º′″]|\d+['\"]|\d{6}|\d{1,2}\.\d\d\.\d\d",
                 "MGRS": r"\d ?[C-HJ-NP-Xc-hj-npx][A-HJ-NP-Za-hj-npz]{2} ?\d",

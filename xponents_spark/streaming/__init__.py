@@ -49,6 +49,51 @@ def start_extraction_sink(stream_df: DataFrame, out_dir: str,
     return writer.start()
 
 
+def conversation_state_stream(stream_df: DataFrame,
+                              features=("content", "coordinates", "dates")) -> DataFrame:
+    """Custom stateful operator: per-conversation running extraction stats.
+
+    ``applyInPandasWithState`` keeps (n_turns, n_matches, max_turn_idx) per
+    conv_id across micro-batches and emits the updated row each time a
+    conversation receives turns — the streaming analog of the per-document
+    scope state the reference rebuilds per request.
+    """
+    import pandas as pd  # noqa: F811
+
+    from pyspark.sql import types as T
+    from pyspark.sql.streaming.state import GroupStateTimeout
+
+    out_schema = T.StructType([
+        T.StructField("conv_id", T.StringType(), False),
+        T.StructField("n_turns", T.LongType(), False),
+        T.StructField("n_matches", T.LongType(), False),
+        T.StructField("max_turn_idx", T.IntegerType(), False),
+    ])
+    state_schema = T.StructType([
+        T.StructField("n_turns", T.LongType(), False),
+        T.StructField("n_matches", T.LongType(), False),
+        T.StructField("max_turn_idx", T.IntegerType(), False),
+    ])
+
+    def update(key, pdf_iter, state):
+        n_turns, n_matches, max_idx = (state.get if state.exists else (0, 0, -1))
+        from ..pipeline import extract_turn
+        for pdf in pdf_iter:
+            for text, idx in zip(pdf["text"], pdf["turn_idx"]):
+                _main, rows = extract_turn(text, tuple(features))
+                n_turns += 1
+                n_matches += len(rows)
+                max_idx = max(max_idx, int(idx))
+        state.update((n_turns, n_matches, max_idx))
+        yield pd.DataFrame({"conv_id": [key[0]], "n_turns": [n_turns],
+                            "n_matches": [n_matches], "max_turn_idx": [max_idx]})
+
+    return (stream_df
+            .groupBy("conv_id")
+            .applyInPandasWithState(update, out_schema, state_schema,
+                                    "update", GroupStateTimeout.NoTimeout))
+
+
 def match_rate_stream(stream_df: DataFrame, window: str = "1 hour",
                       watermark: str = "2 hours",
                       features=DEFAULT_FEATURES) -> DataFrame:
