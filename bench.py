@@ -66,13 +66,17 @@ def bench_extraction(spark, turns_per_doc: int, runs: int = 1) -> tuple[float, i
         t = synthesize_transcripts(spark, SF_DIR, turns_per_doc=turns_per_doc)
         t = salted_repartition(t, max(par * 2, 8)).cache()
         n = t.count()
-        # warm EVERY python worker (pandas/numpy import + pattern compile):
-        # a spread 5% sample repartitioned across all cores, so the timed
-        # region measures steady-state throughput, not cold forks
-        (extract(t.sample(0.05, seed=1).repartition(par))
-         .write.mode("overwrite").format("noop").save())
+        # warm-up: TWO full untimed runs of the exact timed plan.  A sampled
+        # warm-up is not enough — the first full-scale pass pays python-worker
+        # forks + pandas/pattern-compile AND the JVM JIT of the Arrow
+        # serializer + parquet writer paths (measured 18.5s -> 12s -> 6s ->
+        # 5.5s on identical cached input); steady state is what a long-running
+        # cluster job sees after its first task wave, so that is what we report
+        for _ in range(2):
+            (extract(t).sortWithinPartitions("conv_id", "turn_idx")
+             .write.mode("overwrite").parquet(out_dir))
         best = float("inf")
-        for _ in range(runs):
+        for _ in range(max(runs, 2)):
             t0 = time.time()
             out = extract(t)
             # write parallelism scales with cores; files are locally ordered
@@ -102,8 +106,10 @@ def bench_queries(spark) -> dict[str, float]:
     out = {}
     for name in picks:
         fn = qs[name]
-        out[name] = round(timed(lambda: fn(spark, SF_DIR).write
-                                .mode("overwrite").format("noop").save()), 3)
+        run = lambda: (fn(spark, SF_DIR).write
+                       .mode("overwrite").format("noop").save())
+        run()  # warm the query's codegen/Arrow paths once
+        out[name] = round(timed(run), 3)
     return out
 
 
