@@ -26,6 +26,7 @@ from xponents_spark.operators import (
     fingerprint,
     lang_id,
     minhash_near_dups,
+    ngram_jaccard_pairs,
     quality_score,
     simhash_near_dups,
     token_stats,
@@ -200,6 +201,18 @@ def q_embedding_near_dups(spark, sf_dir):
             .select("vec_a", "vec_b"))
 
 
+def q_cosine_pairs(spark, sf_dir):
+    """Exact all-pairs cosine ≥ 0.45 (ground truth for the LSH near-dup op)."""
+    from xponents_spark.operators.similarity import cosine_pairs_bruteforce
+    return cosine_pairs_bruteforce(_emb(spark, sf_dir), threshold=0.45)
+
+
+def q_ngram_jaccard(spark, sf_dir):
+    """Exact word-3-gram Jaccard similarity join (ground truth for the
+    MinHash LSH approximation); threshold 0.5 keeps the planted near-dups."""
+    return ngram_jaccard_pairs(_docs(spark, sf_dir), n=3, threshold=0.5)
+
+
 def q_minhash_dedup(spark, sf_dir):
     return minhash_near_dups(_docs(spark, sf_dir), threshold=0.2)
 
@@ -229,7 +242,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "fingerprint": q_fingerprint,
         "event_hourly_windows": q_event_hourly,
         "characterize": q_characterize,
+        "ngram_jaccard_pairs": q_ngram_jaccard,
         "ann_cosine_topk": q_ann_topk,
+        "cosine_pairs": q_cosine_pairs,
         "embedding_near_dups": q_embedding_near_dups,   # rows-only (LSH approx)
         "ann_lsh_topk": q_ann_lsh,          # rows-only (approximate op)
         "minhash_near_dups": q_minhash_dedup,   # rows-only
@@ -277,7 +292,9 @@ def oracle_sql() -> dict[str, str]:
         "quality_score": O.QUALITY_ORACLE,
         "lang_id": O.lang_id_oracle(),
         "fingerprint": O.FINGERPRINT_ORACLE,
+        "ngram_jaccard_pairs": O.NGRAM_JACCARD_ORACLE,
         "ann_cosine_topk": O.ANN_TOPK_ORACLE,
+        "cosine_pairs": O.COSINE_PAIRS_ORACLE,
         "event_hourly_windows": O.EVENT_HOURLY_ORACLE,
         "characterize": O.CHARACTERIZE_ORACLE,
     }

@@ -175,6 +175,38 @@ def test_minhash_finds_near_duplicates(spark):
     assert sh
 
 
+def test_ngram_jaccard_exact_pairs(spark):
+    from xponents_spark.operators.dedup import ngram_jaccard_pairs
+    base = "the quick brown fox jumps over the lazy dog tonight again"
+    docs = [(0, base), (1, base),                       # identical -> jac 1.0
+            (2, base.replace("fox", "cat")),            # near-dup
+            (3, "completely different words here with no overlap at all")]
+    df = spark.createDataFrame(docs, ["doc_id", "text"])
+    rows = {(r["doc_a"], r["doc_b"]): r["jaccard"]
+            for r in ngram_jaccard_pairs(df, threshold=0.3).collect()}
+    assert rows[(0, 1)] == 1.0
+    assert 0.3 <= rows[(0, 2)] < 1.0
+    assert not any(3 in p for p in rows)
+    # short doc (< n words) contributes its whole text as one shingle
+    short = spark.createDataFrame([(0, "one two"), (1, "one two")],
+                                  ["doc_id", "text"])
+    srows = ngram_jaccard_pairs(short, threshold=0.9).collect()
+    assert len(srows) == 1 and srows[0]["jaccard"] == 1.0
+
+
+def test_cosine_pairs_bruteforce_exact(spark):
+    import math
+    from xponents_spark.operators.similarity import cosine_pairs_bruteforce
+    vecs = [(0, [1.0, 0.0, 0.0]), (1, [1.0, 0.0, 0.0]),
+            (2, [1.0, 1.0, 0.0]), (3, [0.0, 0.0, 1.0])]
+    df = spark.createDataFrame(vecs, ["vec_id", "embedding"])
+    rows = {(r["vec_a"], r["vec_b"]): r["cosine"]
+            for r in cosine_pairs_bruteforce(df, threshold=0.5).collect()}
+    assert rows[(0, 1)] == 1.0
+    assert abs(rows[(0, 2)] - round(1 / math.sqrt(2), 6)) < 1e-12
+    assert not any(3 in p for p in rows)
+
+
 def test_embedding_near_dups_finds_planted_pair(spark):
     import numpy as np
     from xponents_spark.operators.similarity import embedding_near_dups

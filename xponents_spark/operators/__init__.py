@@ -7,5 +7,5 @@ pandas UDFs where vector math is needed, never row-at-a-time Python UDFs.
 """
 
 from .textstats import token_stats, quality_score, lang_id, fingerprint  # noqa: F401
-from .dedup import exact_dedup, minhash_signatures, minhash_near_dups, simhash_near_dups  # noqa: F401
+from .dedup import exact_dedup, minhash_signatures, minhash_near_dups, ngram_jaccard_pairs, simhash_near_dups  # noqa: F401
 from .similarity import cosine_topk_bruteforce, cosine_topk_lsh  # noqa: F401

@@ -124,6 +124,47 @@ def minhash_near_dups(df: DataFrame, text_col: str = "text",
                  .filter(F.col("est_jaccard") >= threshold))
 
 
+def ngram_jaccard_pairs(df: DataFrame, text_col: str = "text",
+                        id_col: str = "doc_id", n: int = 3,
+                        threshold: float = 0.5) -> DataFrame:
+    """EXACT word-n-gram Jaccard similarity join — the ground truth that
+    ``minhash_near_dups`` approximates.
+
+    Pure DataFrame ops, no Python UDF: per doc, the distinct set of word
+    n-grams (docs shorter than n words contribute one whole-text shingle);
+    explode -> equi-self-join on shingle -> pair intersection counts ->
+    ``|A∩B| / (|A|+|B|-|A∩B|)``.  Returns (doc_a, doc_b, n_inter, jaccard)
+    with doc_a < doc_b and jaccard >= threshold.
+
+    Scale note: the shuffle is on shingle strings, so cost is driven by
+    shingle document-frequency (a shingle in d docs yields O(d²) join rows).
+    This is the exact/verification path, sized for corpora where df is
+    bounded; at 100 TB run ``minhash_near_dups`` (LSH banding) to generate
+    candidates and verify only those pairs exactly.
+    """
+    w = f"split({text_col}, ' ')"
+    grams = F.expr(
+        f"array_distinct(transform("
+        f"  sequence(1, greatest(size({w}) - {n - 1}, 1)),"
+        f"  i -> concat_ws(' ', slice({w}, i, {n}))))")
+    sh = df.select(F.col(id_col), F.explode(grams).alias("s"))
+    sizes = sh.groupBy(id_col).agg(F.count("*").alias("n_sh"))
+    inter = (sh.alias("a")
+             .join(sh.alias("b"),
+                   (F.col("a.s") == F.col("b.s"))
+                   & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")))
+             .groupBy(F.col(f"a.{id_col}").alias("doc_a"),
+                      F.col(f"b.{id_col}").alias("doc_b"))
+             .agg(F.count("*").alias("n_inter")))
+    jac = F.col("n_inter") / (F.col("sa.n_sh") + F.col("sb.n_sh")
+                              - F.col("n_inter"))
+    return (inter
+            .join(sizes.alias("sa"), F.col("doc_a") == F.col(f"sa.{id_col}"))
+            .join(sizes.alias("sb"), F.col("doc_b") == F.col(f"sb.{id_col}"))
+            .select("doc_a", "doc_b", "n_inter", jac.alias("jaccard"))
+            .filter(F.col("jaccard") >= threshold))
+
+
 def simhash_near_dups(df: DataFrame, text_col: str = "text",
                       id_col: str = "doc_id", max_hamming: int = 3) -> DataFrame:
     """64-bit SimHash near-dups: 4x16-bit block join (pigeonhole: hamming<=3

@@ -74,6 +74,35 @@ def cosine_topk_bruteforce(df: DataFrame, queries: list[tuple[int, list[float]]]
     return ranked
 
 
+def cosine_pairs_bruteforce(df: DataFrame, threshold: float = 0.45,
+                            id_col: str = "vec_id", vec_col: str = "embedding",
+                            round_digits: int = 6) -> DataFrame:
+    """EXACT all-pairs cosine join — the ground truth that
+    ``embedding_near_dups`` (LSH-bucketed) approximates.
+
+    Pure JVM expressions: cast to double, self cross-join on id inequality,
+    dot product via ``zip_with``+``aggregate``, cosine rounded for
+    cross-engine determinism.  O(n²) by construction — the verification /
+    small-corpus path; at scale generate candidates with the LSH variant and
+    verify only those pairs.
+    """
+    v = df.select(
+        F.col(id_col),
+        F.transform(F.col(vec_col), lambda x: x.cast("double")).alias("v"))
+    v = v.withColumn(
+        "nrm", F.sqrt(F.aggregate("v", F.lit(0.0), lambda a, x: a + x * x)))
+    pairs = (v.alias("l").crossJoin(v.alias("r"))
+             .filter(F.col(f"l.{id_col}") < F.col(f"r.{id_col}")))
+    dot = F.aggregate(F.zip_with(F.col("l.v"), F.col("r.v"),
+                                 lambda x, y: x * y),
+                      F.lit(0.0), lambda a, x: a + x)
+    cos = F.round(dot / (F.col("l.nrm") * F.col("r.nrm")), round_digits)
+    return (pairs.select(F.col(f"l.{id_col}").alias("vec_a"),
+                         F.col(f"r.{id_col}").alias("vec_b"),
+                         cos.alias("cosine"))
+                 .filter(F.col("cosine") >= threshold))
+
+
 def embedding_near_dups(df: DataFrame, threshold: float = 0.95,
                         bits: int = 10, id_col: str = "vec_id",
                         vec_col: str = "embedding", dim: int = 64) -> DataFrame:

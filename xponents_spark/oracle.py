@@ -174,6 +174,27 @@ SELECT doc_id, md5(text) AS text_md5,
 FROM documents
 """
 
+NGRAM_JACCARD_ORACLE = """
+WITH words AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+sh AS (
+  SELECT DISTINCT doc_id, array_to_string(w[i:i+2], ' ') AS s
+  FROM words,
+       LATERAL (SELECT unnest(generate_series(1, greatest(len(w) - 2, 1))) AS i) t
+),
+sizes AS (SELECT doc_id, count(*) AS n_sh FROM sh GROUP BY doc_id),
+inter AS (
+  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS n_inter
+  FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
+  GROUP BY 1, 2
+)
+SELECT doc_a, doc_b, n_inter,
+       CAST(n_inter AS DOUBLE) / (sa.n_sh + sb.n_sh - n_inter) AS jaccard
+FROM inter
+JOIN sizes sa ON sa.doc_id = doc_a
+JOIN sizes sb ON sb.doc_id = doc_b
+WHERE CAST(n_inter AS DOUBLE) / (sa.n_sh + sb.n_sh - n_inter) >= 0.5
+"""
+
 EVENT_HOURLY_ORACLE = """
 SELECT date_trunc('hour', ts) AS win_start,
        event_type,
@@ -192,6 +213,14 @@ SELECT doc_id,
        regexp_matches(text, '[⺀-鿿぀-ヿ가-힯豈-﫿]') AS has_cjk,
        regexp_matches(text, '[֐-׿؀-ۿݐ-ݿﭐ-﷿ﹰ-﻿]') AS has_mideast
 FROM documents
+"""
+
+COSINE_PAIRS_ORACLE = """
+WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings)
+SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
+       round(list_cosine_similarity(a.v, b.v), 6) AS cosine
+FROM e a JOIN e b ON a.vec_id < b.vec_id
+WHERE round(list_cosine_similarity(a.v, b.v), 6) >= 0.45
 """
 
 ANN_TOPK_ORACLE = """
