@@ -54,13 +54,27 @@ def _n_docs(spark) -> int:
     return spark.read.parquet(f"{SF_DIR}/documents.parquet").count()
 
 
+# the flagship output projection (same as __spark_entry__.entry): the raw
+# `text` column is consumed by extraction and not re-emitted — writing it
+# would double the string volume through Arrow + parquet for no consumer
+OUT_COLS = ["conv_id", "turn_idx", "role", "tool", "ts", "main_text", "matches"]
+
+
+def _out_dir() -> str:
+    # tmpfs when available: the bench measures the engine, not one local
+    # disk's write contention (a real cluster writes to distributed storage
+    # whose aggregate bandwidth scales with executors)
+    base = "/dev/shm" if os.path.isdir("/dev/shm") else None
+    return tempfile.mkdtemp(prefix="bench_out_", dir=base)
+
+
 def bench_extraction(spark, turns_per_doc: int, runs: int = 1) -> tuple[float, int]:
     """Full pipeline incl. ordered write; returns (best seconds, turns)."""
     from xponents_spark.pipeline import extract
     from xponents_spark.plans import salted_repartition
     from xponents_spark.sources import synthesize_transcripts
 
-    out_dir = tempfile.mkdtemp(prefix="bench_out_")
+    out_dir = _out_dir()
     par = spark.sparkContext.defaultParallelism
     try:
         t = synthesize_transcripts(spark, SF_DIR, turns_per_doc=turns_per_doc)
@@ -72,18 +86,20 @@ def bench_extraction(spark, turns_per_doc: int, runs: int = 1) -> tuple[float, i
         # serializer + parquet writer paths (measured 18.5s -> 12s -> 6s ->
         # 5.5s on identical cached input); steady state is what a long-running
         # cluster job sees after its first task wave, so that is what we report
-        for _ in range(2):
-            (extract(t).sortWithinPartitions("conv_id", "turn_idx")
-             .write.mode("overwrite").parquet(out_dir))
-        best = float("inf")
-        for _ in range(max(runs, 2)):
-            t0 = time.time()
-            out = extract(t)
+        def run_once():
+            out = extract(t).select(*OUT_COLS)
             # write parallelism scales with cores; files are locally ordered
             # by (conv_id, turn_idx) — global order is a read-side sort, per
             # the stable-ordering verify contract (plans.ordered_output)
             (out.sortWithinPartitions("conv_id", "turn_idx")
                 .write.mode("overwrite").parquet(out_dir))
+
+        run_once()
+        run_once()
+        best = float("inf")
+        for _ in range(max(runs, 2)):
+            t0 = time.time()
+            run_once()
             best = min(best, time.time() - t0)
         t.unpersist()
         return best, n
@@ -135,7 +151,9 @@ def main():
         scaling = {}
         for cpus in (4, 16):
             s = _spark(cpus)
-            d, n = bench_extraction(s, tpd, runs=2)
+            # 2x the headline corpus so each run is long enough to amortize
+            # fixed task-wave overhead (strong scaling needs enough work)
+            d, n = bench_extraction(s, tpd * 2, runs=3)
             scaling[f"local[{cpus}]"] = {"sec": round(d, 3),
                                          "turns_per_sec": round(n / d, 1)}
         tp_n = scaling["local[4]"]["turns_per_sec"]

@@ -123,6 +123,34 @@ class TestCase:
         return "FAIL" not in self.text
 
 
+_DIGIT_RE = re.compile(r"\d")
+
+
+class ScanCtx:
+    """Per-text context for callable prescreens: memoizes features shared
+    across families so e.g. the has-digit scan runs once per text."""
+
+    __slots__ = ("text", "_lower", "_has_digit", "memo")
+
+    def __init__(self, text: str):
+        self.text = text
+        self._lower = None
+        self._has_digit = None
+        self.memo: dict = {}
+
+    @property
+    def lower(self) -> str:
+        if self._lower is None:
+            self._lower = self.text.lower()
+        return self._lower
+
+    @property
+    def has_digit(self) -> bool:
+        if self._has_digit is None:
+            self._has_digit = _DIGIT_RE.search(self.text) is not None
+        return self._has_digit
+
+
 class PatternManager:
     """Parse + compile a FlexPat cfg file.
 
@@ -138,11 +166,14 @@ class PatternManager:
         self.families: set[str] = set()
         self.test_cases: list[TestCase] = []
         self.normalizer_family: dict[str, str] = {}
-        # family -> cheap necessary-condition regex; when it finds nothing
-        # the whole family's rules skip (hot-path pruning: most text has no
-        # digits/symbols, so 30+ rule scans collapse to one char scan)
-        self.prescreen: dict[str, re.Pattern] = {
-            fam: re.compile(rx) for fam, rx in (prescreen or {}).items()}
+        # family -> cheap necessary condition; when it fails the whole
+        # family's rules skip (hot-path pruning: most text has no
+        # digits/symbols, so 30+ rule scans collapse to one char scan).
+        # A value is either a regex string or a callable(ScanCtx) -> bool
+        # (callables share per-text memoized features like has-digit).
+        self.prescreen: dict[str, object] = {
+            fam: (rx if callable(rx) else re.compile(rx))
+            for fam, rx in (prescreen or {}).items()}
         self._parse()
 
     def _parse(self) -> None:
@@ -211,8 +242,14 @@ class PatternManager:
         if unknown:
             raise ValueError(f"unknown pattern families: {sorted(unknown)}")
         if self.prescreen:
-            fams = {f for f in fams
-                    if f not in self.prescreen or self.prescreen[f].search(text)}
+            ctx = ScanCtx(text)
+            keep = set()
+            for f in fams:
+                pre = self.prescreen.get(f)
+                if pre is None or (pre(ctx) if callable(pre)
+                                   else pre.search(text)):
+                    keep.add(f)
+            fams = keep
             if not fams:
                 return []
         tlen = len(text)
@@ -233,9 +270,10 @@ class PatternManager:
     def _scan_rule(self, rule: Rule, text: str, tlen: int,
                    found: list[PatternMatch], context_len: int = 20) -> None:
         for m in rule.regex.finditer(text):
+            regs = m.regs   # one C-level tuple instead of 3 calls per group
             slots = [
-                (name, m.group(i + 1), m.start(i + 1), m.end(i + 1))
-                for i, name in enumerate(rule.group_names)
+                (name, text[s:e] if s != -1 else None, s, e)
+                for name, (s, e) in zip(rule.group_names, regs[1:])
             ]
             pm = PatternMatch(m.group(), m.start(), m.end(), rule.rule_id,
                               rule.family, slots)

@@ -18,8 +18,16 @@ import math
 _BASE32 = "0123456789bcdefghjkmnpqrstuvwxyz"
 
 
+_GH_CACHE: dict[tuple, str] = {}
+
+
 def geohash_encode(lat: float, lon: float, precision: int = 6) -> str:
-    """Standard geohash (public algorithm, Niemeyer 2008)."""
+    """Standard geohash (public algorithm, Niemeyer 2008).  Memoized —
+    gazetteer/coordinate hot paths re-encode the same points constantly."""
+    key = (lat, lon, precision)
+    hit = _GH_CACHE.get(key)
+    if hit is not None:
+        return hit
     lat_lo, lat_hi = -90.0, 90.0
     lon_lo, lon_hi = -180.0, 180.0
     bits = []
@@ -48,7 +56,10 @@ def geohash_encode(lat: float, lon: float, precision: int = 6) -> str:
         for b in bits[i:i + 5]:
             n = (n << 1) | b
         out.append(_BASE32[n])
-    return "".join(out)
+    gh = "".join(out)
+    if len(_GH_CACHE) < 1 << 16:
+        _GH_CACHE[key] = gh
+    return gh
 
 
 def haversine_m(lat1: float, lon1: float, lat2: float, lon2: float) -> float:

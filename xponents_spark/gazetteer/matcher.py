@@ -32,6 +32,7 @@ from ..functions.textnorm import (
 from . import data
 
 _EDGE_PUNCT = ".,;:'\"!?()[]|"
+_EDGE_PUNCT_SET = frozenset(_EDGE_PUNCT)
 
 
 @dataclass
@@ -116,12 +117,26 @@ _AR_FOLD = str.maketrans({"أ": "ا", "إ": "ا", "آ": "ا", "ة": "ه",
                           "ى": "ي", "ـ": None})
 
 
+# token -> normalized memo: natural text is Zipf-distributed, so the hit
+# rate is high; bounded by periodic clear (process-lifetime executor state)
+_NORM_CACHE: dict[str, str] = {}
+_NORM_CACHE_MAX = 1 << 17
+
+
 def normalize_token(tok: str) -> str:
+    v = _NORM_CACHE.get(tok)
+    if v is not None:
+        return v
     if tok.isascii():
-        return tok.lower().strip(_EDGE_PUNCT)
-    # width-fold (NFKC) + diacritic strip + Arabic variant fold + lowercase
-    folded = _ud.normalize("NFKC", tok).translate(_AR_FOLD)
-    return strip_diacritics(folded).lower().strip(_EDGE_PUNCT)
+        v = tok.lower().strip(_EDGE_PUNCT)
+    else:
+        # width-fold (NFKC) + diacritic strip + Arabic variant fold + lowercase
+        folded = _ud.normalize("NFKC", tok).translate(_AR_FOLD)
+        v = strip_diacritics(folded).lower().strip(_EDGE_PUNCT)
+    if len(_NORM_CACHE) >= _NORM_CACHE_MAX:
+        _NORM_CACHE.clear()
+    _NORM_CACHE[tok] = v
+    return v
 
 
 def tokens_with_offsets(text: str) -> list[tuple[str, int, int]]:
@@ -133,14 +148,15 @@ def tokens_with_offsets(text: str) -> list[tuple[str, int, int]]:
     unsegmented text still matches multi-char names)."""
     out = []
     for m in _WS_TOKEN.finditer(text):
-        s, e = m.start(), m.end()
-        while s < e and text[s] in _EDGE_PUNCT:
-            s += 1
-        while e > s and text[e - 1] in _EDGE_PUNCT:
-            e -= 1
-        if e <= s:
+        raw = m.group()
+        chunk = raw.strip(_EDGE_PUNCT)   # C-level trim of the edge punct
+        if not chunk:
             continue
-        chunk = text[s:e]
+        if len(chunk) == len(raw):
+            s, e = m.start(), m.end()
+        else:
+            s = m.start() + (len(raw) - len(raw.lstrip(_EDGE_PUNCT)))
+            e = s + len(chunk)
         if not chunk.isascii() and _CJK_CHAR.search(chunk):
             for i, ch in enumerate(chunk):
                 if _CJK_CHAR.match(ch):
