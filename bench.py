@@ -115,9 +115,14 @@ def timed(fn) -> float:
 
 def bench_queries(spark) -> dict[str, float]:
     import __spark_entry__ as entry
-    picks = ["xcoord_extract", "xtemporal_extract", "main_content",
-             "match_label_histogram", "exact_dedup", "minhash_near_dups",
-             "simhash_near_dups", "ann_cosine_topk", "token_stats", "lang_id"]
+    # headline queries only: the exact O(n^2) ground-truth joins
+    # (ngram_jaccard_pairs, cosine_pairs) stay out — they verify the LSH
+    # operators at small SF, they are not the scale path
+    picks = ["xcoord_extract", "xtemporal_extract", "place_extract",
+             "main_content", "match_label_histogram", "exact_dedup",
+             "minhash_near_dups", "simhash_near_dups", "ann_cosine_topk",
+             "token_stats", "lang_id", "quality_score", "fingerprint",
+             "event_hourly_windows", "characterize"]
     qs = entry.queries()
     out = {}
     for name in picks:
