@@ -44,6 +44,33 @@ def test_qualified_disambiguation(text, name, cc, adm1):
     assert m["confidence"] >= 60
 
 
+def test_country_scope_probes():
+    """placename-tests.txt "The man flew from X to Y" class: a trailing
+    COUNTRY never merges spans (updateRelatedNames merges only identical
+    hierarchical paths, PlaceGeocoder.java:575-583) and the country stays
+    its own mention.  The SF->Bolivia geography flip reproduces the corpus'
+    own flagged confusion ("Well-known city (high ID bias) confused ... due
+    to presence of country name"): NameCode weight 10 dominates."""
+    ms = places("The man flew from San Francisco to Cuba that day.")
+    assert [(m["matchtext"], m["label"], m["cc"]) for m in ms] == [
+        ("San Francisco", "place", "US"), ("Cuba", "country", "CU")]
+
+    ms = places("The man flew from Florida to Uruguay that day.")
+    assert [(m["matchtext"], m["cc"], m.get("adm1")) for m in ms] == [
+        ("Florida", "US", "FL"), ("Uruguay", "UY", None)]
+
+    # comma-qualified containment flips to the Uruguayan city
+    ms = places("The man flew from Florida, Uruguay that day.")
+    assert ms[0]["matchtext"] == "Florida"
+    assert ms[0]["cc"] == "UY" and ms[0]["adm1"] == "FD"
+
+    # NAME, COUNTRY does not merge the span; NAME, ADM1 does
+    ms = places("Texas, U.S.")
+    assert ms[0]["matchtext"] == "Texas"
+    assert ms[1]["label"] == "country" and ms[1]["cc"] == "US"
+    assert top("San Diego, CA")["matchtext"] == "San Diego, CA"
+
+
 def test_bare_major_city_wins():
     m = top("the London office called")
     assert m["cc"] == "GB"          # 8.9M-pop capital beats London, Ontario

@@ -51,6 +51,8 @@ GAZETTEER_ROWS: list[tuple] = [
     ("US.KY", "Kentucky", "N", "A", "ADM1", "US", "KY", 37.84, -84.27, 10, 4500000),
     ("US.ID", "Idaho", "N", "A", "ADM1", "US", "ID", 44.07, -114.74, 10, 1840000),
     ("US.NH", "New Hampshire", "N", "A", "ADM1", "US", "NH", 43.19, -71.57, 10, 1380000),
+    ("US.FL", "Florida", "N", "A", "ADM1", "US", "FL", 27.77, -81.69, 10, 21500000),
+    ("US.FL", "FL", "C", "A", "ADM1", "US", "FL", 27.77, -81.69, 10, 21500000),
     # --- other ADM1s ---
     ("GB.ENG", "England", "N", "A", "PCLD", "GB", "ENG", 52.36, -1.17, 10, 56000000),
     ("CA.ON", "Ontario", "N", "A", "ADM1", "CA", "ON", 51.25, -85.32, 10, 14700000),
@@ -88,6 +90,10 @@ GAZETTEER_ROWS: list[tuple] = [
     ("SPR.IL", "Springfield", "N", "P", "PPLA", "US", "IL", 39.7817, -89.6501, 6, 114000),
     ("SPR.MA", "Springfield", "N", "P", "PPL", "US", "MA", 42.1015, -72.5898, 5, 155000),
     ("SFO.CA", "San Francisco", "N", "P", "PPL", "US", "CA", 37.7749, -122.4194, 8, 875000),
+    # the corpus' "well-known city vs country-in-scope" probes
+    # (placename-tests.txt "The man flew from San Francisco to Bolivia ...")
+    ("SFR.BO", "San Francisco", "N", "P", "PPL", "BO", "P", -16.77, -65.00, 2, 5000),
+    ("FLO.UY", "Florida", "N", "P", "PPLA", "UY", "FD", -34.0954, -56.2144, 4, 33000),
     ("BOS.MA", "Boston", "N", "P", "PPL", "US", "MA", 42.3601, -71.0589, 8, 695000),
     ("AUS.TX", "Austin", "N", "P", "PPLA", "US", "TX", 30.2672, -97.7431, 8, 965000),
     ("JCK.MS", "Jackson", "N", "P", "PPLA", "US", "MS", 32.2988, -90.1848, 6, 166000),
@@ -137,6 +143,10 @@ GAZETTEER_ROWS: list[tuple] = [
     ("C.PT", "PRT", "C", "A", "PCLI", "PT", "", 39.5, -8.0, 3, 10300000),
     ("C.AR", "Argentina", "N", "A", "PCLI", "AR", "", -34.0, -64.0, 10, 45400000),
     ("C.IT", "Italy", "N", "A", "PCLI", "IT", "", 42.8, 12.8, 10, 59600000),
+    ("C.BO", "Bolivia", "N", "A", "PCLI", "BO", "", -17.0, -65.0, 10, 11800000),
+    ("C.CU", "Cuba", "N", "A", "PCLI", "CU", "", 21.5, -80.0, 10, 11300000),
+    ("C.CO", "Colombia", "N", "A", "PCLI", "CO", "", 4.0, -72.0, 10, 50900000),
+    ("C.UY", "Uruguay", "N", "A", "PCLI", "UY", "", -33.0, -56.0, 10, 3470000),
     # --- non-Latin names (T2 language-routed tagging; CJK names match as
     #     character sequences, Arabic after diacritic/variant normalization) ---
     ("BEI.CN", "北京", "N", "P", "PPLC", "CN", "22", 39.9042, 116.4074, 9, 21500000),
@@ -163,7 +173,8 @@ COUNTRIES: dict[str, str] = {
     "RU": "Russia", "CN": "China", "JP": "Japan", "KP": "North Korea",
     "IQ": "Iraq", "MX": "Mexico", "IE": "Ireland", "GE": "Georgia",
     "GA": "Gabon", "IN": "India", "PT": "Portugal", "AR": "Argentina",
-    "IT": "Italy",
+    "IT": "Italy", "BO": "Bolivia", "CU": "Cuba", "CO": "Colombia",
+    "UY": "Uruguay",
 }
 
 # CC.ADM1 hierarchical path -> province name (PlaceGeocoder.java:309-317)
@@ -173,6 +184,7 @@ ADM1_NAMES: dict[str, str] = {
     "US.GA": "Georgia", "US.MS": "Mississippi", "US.NM": "New Mexico",
     "US.WA": "Washington", "US.IL": "Illinois", "US.KY": "Kentucky",
     "US.ID": "Idaho", "US.NH": "New Hampshire", "US.MA": "Massachusetts",
+    "US.FL": "Florida", "UY.FD": "Florida", "BO.P": "Potosí",
     "US.KS": "Kansas", "US.AZ": "Arizona", "US.MO": "Missouri",
     "GB.ENG": "England", "CA.ON": "Ontario", "CA.BC": "British Columbia",
     "AU.NSW": "New South Wales", "AU.VIC": "Victoria", "AU.SA": "South Australia",

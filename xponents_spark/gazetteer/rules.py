@@ -112,6 +112,7 @@ def name_code_rule(cands: list[PlaceCandidate], scope: "Scope",
             if not admins:
                 continue
             comma = "," in text[c.end:nxt.start]
+            close = gap <= 2             # ", " / " " — no intervening word
             for adm in admins:
                 boosted = [p for p in c.places
                            if p.cc == adm.cc
@@ -119,17 +120,24 @@ def name_code_rule(cands: list[PlaceCandidate], scope: "Scope",
                                 or p.place_id == adm.place_id)]
                 if not boosted:
                     continue
-                wt = 1.0 + (0.2 if comma else 0.0)
+                # weight 10 + 2·comma + 4·close (NameCodeRule.java:538):
+                # "San Francisco to Bolivia" pairs at distance 4 but gets
+                # neither bonus, so a well-known name keeps its own geography
+                wt = 1.0 + (0.2 if comma else 0.0) + (0.4 if close else 0.0)
                 for p in boosted:
                     c.score_place(p, wt, "NameCode")
                 c.linked_admin = adm
-                c.merged_end = nxt.end
                 c.is_person = False          # qualified name resurrects place
                 if c.filter_reason in ("person", "person-title"):
                     c.filtered_out = False
                     c.filter_reason = None
-                nxt.filtered_out = True      # admin mention merges into NAME
-                nxt.filter_reason = "merged-into-name"
+                if adm.is_admin1:
+                    # span merge "NAME, ADMIN" only when hierarchical paths
+                    # align (updateRelatedNames, PlaceGeocoder.java:575-583);
+                    # a trailing COUNTRY stays its own mention
+                    c.merged_end = nxt.end
+                    nxt.filtered_out = True  # admin mention merges into NAME
+                    nxt.filter_reason = "merged-into-name"
                 scope.country(adm.cc)
                 scope.admin(adm.hierarchical_path if adm.is_admin1 else None)
                 # un-filter codes resurrected by qualification (e.g. 'CA')
