@@ -71,6 +71,21 @@ def test_country_scope_probes():
     assert top("San Diego, CA")["matchtext"] == "San Diego, CA"
 
 
+def test_abbreviation_probes():
+    """Corpus classes: known city/country abbreviations geocode with
+    moderate confidence; dotted country abbreviations absorb periods."""
+    m = top("What part of NYC is best for curry?")
+    assert (m["cc"], m["adm1"]) == ("US", "NY")
+    m = top("How are the cafes in DPRK?")
+    assert m["cc"] == "KP" and m["label"] == "country"
+    ms = places("Take us to New Mexico, U.S.A.")
+    assert ms[0]["adm1"] == "NM" and ms[1]["matchtext"] == "U.S.A."
+    ms = places("Will I make it to the shores of U.S.? IF I swim across "
+                "the pond to the U.K., I'm not sure they'll let me in.")
+    assert [(m["matchtext"], m["cc"]) for m in ms] == [
+        ("U.S.", "US"), ("U.K.", "GB")]
+
+
 def test_bare_major_city_wins():
     m = top("the London office called")
     assert m["cc"] == "GB"          # 8.9M-pop capital beats London, Ontario
