@@ -131,6 +131,30 @@ def q_label_histogram(spark, sf_dir):
     return ex.groupBy("label").agg(F.count("*").alias("n_matches"))
 
 
+def q_pdf_roundtrip(spark, sf_dir):
+    """S1 PDF path: each document rendered to a deterministic PDF (binary
+    column), then the text layer recovered by the pure-python extractor —
+    output must equal the source text (identity oracle)."""
+    import pandas as pd
+    from pyspark.sql import types as T
+
+    from xponents_spark.textract import convert_binary_docs
+    from xponents_spark.textract.pdf import make_simple_pdf
+
+    docs = _docs(spark, sf_dir).select("doc_id", "text")
+    schema = T.StructType([T.StructField("doc_id", T.LongType()),
+                           T.StructField("payload", T.BinaryType())])
+
+    def mk(batches):
+        for pdf in batches:
+            yield pd.DataFrame({
+                "doc_id": pdf["doc_id"],
+                "payload": [make_simple_pdf(t) for t in pdf["text"].tolist()]})
+
+    return convert_binary_docs(docs.mapInPandas(mk, schema=schema),
+                               "payload", "text")
+
+
 def q_exact_dedup(spark, sf_dir):
     return exact_dedup(_docs(spark, sf_dir))
 
@@ -234,6 +258,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "country_histogram": q_country_histogram,
         "conv_geography": q_conv_geography,
         "match_label_histogram": q_label_histogram,
+        "pdf_text_recovery": q_pdf_roundtrip,
         "exact_dedup": q_exact_dedup,
         "prefix_dedup": q_prefix_dedup,
         "token_stats": q_token_stats,
@@ -286,6 +311,7 @@ def oracle_sql() -> dict[str, str]:
         "country_histogram": O.country_histogram_oracle(),
         "conv_geography": O.conv_geography_oracle(),
         "match_label_histogram": O.label_histogram_oracle(),
+        "pdf_text_recovery": "SELECT doc_id, text FROM documents",
         "exact_dedup": O.EXACT_DEDUP_ORACLE,
         "prefix_dedup": O.PREFIX_DEDUP_ORACLE,
         "token_stats": O.TOKEN_STATS_ORACLE,

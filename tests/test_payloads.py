@@ -45,3 +45,33 @@ def test_html_class_recovers_inner_text():
 def test_plain_text_passthrough():
     main, _ = extract_turn("hello   world\n next", ("content",))
     assert main == "hello world next"
+
+
+def test_pdf_text_roundtrip():
+    from xponents_spark.textract import convert_document
+    from xponents_spark.textract.pdf import extract_pdf_text, make_simple_pdf
+    txt = "grid 38SMB4611036560 on 2024-03-15\nsecond (line) with \\ escapes\nthird"
+    pdf = make_simple_pdf(txt)
+    assert pdf.startswith(b"%PDF-")
+    assert extract_pdf_text(pdf) == txt
+    # dispatcher squeezes whitespace (newlines -> single spaces)
+    assert convert_document(pdf) == txt.replace("\n", " ")
+
+
+def test_pdf_hex_and_utf16_strings():
+    import zlib
+    from xponents_spark.textract.pdf import extract_pdf_text
+    # hand-built content stream: hex UTF-16BE (BOM) + literal with octal
+    shows = b"BT <FEFF004200650072006C0069006E> Tj 0 -12 Td (caf\\351) Tj ET"
+    body = zlib.compress(shows)
+    doc = b"%PDF-1.4\n1 0 obj\n<< /Filter /FlateDecode >>\nstream\n" + body + b"\nendstream\nendobj\n"
+    assert extract_pdf_text(doc) == "Berlin\ncafé"
+
+
+def test_pdf_uncompressed_stream_and_non_pdf():
+    from xponents_spark.textract import convert_document
+    from xponents_spark.textract.pdf import extract_pdf_text
+    doc = b"%PDF-1.4\nstream\nBT (plain) Tj ET\nendstream\n"
+    assert extract_pdf_text(doc) == "plain"
+    assert convert_document(b"<html><body><p>hi there</p></body></html>") == "hi there"
+    assert convert_document(b"\xef\xbb\xbfbom text") == "bom text"

@@ -110,6 +110,40 @@ def _drop_flagged_elements(doc: str) -> str:
     return "".join(out)
 
 
+def convert_document(payload: bytes) -> str:
+    """XText-equivalent conversion dispatcher (doc-in -> text-out, the API
+    shape of ConvertedDocument): PDF payloads go through the text-layer
+    recovery (:mod:`.pdf`), anything else charset-decodes and, when
+    HTML-ish, scrubs boilerplate."""
+    from .pdf import extract_pdf_text, is_pdf
+    if payload is None:
+        return ""
+    if is_pdf(payload):
+        return squeeze_whitespace(extract_pdf_text(payload))
+    return extract_main_content(decode_bytes(payload))
+
+
+def convert_binary_docs(df, payload_col: str = "payload",
+                        out_col: str = "text"):
+    """Spark plumbing: binary payload column -> extracted text column via
+    one Arrow-batched mapInPandas stage (no per-row Python UDF)."""
+    import pandas as pd
+    from pyspark.sql import types as T
+
+    fields = [f for f in df.schema.fields if f.name != payload_col]
+    schema = T.StructType(fields + [T.StructField(out_col, T.StringType())])
+    names = [f.name for f in fields]
+
+    def run(batches):
+        for pdf in batches:
+            out = pdf[names].copy()
+            out[out_col] = [convert_document(p)
+                            for p in pdf[payload_col].tolist()]
+            yield out
+
+    return df.mapInPandas(run, schema=schema)
+
+
 def decode_bytes(payload: bytes) -> str:
     """Charset/encoding normalization for binary payload columns: BOM sniff,
     UTF-8, then windows-1252 fallback (the common mislabeled-latin1 case)."""
