@@ -66,3 +66,22 @@ def test_euro_locale_configured():
         assert m.attrs["locale"] == "euro"
     finally:
         xtemporal.configure(locale="")
+
+
+def test_published_catalog_examples():
+    """The reference's published XTemporal family examples
+    (/root/reference/doc/Patterns.md:53-63) all normalize to 2017-09-22."""
+    from xponents_spark.extractors.xtemporal import extract_dates
+    cases = {
+        "Sept 22nd, 2017": ("MDY", "D"),
+        "09/22/2017": ("MDY", "D"),
+        "22 SEPT 2017 0700Z": ("DMY", "m"),
+        "2017-09-22": ("YMD", "D"),
+        "2017-09-22T0700-0500": ("DTM", "m"),
+    }
+    for text, (fam, res) in cases.items():
+        ms = [m for m in extract_dates(text) if not m.filtered_out]
+        assert ms, text
+        assert ms[0].pattern_id.startswith(fam)
+        assert ms[0].attrs["datenorm"] == "2017-09-22"
+        assert ms[0].attrs["resolution"] == res
