@@ -60,6 +60,7 @@ GAZETTEER_ROWS: list[tuple] = [
     ("AU.NSW", "New South Wales", "N", "A", "ADM1", "AU", "NSW", -31.25, 146.92, 10, 8160000),
     ("AU.NSW", "NSW", "C", "A", "ADM1", "AU", "NSW", -31.25, 146.92, 10, 8160000),
     ("AU.VIC", "Victoria", "N", "A", "ADM1", "AU", "VIC", -36.98, 143.39, 9, 6680000),
+    ("AU.VIC", "VIC", "C", "A", "ADM1", "AU", "VIC", -36.98, 143.39, 8, 6680000),
     ("AR.BA", "Buenos Aires", "N", "A", "ADM1", "AR", "BA", -36.67, -60.56, 9, 17500000),
     ("AR.BA", "BsAs", "A", "A", "ADM1", "AR", "BA", -36.67, -60.56, 7, 17500000),
     # --- cities (P/PPL) ---
@@ -105,6 +106,7 @@ GAZETTEER_ROWS: list[tuple] = [
     ("STR.US", "Strawberry Hill", "N", "T", "HLL", "US", "KS", 39.1080, -94.6250, 2, 0),
     ("BNK.AU", "Banksmeadow", "N", "P", "PPLX", "AU", "NSW", -33.9667, 151.2167, 3, 0),
     ("PAD.AU", "Paddington", "N", "P", "PPLX", "AU", "NSW", -33.8847, 151.2265, 3, 0),
+    ("SPV.AU", "Springvale", "N", "P", "PPLX", "AU", "VIC", -37.9493, 145.1525, 3, 0),
     ("FAL.IQ", "Falluja", "N", "P", "PPL", "IQ", "AN", 33.3538, 43.7866, 6, 275000),
     ("EBA.AU", "Eba", "N", "P", "PPL", "AU", "SA", -32.1833, 134.0667, 2, 0),
     ("MA.IN", "Ma", "N", "P", "PPL", "IN", "MP", 22.60, 77.40, 1, 0),

@@ -30,6 +30,8 @@ POSTAL_ROWS: list[tuple] = [
     ("AU", "NSW", "2021", "Paddington", -33.8847, 151.2265),
     ("AU", "NSW", "1427", "Strawberry Hills", -33.8910, 151.2120),
     ("AU", "NSW", "2000", "Sydney", -33.8688, 151.2093),
+    ("AU", "VIC", "3171", "Springvale", -37.9493, 145.1525),
+    ("AU", "VIC", "3166", "Oakleigh", -37.9000, 145.0890),
     ("US", "CA", "92101", "San Diego", 32.7194, -117.1628),
     ("US", "PA", "15213", "Pittsburgh", 40.4435, -79.9536),
     ("US", "NY", "10001", "New York", 40.7506, -73.9972),
