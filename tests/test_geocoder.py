@@ -166,3 +166,28 @@ def test_us_abbrev_absorbs_period():
     m = top("Will I make it to the shores of U.S.?")
     assert m["matchtext"] == "U.S."
     assert m["cc"] == "US"
+
+
+def test_reference_corpora_smoke():
+    """Every line of the reference's probe corpora runs clean through the
+    full per-turn pipeline (input data read from the reference checkout at
+    test time; skipped when absent)."""
+    import os
+    import pytest as _pytest
+    from xponents_spark.pipeline import extract_turn, DEFAULT_FEATURES
+    base = "/root/reference/src/test/resources/data"
+    if not os.path.isdir(base):
+        _pytest.skip("reference checkout not present")
+    for fname in ("placename-tests.txt", "placename-tests-cjk.txt",
+                  "randomness.txt"):
+        path = os.path.join(base, fname)
+        if not os.path.exists(path):
+            continue
+        text = open(path, encoding="utf-8", errors="replace").read()
+        for line in text.splitlines():
+            if not line.strip() or line.startswith("#"):
+                continue
+            main, ms = extract_turn(line, DEFAULT_FEATURES)
+            assert main is not None
+            for m in ms:
+                assert 0 <= m["span_start"] <= m["span_end"] <= len(main)
