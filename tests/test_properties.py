@@ -92,3 +92,22 @@ def test_reduce_matches_invariants(spans):
         if m.is_duplicate:
             assert any(o is not m and o.start == m.start and o.end == m.end
                        for o in ms)
+
+
+@settings(max_examples=150, deadline=None)
+@given(st.text(max_size=200))
+def test_pdf_roundtrip_property(text):
+    """make_simple_pdf -> extract_pdf_text recovers the exact text (modulo
+    CR normalization, which PDF line shows cannot represent)."""
+    from xponents_spark.textract.pdf import extract_pdf_text, make_simple_pdf
+    out = extract_pdf_text(make_simple_pdf(text))
+    assert out == text.replace("\r\n", "\n").replace("\r", "\n")
+
+
+@settings(max_examples=150, deadline=None)
+@given(st.binary(max_size=400))
+def test_convert_document_total(payload):
+    """Document conversion is total over arbitrary byte payloads."""
+    from xponents_spark.textract import convert_document
+    assert isinstance(convert_document(payload), str)
+    assert isinstance(convert_document(b"%PDF-" + payload), str)
