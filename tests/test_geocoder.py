@@ -191,3 +191,21 @@ def test_reference_corpora_smoke():
             assert main is not None
             for m in ms:
                 assert 0 <= m["span_start"] <= m["span_end"] <= len(main)
+
+
+def test_preferred_geography_options():
+    """Xlayer preferred_countries / preferred_locations request options
+    (TaggerResource.java:176-224; K11 boosts +0.5/+1.0, K13 +5 conf).
+    A preference biases ambiguous names but does not override a strong
+    prior (London GB stays chosen over London ON)."""
+    base = [m for m in geocode("meet in Vancouver") if m["label"] == "place"]
+    assert base[0]["cc"] == "CA"
+    us = [m for m in geocode("meet in Vancouver", prefer_countries=["US"])
+          if m["label"] == "place"]
+    assert us[0]["cc"] == "US" and us[0]["adm1"] == "WA"
+    assert "LocationChooser.preferCountry" in us[0]["method"]
+
+    still_gb = [m for m in geocode("the London office called",
+                                   prefer_countries=["CA"])
+                if m["label"] == "place"]
+    assert still_gb[0]["cc"] == "GB"

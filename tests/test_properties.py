@@ -97,11 +97,10 @@ def test_reduce_matches_invariants(spans):
 @settings(max_examples=150, deadline=None)
 @given(st.text(max_size=200))
 def test_pdf_roundtrip_property(text):
-    """make_simple_pdf -> extract_pdf_text recovers the exact text (modulo
-    CR normalization, which PDF line shows cannot represent)."""
+    """make_simple_pdf -> extract_pdf_text recovers the exact text: \\n is
+    the line separator (one Tj per line) and \\r survives via escaping."""
     from xponents_spark.textract.pdf import extract_pdf_text, make_simple_pdf
-    out = extract_pdf_text(make_simple_pdf(text))
-    assert out == text.replace("\r\n", "\n").replace("\r", "\n")
+    assert extract_pdf_text(make_simple_pdf(text)) == text
 
 
 @settings(max_examples=150, deadline=None)

@@ -31,10 +31,17 @@ from . import data
 
 
 def geocode(text: str, coords: list[tuple[float, float]] | None = None,
-            features: tuple = ("places", "countries", "taxons", "postal")) -> list[dict]:
+            features: tuple = ("places", "countries", "taxons", "postal"),
+            prefer_countries: list[str] | None = None,
+            prefer_locations: list[tuple[float, float]] | None = None) -> list[dict]:
     """Per-turn geotagging; returns flat match dicts (schemas.MATCH_STRUCT
     field subset).  ``coords`` are (lat, lon) pairs from XCoord for the
-    coordinate-association rule."""
+    coordinate-association rule.  ``prefer_countries`` (ISO2) and
+    ``prefer_locations`` ((lat, lon) pairs) are the Xlayer request options
+    ``preferred_countries`` / ``preferred_locations``
+    (TaggerResource.java:176-224): K11 scores preferred country +0.5 and
+    preferred-location geohash prefix +1.0 (LocationChooserRule.java:186-295),
+    K13 adds +5 confidence for a preferred choice."""
     from .matcher import tokens_with_offsets
     toks = tokens_with_offsets(text)       # tokenize once, share both scans
     if not toks:
@@ -42,6 +49,7 @@ def geocode(text: str, coords: list[tuple[float, float]] | None = None,
     cands = tag_places(text, toks=toks)
     taxons = tag_taxons(text, toks=toks)
     scope = R.Scope()
+    scope.set_preferences(prefer_countries, prefer_locations)
 
     for _s, _e, _m, kind, _canon, cc in taxons:
         if kind == "nationality" and cc:

@@ -314,6 +314,15 @@ class Scope:
         self.mentioned_countries: set[str] = set()
         self.admins: set[str] = set()
         self.coord_geohashes: set[str] = set()
+        self.preferred_ccs: set[str] = set()
+        self.preferred_geohashes: set[str] = set()
+
+    def set_preferences(self, ccs, locations) -> None:
+        """Xlayer request options preferred_countries / preferred_locations
+        (TaggerResource.java:176-224)."""
+        self.preferred_ccs = {c.upper() for c in (ccs or [])}
+        self.preferred_geohashes = {geohash_encode(lat, lon, 5)
+                                    for lat, lon in (locations or [])}
 
     def country(self, cc: str | None, mentioned: bool = False) -> None:
         if cc:
@@ -344,6 +353,14 @@ def location_chooser_rule(cands: list[PlaceCandidate], scope: Scope) -> None:
                     geohash_encode(p.lat, p.lon, 5)[:4] == gh[:4]
                     for gh in scope.coord_geohashes):
                 c.score_place(p, 1.0, "LocationChooser.geohash")
+            # K11 preferred boosts (LocationChooserRule.java:186-295):
+            # preferred country +0.5, preferred-location geohash prefix +1.0
+            if p.cc in scope.preferred_ccs:
+                c.score_place(p, 0.5, "LocationChooser.preferCountry")
+            if scope.preferred_geohashes and any(
+                    geohash_encode(p.lat, p.lon, 5)[:4] == gh[:4]
+                    for gh in scope.preferred_geohashes):
+                c.score_place(p, 1.0, "LocationChooser.preferLocation")
 
         ranked = sorted(c.places,
                         key=lambda p: (-c.total_score(p), -p.id_bias, p.place_id))
@@ -403,4 +420,8 @@ def _assess_confidence(c: PlaceCandidate, scope: Scope) -> None:
         s1, s2 = c.total_score(p), c.total_score(c.second)
         if s2 > 0 and s1 / max(s2, 1e-9) > 1.2:
             conf += 5
+    # K13 "preferred +5": the CHOSEN geo matched a caller preference
+    if ((id(p), "LocationChooser.preferCountry") in c.scores
+            or (id(p), "LocationChooser.preferLocation") in c.scores):
+        conf += 5
     c.confidence = max(0, min(100, conf))

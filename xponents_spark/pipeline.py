@@ -37,7 +37,9 @@ def _match_row(**kw) -> dict:
     return row
 
 
-def extract_turn(text: str, features: tuple) -> tuple[str, list[dict]]:
+def extract_turn(text: str, features: tuple,
+                 prefer_countries: tuple = (),
+                 prefer_locations: tuple = ()) -> tuple[str, list[dict]]:
     """Pure per-turn extraction: main-content recovery then pattern families.
     Offsets are into ``main_text``.  Import-inside keeps executor pickles
     small; modules cache their compiled managers process-wide."""
@@ -91,7 +93,9 @@ def extract_turn(text: str, features: tuple) -> tuple[str, list[dict]]:
                       if f in features)
     if geo_feats:
         from .gazetteer import geocode
-        for g in geocode(main, coords=coords, features=geo_feats):
+        for g in geocode(main, coords=coords, features=geo_feats,
+                         prefer_countries=list(prefer_countries),
+                         prefer_locations=list(prefer_locations)):
             out.append(_match_row(**g))
 
     # stable output ordering by span (reference orders candidates by start
@@ -101,13 +105,21 @@ def extract_turn(text: str, features: tuple) -> tuple[str, list[dict]]:
 
 
 def extract(df: DataFrame, features: Iterable[str] = DEFAULT_FEATURES,
-            text_col: str = "text") -> DataFrame:
+            text_col: str = "text",
+            prefer_countries: Iterable[str] = (),
+            prefer_locations: Iterable[tuple] = ()) -> DataFrame:
     """Append ``main_text`` + ``matches`` columns via one mapInPandas stage.
+
+    ``prefer_countries`` / ``prefer_locations`` are the Xlayer request
+    options (preferred geography bias, TaggerResource.java:176-224),
+    shipped to executors via closure capture as job parameters.
 
     The plan stays scan -> project -> mapInPandas: no shuffle, predicate
     pushdown and column pruning reach the parquet scan untouched.
     """
     feats = tuple(features)
+    prefs_cc = tuple(prefer_countries)
+    prefs_loc = tuple(tuple(x) for x in prefer_locations)
     out_schema = extraction_output_schema(df.schema)
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
@@ -115,7 +127,7 @@ def extract(df: DataFrame, features: Iterable[str] = DEFAULT_FEATURES,
             mains = []
             matches = []
             for text in pdf[text_col].tolist():
-                main, rows = extract_turn(text, feats)
+                main, rows = extract_turn(text, feats, prefs_cc, prefs_loc)
                 mains.append(main)
                 matches.append(rows)
             pdf = pdf.copy()
