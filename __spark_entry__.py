@@ -152,7 +152,7 @@ def q_pdf_roundtrip(spark, sf_dir):
                 "payload": [make_simple_pdf(t) for t in pdf["text"].tolist()]})
 
     return convert_binary_docs(docs.mapInPandas(mk, schema=schema),
-                               "payload", "text")
+                               "payload", "text").select("doc_id", "text")
 
 
 def q_exact_dedup(spark, sf_dir):

@@ -123,22 +123,43 @@ def convert_document(payload: bytes) -> str:
     return extract_main_content(decode_bytes(payload))
 
 
+def doc_kind(payload: bytes) -> str:
+    """Payload sniffing: pdf / html / text (the ConvertedDocument mime
+    analog)."""
+    from .pdf import is_pdf
+    if payload is None:
+        return "empty"
+    if is_pdf(payload):
+        return "pdf"
+    if is_htmlish(decode_bytes(payload[:4096])):
+        return "html"
+    return "text"
+
+
 def convert_binary_docs(df, payload_col: str = "payload",
                         out_col: str = "text"):
-    """Spark plumbing: binary payload column -> extracted text column via
-    one Arrow-batched mapInPandas stage (no per-row Python UDF)."""
+    """Spark plumbing: binary payload column -> extracted text column plus
+    conversion metadata (the reference's ConvertedDocument carries
+    buffer/filesize/mime — BasicGeoTemporalProcessing.java:135-157) via one
+    Arrow-batched mapInPandas stage (no per-row Python UDF)."""
     import pandas as pd
     from pyspark.sql import types as T
 
     fields = [f for f in df.schema.fields if f.name != payload_col]
-    schema = T.StructType(fields + [T.StructField(out_col, T.StringType())])
+    schema = T.StructType(fields + [
+        T.StructField(out_col, T.StringType()),
+        T.StructField("doc_kind", T.StringType()),
+        T.StructField("n_bytes", T.LongType()),
+    ])
     names = [f.name for f in fields]
 
     def run(batches):
         for pdf in batches:
+            payloads = pdf[payload_col].tolist()
             out = pdf[names].copy()
-            out[out_col] = [convert_document(p)
-                            for p in pdf[payload_col].tolist()]
+            out[out_col] = [convert_document(p) for p in payloads]
+            out["doc_kind"] = [doc_kind(p) for p in payloads]
+            out["n_bytes"] = [len(p) if p is not None else 0 for p in payloads]
             yield out
 
     return df.mapInPandas(run, schema=schema)
