@@ -77,7 +77,9 @@ def q_main_content(spark, sf_dir):
 
 def q_xcoord(spark, sf_dir):
     ex = exploded_matches(_extracted(spark, sf_dir), label="coord")
-    return ex.select(*_MATCH_BASE_COLS, "lat", "lon", "prec", "geohash")
+    # cc/adm1/name/place_id are the J4 reverse-geocode enrichment
+    return ex.select(*_MATCH_BASE_COLS, "lat", "lon", "prec", "geohash",
+                     "cc", "adm1", "name", "place_id")
 
 
 def q_xtemporal(spark, sf_dir):
@@ -282,9 +284,12 @@ def oracle_sql() -> dict[str, str]:
         "transcripts_synth": O.transcripts_oracle(),
         "main_content": O.main_content_oracle(),
         "xcoord_extract": O.extraction_oracle(
-            ("coord",), ("lat", "lon", "prec", "geohash"),
+            ("coord",), ("lat", "lon", "prec", "geohash",
+                         "cc", "adm1", "name", "place_id"),
             ", exp.lat AS lat, exp.lon AS lon, "
-            "CAST(exp.prec AS INTEGER) AS prec, exp.geohash AS geohash"),
+            "CAST(exp.prec AS INTEGER) AS prec, exp.geohash AS geohash, "
+            "exp.cc AS cc, exp.adm1 AS adm1, exp.name AS name, "
+            "exp.place_id AS place_id"),
         "xtemporal_extract": O.extraction_oracle(
             ("date",), ("date_norm", "epoch", "resolution"),
             ", exp.date_norm AS date_norm, CAST(exp.epoch AS BIGINT) AS epoch, "
