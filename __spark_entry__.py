@@ -113,6 +113,16 @@ def q_taxons(spark, sf_dir):
               .select(*_MATCH_BASE_COLS, "taxon", "catalog", "cc"))
 
 
+def q_conv_scoped_places(spark, sf_dir):
+    """Two-pass conversation-scope extraction (rows-only: the re-chosen
+    geography depends on engine scoring, not SQL-expressible)."""
+    from xponents_spark.pipeline import extract_conversation_scoped
+    out = extract_conversation_scoped(synthesize_transcripts(spark, sf_dir))
+    ex = exploded_matches(out)
+    return (ex.filter(F.col("label").isin("place", "country"))
+              .select(*_MATCH_BASE_COLS, "cc", "confidence"))
+
+
 def q_conv_geography(spark, sf_dir):
     """A1 at conversation scope: per-conversation country mention counts
     (the reference's relevantCountries, rolled up over the conv's turns)."""
@@ -259,6 +269,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "taxon_extract": q_taxons,
         "country_histogram": q_country_histogram,
         "conv_geography": q_conv_geography,
+        "conv_scoped_places": q_conv_scoped_places,   # rows-only (two-pass rescore)
         "match_label_histogram": q_label_histogram,
         "pdf_text_recovery": q_pdf_roundtrip,
         "exact_dedup": q_exact_dedup,

@@ -254,3 +254,26 @@ def test_exploded_matches_shape(spark, sf_dir):
     rows = ex.collect()
     assert rows
     assert {"conv_id", "turn_idx", "span_start", "label"} <= set(ex.columns)
+
+
+def test_conversation_scope_rescoring(spark):
+    """Two-pass conversation-scope extraction: a confident country mention
+    in one turn flips an ambiguous city in another turn of the SAME
+    conversation; other conversations are untouched."""
+    import datetime
+    from xponents_spark.pipeline import extract_conversation_scoped
+    ts = datetime.datetime(2025, 1, 1)
+    rows = [
+        ("c1", 0, "user", "we are based in United States these days", None, ts),
+        ("c1", 1, "assistant", "meet in Vancouver next week", None, ts),
+        ("c2", 0, "user", "meet in Vancouver next week", None, ts),
+    ]
+    df = spark.createDataFrame(
+        rows, "conv_id string, turn_idx int, role string, text string, "
+              "tool string, ts timestamp")
+    out = {(r["conv_id"], r["turn_idx"]):
+           [(m["matchtext"], m["cc"]) for m in r["matches"]
+            if m["label"] == "place"]
+           for r in extract_conversation_scoped(df).collect()}
+    assert out[("c1", 1)] == [("Vancouver", "US")]   # conv context applied
+    assert out[("c2", 0)] == [("Vancouver", "CA")]   # no context: default

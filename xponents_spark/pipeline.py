@@ -138,6 +138,66 @@ def extract(df: DataFrame, features: Iterable[str] = DEFAULT_FEATURES,
     return df.mapInPandas(run, schema=out_schema)
 
 
+def extract_conversation_scoped(df: DataFrame,
+                                features: Iterable[str] = DEFAULT_FEATURES,
+                                text_col: str = "text",
+                                min_confidence: int = 60,
+                                vote_confidence: int = 65) -> DataFrame:
+    """Two-pass conversation-scope extraction: the reference's document-scope
+    country inference (relevantCountries, PlaceGeocoder.java:400-411; chooser
+    country bias, LocationChooserRule.java:186-295) lifted to conversation
+    scope — something the one-document-at-a-time reference cannot do.
+
+    Pass 1: per-turn extraction (map-only).  Then one narrow shuffle
+    computes each conversation's dominant country from its CONFIDENT geo
+    matches, and ONLY turns that carry a low-confidence place match
+    re-extract with that country as preferred geography (K11 +0.5 bias) —
+    the second Arrow pass touches just the ambiguous slice, and the
+    conv->country map rides a broadcast join.
+    """
+    from pyspark.sql import functions as F
+
+    feats = tuple(features)
+    ext = extract(df, feats, text_col)
+
+    geo = (ext.select("conv_id", F.explode("matches").alias("m"))
+              .filter(F.col("m.label").isin("place", "country")
+                      & (F.col("m.confidence") >= vote_confidence)
+                      & F.col("m.cc").isNotNull()))
+    votes = (geo.groupBy("conv_id", F.col("m.cc").alias("cc"))
+                .agg(F.count("*").alias("n")))
+    pref = (votes.groupBy("conv_id")
+                 .agg(F.expr("max_by(cc, struct(n, cc))").alias("cc_pref")))
+
+    ambiguous = F.exists(
+        "matches", lambda m: (m["label"] == "place")
+        & (m["confidence"] < F.lit(min_confidence)))
+    redo = (ext.filter(ambiguous)
+               .join(F.broadcast(pref), "conv_id", "inner"))
+
+    out_schema = ext.schema
+    in_names = [f.name for f in out_schema.fields]
+
+    def rerun(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            mains, matches = [], []
+            for text, cc in zip(pdf[text_col].tolist(),
+                                pdf["cc_pref"].tolist()):
+                main, rows = extract_turn(text, feats,
+                                          prefer_countries=(cc,))
+                mains.append(main)
+                matches.append(rows)
+            pdf = pdf.copy()
+            pdf["main_text"] = mains
+            pdf["matches"] = matches
+            yield pdf[in_names]
+
+    redone = redo.mapInPandas(rerun, schema=out_schema)
+    kept = ext.join(redo.select("conv_id", "turn_idx"),
+                    ["conv_id", "turn_idx"], "left_anti")
+    return kept.unionByName(redone)
+
+
 def characterize(df: DataFrame, text_col: str = "text") -> DataFrame:
     """Case/script characterization columns (the reference's TextInput
     derivation: isLower/isUpper/hasCJK/hasMiddleEastern —
