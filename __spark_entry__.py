@@ -212,6 +212,14 @@ def q_ann_lsh(spark, sf_dir):
             .select("query_id", "vec_id", "rank"))
 
 
+def q_ann_ivf(spark, sf_dir):
+    """IVF coarse-quantizer ANN (rows-only: approximate by design)."""
+    from xponents_spark.operators.similarity import cosine_topk_ivf
+    qs = _queries_from(spark, sf_dir)
+    return (cosine_topk_ivf(_emb(spark, sf_dir), qs, k=5, nprobe=4)
+            .select("query_id", "vec_id", "rank"))
+
+
 def q_event_hourly(spark, sf_dir):
     """Tumbling-window aggregation over the events stream table: counts,
     integer-cent sums (deterministic across engines), distinct users."""
@@ -285,6 +293,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cosine_pairs": q_cosine_pairs,
         "embedding_near_dups": q_embedding_near_dups,   # rows-only (LSH approx)
         "ann_lsh_topk": q_ann_lsh,          # rows-only (approximate op)
+        "ann_ivf_topk": q_ann_ivf,          # rows-only (approximate op)
         "minhash_near_dups": q_minhash_dedup,   # rows-only
         "simhash_near_dups": q_simhash_dedup,   # rows-only
     }

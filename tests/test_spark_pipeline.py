@@ -277,3 +277,26 @@ def test_conversation_scope_rescoring(spark):
            for r in extract_conversation_scoped(df).collect()}
     assert out[("c1", 1)] == [("Vancouver", "US")]   # conv context applied
     assert out[("c2", 0)] == [("Vancouver", "CA")]   # no context: default
+
+
+def test_ivf_topk_recall(spark, sf_dir):
+    """IVF ANN: deterministic centroids, and probing nprobe lists recovers
+    most of the exact top-k (recall vs brute force >= 0.6 at nprobe=4/16)."""
+    from xponents_spark.operators.similarity import (
+        cosine_topk_bruteforce, cosine_topk_ivf, train_ivf_centroids)
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    qs = [(int(r["vec_id"]), list(r["embedding"]))
+          for r in emb.filter("vec_id < 5").collect()]
+    cents1 = train_ivf_centroids(emb)
+    cents2 = train_ivf_centroids(emb)
+    assert (cents1 == cents2).all()          # deterministic training
+
+    exact = {}
+    for r in cosine_topk_bruteforce(emb, qs, k=5).collect():
+        exact.setdefault(r["query_id"], set()).add(r["vec_id"])
+    approx = {}
+    for r in cosine_topk_ivf(emb, qs, k=5, nprobe=4, centroids=cents1).collect():
+        approx.setdefault(r["query_id"], set()).add(r["vec_id"])
+    recalls = [len(exact[q] & approx.get(q, set())) / len(exact[q])
+               for q in exact]
+    assert sum(recalls) / len(recalls) >= 0.6, recalls

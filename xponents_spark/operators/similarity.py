@@ -205,3 +205,90 @@ def cosine_topk_lsh(df: DataFrame, queries: list[tuple[int, list[float]]],
                 Window.partitionBy("query_id")
                       .orderBy(F.col("sim").desc(), F.col("vec_id").asc())))
             .filter(F.col("rank") <= k))
+
+
+# --- IVF (inverted-file) ANN: the coarse-quantizer scale path ----------------
+
+def train_ivf_centroids(df: DataFrame, n_centroids: int = 16,
+                        sample: int = 2048, iters: int = 10, seed: int = 42,
+                        id_col: str = "vec_id",
+                        vec_col: str = "embedding") -> np.ndarray:
+    """Deterministic spherical k-means coarse quantizer.  The training
+    sample is a bounded, deterministic slice collected to the driver (the
+    centroid matrix is what broadcasts — k x dim, tiny); assignment and
+    search stay distributed."""
+    rows = (df.select(id_col, vec_col).orderBy(id_col).limit(sample)
+              .collect())
+    x = _unit(np.array([r[vec_col] for r in rows], dtype=np.float64))
+    rng = np.random.RandomState(seed)
+    cent = x[rng.choice(len(x), size=min(n_centroids, len(x)), replace=False)]
+    for _ in range(iters):
+        assign = (x @ cent.T).argmax(axis=1)
+        for c in range(len(cent)):
+            members = x[assign == c]
+            if len(members):
+                cent[c] = members.mean(axis=0)
+        cent = _unit(cent)
+    return cent
+
+
+def ivf_assign(df: DataFrame, centroids: np.ndarray,
+               id_col: str = "vec_id", vec_col: str = "embedding") -> DataFrame:
+    """Assign each vector to its nearest centroid (the inverted list id)."""
+    schema = T.StructType([
+        T.StructField(id_col, T.LongType(), False),
+        T.StructField("list_id", T.IntegerType(), False),
+    ])
+
+    def run(batches):
+        for pdf in batches:
+            mat = _unit(np.array(pdf[vec_col].tolist(), dtype=np.float64))
+            lists = (mat @ centroids.T).argmax(axis=1).astype(np.int32)
+            yield pd.DataFrame({id_col: pdf[id_col], "list_id": lists})
+
+    return df.select(id_col, vec_col).mapInPandas(run, schema=schema)
+
+
+def cosine_topk_ivf(df: DataFrame, queries: list[tuple[int, list[float]]],
+                    k: int = 5, n_centroids: int = 16, nprobe: int = 4,
+                    id_col: str = "vec_id", vec_col: str = "embedding",
+                    centroids: np.ndarray | None = None) -> DataFrame:
+    """IVF approximate top-k: each query probes its ``nprobe`` nearest
+    inverted lists and brute-forces only those — search cost scales with
+    corpus/n_centroids x nprobe, not the corpus.  At 100 TB the centroids
+    train once offline and both the assignment column and the per-list
+    layout persist with the table (cluster-by list_id), so a query touches
+    nprobe partitions."""
+    if centroids is None:
+        centroids = train_ivf_centroids(df, n_centroids, id_col=id_col,
+                                        vec_col=vec_col)
+    probe_rows = []
+    qmap = {}
+    for qid, vec in queries:
+        q = _unit(np.array([vec], dtype=np.float64))[0]
+        qmap[qid] = q
+        order = np.argsort(-(centroids @ q))[:nprobe]
+        probe_rows.extend((qid, int(c)) for c in order)
+
+    assigned = df.join(ivf_assign(df, centroids, id_col, vec_col), id_col)
+    spark = df.sparkSession
+    probe_df = spark.createDataFrame(probe_rows, ["query_id", "list_id"])
+    candidates = (assigned.join(F.broadcast(probe_df), "list_id")
+                          .select("query_id", id_col, vec_col))
+
+    def score(batches):
+        for pdf in batches:
+            mat = _unit(np.array(pdf[vec_col].tolist(), dtype=np.float64))
+            qarr = np.array([qmap[q] for q in pdf["query_id"]])
+            sims = (qarr * mat).sum(axis=1)
+            yield pd.DataFrame({"query_id": pdf["query_id"],
+                                "vec_id": pdf[id_col],
+                                "sim": sims})
+
+    scored = candidates.mapInPandas(score, schema=_PAIR_SCHEMA)
+    return (scored
+            .filter(F.col("vec_id") != F.col("query_id"))
+            .withColumn("rank", F.row_number().over(
+                Window.partitionBy("query_id")
+                      .orderBy(F.col("sim").desc(), F.col("vec_id").asc())))
+            .filter(F.col("rank") <= k))
