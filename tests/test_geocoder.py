@@ -209,3 +209,18 @@ def test_preferred_geography_options():
                                    prefer_countries=["CA"])
                 if m["label"] == "place"]
     assert still_gb[0]["cc"] == "GB"
+
+
+def test_giant_entity_dense_turn_is_not_quadratic():
+    """Skew-class guard (SCALE.md): a 500 KB turn with thousands of coords,
+    dates, phones and place mentions must complete in seconds — the
+    coords x geos proximity sweep and the tagger overlap resolution are
+    bucketed/bisected, not all-pairs (was 270 s/MB before)."""
+    import time
+    from xponents_spark.pipeline import extract_turn, DEFAULT_FEATURES
+    text = ("visit London on 09/22/2017 call (703) 555-1212 at "
+            "38SMB4611036560 cost $12.50 ") * 6500
+    t0 = time.time()
+    main, ms = extract_turn(text, DEFAULT_FEATURES)
+    assert time.time() - t0 < 30
+    assert len(ms) > 20000

@@ -214,13 +214,23 @@ class PhraseIndex:
 
 def _longest_dominant_right(matches):
     """Solr tagger overlap policy: longer span dominates; equal length
-    prefers the rightmost (GazetteerMatcher.java:156-161 semantics)."""
-    accepted: list[tuple[int, int, str, list]] = []
+    prefers the rightmost (GazetteerMatcher.java:156-161 semantics).
+
+    Accepted spans are pairwise disjoint, so overlap testing is a bisect
+    against their sorted starts (predecessor must end before m.start,
+    successor must start at/after m.end) — O(n log n) where the naive
+    all-pairs sweep is quadratic on tag-dense giant turns."""
+    import bisect
+    starts: list[int] = []      # sorted starts of accepted spans
+    by_start: list[tuple[int, int, str, list]] = []
     for m in sorted(matches, key=lambda m: (-(m[1] - m[0]), -m[0])):
-        if all(m[1] <= a[0] or m[0] >= a[1] for a in accepted):
-            accepted.append(m)
-    accepted.sort(key=lambda m: m[0])
-    return accepted
+        i = bisect.bisect_right(starts, m[0])
+        if (i > 0 and by_start[i - 1][1] > m[0]) or \
+           (i < len(starts) and by_start[i][0] < m[1]):
+            continue
+        starts.insert(i, m[0])
+        by_start.insert(i, m)
+    return by_start
 
 
 # --- gazetteer index (lazy process singleton — executor 'pump priming') -----

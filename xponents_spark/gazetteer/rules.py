@@ -265,22 +265,49 @@ def coordinate_association_rule(cands: list[PlaceCandidate],
                                 coords: list[tuple[float, float]],
                                 scope: "Scope") -> None:
     """Weight 5 x proximity within 10 km
-    (rules/CoordinateAssociationRule.java:30-138)."""
+    (rules/CoordinateAssociationRule.java:30-138).
+
+    Entity-dense giant turns can carry thousands of coords AND thousands of
+    candidate geos, so the naive coords x geos haversine sweep is quadratic
+    (measured 270 s on a 1 MB adversarial turn).  Bound it: coords dedupe to
+    ~11 m resolution and bucket into 0.2-degree latitude bands — latitude
+    difference alone lower-bounds great-circle distance, so only coords in
+    the geo's own +/-1 band can be within 10 km — and per-geo best proximity
+    memoizes across mentions of the same location."""
     if not coords:
         return
-    for lat, lon in coords:
+    uniq = {(round(lat, 4), round(lon, 4)) for lat, lon in coords}
+    for lat, lon in uniq:
         scope.coord_geohashes.add(geohash_encode(lat, lon, 5))
+    bands: dict[int, list[tuple[float, float]]] = {}
+    for lat, lon in uniq:
+        bands.setdefault(int(lat // 0.2), []).append((lat, lon))
+    memo: dict[tuple[float, float], float] = {}
+
+    def best_proximity(glat: float, glon: float) -> float:
+        key = (glat, glon)
+        hit = memo.get(key)
+        if hit is not None:
+            return hit
+        best = 0.0
+        for band in {int((glat - 0.1) // 0.2), int(glat // 0.2),
+                     int((glat + 0.1) // 0.2)}:
+            for lat, lon in bands.get(band, ()):
+                d = haversine_m(lat, lon, glat, glon)
+                if d < 10000:
+                    best = max(best, 1.0 - d / 10000.0)
+        memo[key] = best
+        return best
+
     for c in cands:
         if c.filtered_out:
             continue
         for p in c.places:
-            for lat, lon in coords:
-                d = haversine_m(lat, lon, p.lat, p.lon)
-                if d < 10000:
-                    prox = 1.0 - d / 10000.0
-                    c.score_place(p, 0.5 * prox, "Coordinate.proximity")
-                    c.evidence_cc.add(p.cc)
-                    c.add_rule("Coordinate.proximity")
+            prox = best_proximity(p.lat, p.lon)
+            if prox > 0.0:
+                c.score_place(p, 0.5 * prox, "Coordinate.proximity")
+                c.evidence_cc.add(p.cc)
+                c.add_rule("Coordinate.proximity")
 
 
 # --- A4/K-heatmap: geohash co-location --------------------------------------------
