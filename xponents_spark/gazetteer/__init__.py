@@ -69,13 +69,21 @@ def geocode(text: str, coords: list[tuple[float, float]] | None = None,
 
     # qualified candidates (NAME,CODE or 'city of X') suppress their
     # person-taxon twin ('Jackson MISS' is a place, not a person)
-    resurrected = [(c.start, c.merged_end or c.end) for c in cands
-                   if not c.filtered_out
-                   and (c.linked_admin is not None
-                        or any(r.startswith("NameRule") for r in c.rules))]
+    import bisect
+    resurrected = sorted((c.start, c.merged_end or c.end) for c in cands
+                         if not c.filtered_out
+                         and (c.linked_admin is not None
+                              or any(r.startswith("NameRule") for r in c.rules)))
+    res_starts = [s for s, _e in resurrected]
+    max_res = max((e - s for s, e in resurrected), default=0)
+
+    def _covered(t0: int, t1: int) -> bool:
+        lo = bisect.bisect_left(res_starts, t0 - max_res)
+        hi = bisect.bisect_right(res_starts, t0)
+        return any(s <= t0 and t1 <= e for s, e in resurrected[lo:hi])
+
     taxons = [t for t in taxons
-              if not (t[3] == "person"
-                      and any(s <= t[0] and t[1] <= e for s, e in resurrected))]
+              if not (t[3] == "person" and _covered(t[0], t[1]))]
 
     out: list[dict] = []
     if "places" in features or "countries" in features:

@@ -65,6 +65,7 @@ def tag_postals(text: str, cands: list[PlaceCandidate],
     src/test/resources/data/postal-addresses.json:1-6); other codes accept
     country scope alone.
     """
+    import bisect
     anchors = []
     for c in cands:
         for p in c.places:
@@ -72,6 +73,17 @@ def tag_postals(text: str, cands: list[PlaceCandidate],
                 anchors.append((c.start, c.end, p))
         if c.linked_admin is not None:
             anchors.append((c.start, c.merged_end or c.end, c.linked_admin))
+    # adjacency is <=30 chars, so only anchors in a bisect window around the
+    # code can match — the all-anchors scan was quadratic on giant turns
+    anchors.sort(key=lambda a: a[0])
+    starts = [a[0] for a in anchors]
+    max_len = max((e - s for s, e, _p in anchors), default=0)
+
+    def nearby(s0: int, e0: int, pad: int = 30):
+        lo = bisect.bisect_left(starts, s0 - pad - max_len)
+        hi = bisect.bisect_right(starts, e0 + pad)
+        return anchors[lo:hi]
+
     out = []
     for m in _POSTAL_TOKEN.finditer(text):
         # try the full token (UK 'SW1A 1AA'), then space/dash-split parts
@@ -92,15 +104,16 @@ def tag_postals(text: str, cands: list[PlaceCandidate],
                 break
         if not rows:
             continue
+        near = nearby(s0, e0)
         for cc, adm1, raw_code, name, lat, lon in rows:
             adj_admin = any(
                 p.is_admin1 and p.cc == cc and p.adm1 == adm1
                 and min(abs(s0 - e), abs(s - e0)) <= 10
-                for s, e, p in anchors)
+                for s, e, p in near)
             adj_country = adj_admin or cc in country_scope or any(
                 p.is_country and p.cc == cc
                 and min(abs(s0 - e), abs(s - e0)) <= 30
-                for s, e, p in anchors)
+                for s, e, p in near)
             if _YEAR_LIKE.match(code) and not adj_admin:
                 continue   # 2021 is a year unless 'NSW 2021'-qualified
             if not adj_country:

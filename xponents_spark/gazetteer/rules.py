@@ -153,12 +153,20 @@ def person_org_filter(cands: list[PlaceCandidate],
     """Taxon spans (person/org) suppress coinciding place candidates;
     person titles before a name also suppress; NameCode qualification
     resurrects (handled in name_code_rule which runs after)."""
-    spans = [(s, e, kind) for (s, e, _m, kind, _c, _cc) in taxons
-             if kind in ("person", "org")]
+    import bisect
+    spans = sorted((s, e, kind) for (s, e, _m, kind, _c, _cc) in taxons
+                   if kind in ("person", "org"))
+    span_starts = [s for s, _e, _k in spans]
+    max_span = max((e - s for s, e, _k in spans), default=0)
     for c in cands:
         if c.filtered_out:
             continue
-        for s, e, kind in spans:
+        # containment needs s <= c.start, so only spans starting within
+        # max_span chars before c.start can cover it (bisect window — the
+        # all-spans scan was quadratic on taxon-dense giant turns)
+        lo = bisect.bisect_left(span_starts, c.start - max_span)
+        hi = bisect.bisect_right(span_starts, c.start)
+        for s, e, kind in spans[lo:hi]:
             if c.start >= s and c.end <= e:
                 c.filtered_out = True
                 c.filter_reason = "person" if kind == "person" else "org"
