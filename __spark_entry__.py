@@ -262,7 +262,8 @@ def q_minhash_dedup(spark, sf_dir):
 
 
 def q_simhash_dedup(spark, sf_dir):
-    return simhash_near_dups(_docs(spark, sf_dir), max_hamming=8)
+    # hamming<=3 is the radius the 4x16-bit block scheme covers completely
+    return simhash_near_dups(_docs(spark, sf_dir), max_hamming=3)
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:

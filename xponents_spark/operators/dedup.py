@@ -168,7 +168,11 @@ def ngram_jaccard_pairs(df: DataFrame, text_col: str = "text",
 def simhash_near_dups(df: DataFrame, text_col: str = "text",
                       id_col: str = "doc_id", max_hamming: int = 3) -> DataFrame:
     """64-bit SimHash near-dups: 4x16-bit block join (pigeonhole: hamming<=3
-    guarantees one identical block), then exact Hamming verify."""
+    guarantees one identical block), then exact Hamming verify.
+
+    NOTE: recall is complete only for max_hamming <= 3 with 4 blocks; a
+    looser threshold can miss pairs whose differing bits spread across all
+    blocks (use more/finer blocks for larger radii)."""
     out_schema = T.StructType([
         T.StructField(id_col, df.schema[id_col].dataType, False),
         T.StructField("simhash", T.LongType(), False),
