@@ -63,3 +63,26 @@ def test_reduce_matches_disjoint():
     a, b = _mk("ab", 0, 2), _mk("cd", 5, 7)
     reduce_matches([a, b])
     assert not (a.is_overlap or b.is_overlap or a.is_duplicate or b.is_submatch)
+
+
+def test_false_positive_traps():
+    """Common real-world trap strings must extract nothing (version strings,
+    invalid dates, bare years, ratios, MGRS/date collisions)."""
+    from xponents_spark.pipeline import extract_turn, DEFAULT_FEATURES
+    traps = [
+        "version 3.14.159 released",
+        "pip install pkg==2.4.1 now",
+        "v1.2.3.4 build tag",
+        "order #1234-5678 shipped",
+        "IP 999.999.999.999 invalid",
+        "on 13/13/2020 nothing",
+        "price 1,234,567 units",
+        "see section 42.18 paragraph 3",
+        "ratio 16:9 and 4:3",
+        "serial 38SMB was debated",
+        "phone ext 5551212",
+        "the year 2021 passed",
+    ]
+    for t in traps:
+        _, ms = extract_turn(t, DEFAULT_FEATURES)
+        assert ms == [], (t, [(m["label"], m["matchtext"]) for m in ms])
