@@ -143,6 +143,13 @@ def q_label_histogram(spark, sf_dir):
     return ex.groupBy("label").agg(F.count("*").alias("n_matches"))
 
 
+def q_gazetteer_etl(spark, sf_dir):
+    """S5: raw name rows -> deduped, bias-scored, taggable gazetteer."""
+    from xponents_spark.sources.gazetteer_etl import (
+        gazetteer_etl, synthesize_raw_gazetteer)
+    return gazetteer_etl(synthesize_raw_gazetteer(spark, sf_dir))
+
+
 def q_pdf_roundtrip(spark, sf_dir):
     """S1 PDF path: each document rendered to a deterministic PDF (binary
     column), then the text layer recovered by the pure-python extractor —
@@ -280,6 +287,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "conv_geography": q_conv_geography,
         "conv_scoped_places": q_conv_scoped_places,   # rows-only (two-pass rescore)
         "match_label_histogram": q_label_histogram,
+        "gazetteer_etl": q_gazetteer_etl,
         "pdf_text_recovery": q_pdf_roundtrip,
         "exact_dedup": q_exact_dedup,
         "prefix_dedup": q_prefix_dedup,
@@ -337,6 +345,7 @@ def oracle_sql() -> dict[str, str]:
         "country_histogram": O.country_histogram_oracle(),
         "conv_geography": O.conv_geography_oracle(),
         "match_label_histogram": O.label_histogram_oracle(),
+        "gazetteer_etl": O.gazetteer_etl_oracle(),
         "pdf_text_recovery": "SELECT doc_id, text FROM documents",
         "exact_dedup": O.EXACT_DEDUP_ORACLE,
         "prefix_dedup": O.PREFIX_DEDUP_ORACLE,

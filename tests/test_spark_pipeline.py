@@ -300,3 +300,29 @@ def test_ivf_topk_recall(spark, sf_dir):
     recalls = [len(exact[q] & approx.get(q, set())) / len(exact[q])
                for q in exact]
     assert sum(recalls) / len(recalls) >= 0.6, recalls
+
+
+def test_gazetteer_etl_semantics(spark, sf_dir):
+    """S5 ETL: dedup keeps one row per (name, geography, feature); trivial
+    lowercase shorts become search_only (excluded); codes pass for admin
+    features; id_bias follows the 70/30 population/feature gradient."""
+    from xponents_spark.sources.gazetteer_etl import (
+        gazetteer_etl, synthesize_raw_gazetteer)
+    raw = synthesize_raw_gazetteer(spark, sf_dir)
+    out = gazetteer_etl(raw).collect()
+    n_raw = raw.count()
+    names = [r["name"] for r in out]
+    assert len(names) == len(set((r["name"], r["name_type"]) for r in out))
+    assert len(out) < n_raw                       # dupes + search_only gone
+    assert all(not r["search_only"] for r in out)
+    assert all(r["name_bias"] >= 0 for r in out)
+    # trivial lowercase 4-char variants must have been pared out
+    assert not [n for n in names if n == n.lower() and len(n) < 5]
+    # codes survive only as admin features, with neutral name_bias
+    codes = [r for r in out if r["name_type"] == "C"]
+    assert codes and all(r["feat_class"] == "A" and r["name_bias"] == 0
+                         for r in codes)
+    # higher population -> higher id_bias within the same feature
+    full = {r["name"]: r for r in out if r["name_type"] == "N"}
+    pops = sorted(full.values(), key=lambda r: r["pop"])
+    assert pops[0]["id_bias"] <= pops[-1]["id_bias"]

@@ -215,6 +215,67 @@ SELECT doc_id,
 FROM documents
 """
 
+def gazetteer_etl_oracle() -> str:
+    """Mirror of sources/gazetteer_etl.py over the same nation-derived raw
+    rows: window dedup, 70/30 id_bias steps, name_bias heuristics, taggable
+    subset filter."""
+    from .sources.gazetteer_etl import DEFAULT_STOPNAMES
+    stoplist = ", ".join(_sq(s) for s in DEFAULT_STOPNAMES)
+    return f"""
+WITH nat AS (SELECT trim(n_name) AS nm, n_nationkey FROM nation),
+base AS (
+  SELECT 'N' || CAST(n_nationkey AS VARCHAR) AS place_id,
+         upper(substr(nm, 1, 1)) || lower(substr(nm, 2)) AS name,
+         'N' AS name_type, 'A' AS feat_class, 'PCLI' AS feat_code,
+         substr(nm, 1, 2) AS cc, '' AS adm1,
+         CAST(n_nationkey AS BIGINT) * 1000000 AS pop
+  FROM nat),
+raw AS (
+  SELECT * FROM base
+  UNION ALL SELECT * FROM base
+  UNION ALL
+  SELECT 'N' || CAST(n_nationkey AS VARCHAR), substr(nm, 1, 2), 'C', 'A',
+         'PCLI', substr(nm, 1, 2), '', CAST(n_nationkey AS BIGINT) * 1000000
+  FROM nat
+  UNION ALL
+  SELECT 'T' || CAST(n_nationkey AS VARCHAR), lower(substr(nm, 1, 4)), 'N',
+         'P', 'PPL', substr(nm, 1, 2), '', CAST(500 AS BIGINT)
+  FROM nat),
+dedup AS (
+  SELECT *, row_number() OVER (
+      PARTITION BY lower(name), name_type, cc, adm1, feat_class, feat_code
+      ORDER BY place_id) AS rn
+  FROM raw),
+scored AS (
+  SELECT place_id, name, name_type, feat_class, feat_code, cc, adm1, pop,
+    CAST(round((7 * (CASE WHEN pop >= 10000000 THEN 10
+                          WHEN pop >= 1000000 THEN 8
+                          WHEN pop >= 100000 THEN 6
+                          WHEN pop >= 10000 THEN 4
+                          WHEN pop >= 1000 THEN 2 ELSE 0 END)
+              + 3 * (CASE WHEN feat_code = 'ADM1' THEN 16
+                          WHEN feat_code LIKE 'PCL%' THEN 16
+                          WHEN feat_code = 'PPLC' THEN 15
+                          WHEN feat_code = 'ADM2' THEN 13
+                          WHEN feat_class = 'A' THEN 11
+                          WHEN feat_class = 'P' THEN 10 ELSE 5 END)) / 10.0)
+         AS INTEGER) AS id_bias,
+    CAST(CASE WHEN name_type != 'N' THEN 0
+              WHEN lower(name) IN ({stoplist}) THEN -100
+              WHEN length(name) < 5 AND name = lower(name) THEN -50
+              ELSE 10 + (CASE WHEN length(name) >= 10 THEN 20 ELSE 0 END)
+                      + (CASE WHEN name LIKE '% %' THEN 10 ELSE 0 END)
+                      + (CASE WHEN name != regexp_replace(name,
+                              '[^\\x00-\\x7F]', '?', 'g') THEN 10 ELSE 0 END)
+         END AS INTEGER) AS name_bias
+  FROM dedup WHERE rn = 1)
+SELECT *, name_bias < 0 AS search_only
+FROM scored
+WHERE name_bias >= 0
+  AND (name_type IN ('N', 'A') OR (name_type = 'C' AND feat_class = 'A'))
+"""
+
+
 COSINE_PAIRS_ORACLE = """
 WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings)
 SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
