@@ -224,3 +224,15 @@ def test_giant_entity_dense_turn_is_not_quadratic():
     main, ms = extract_turn(text, DEFAULT_FEATURES)
     assert time.time() - t0 < 30
     assert len(ms) > 20000
+
+
+def test_tag_limit_degrades_gracefully():
+    """A turn exceeding the 100k tag guardrail must not raise out of the
+    pipeline (it would fail the Spark task and, after retries, the job);
+    regex-family matches survive and a filtered sentinel marks the turn."""
+    from xponents_spark.pipeline import extract_turn, DEFAULT_FEATURES
+    text = ("San Diego, CA at 42.3N; 102.4W ") * 60000
+    main, ms = extract_turn(text, DEFAULT_FEATURES)
+    sentinel = [m for m in ms if m["label"] == "tag_limit_exceeded"]
+    assert len(sentinel) == 1 and sentinel[0]["filtered_out"]
+    assert any(m["label"] == "coord" for m in ms)   # regex families kept

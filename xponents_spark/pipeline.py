@@ -93,10 +93,22 @@ def extract_turn(text: str, features: tuple,
                       if f in features)
     if geo_feats:
         from .gazetteer import geocode
-        for g in geocode(main, coords=coords, features=geo_feats,
-                         prefer_countries=list(prefer_countries),
-                         prefer_locations=list(prefer_locations)):
-            out.append(_match_row(**g))
+        try:
+            for g in geocode(main, coords=coords, features=geo_feats,
+                             prefer_countries=list(prefer_countries),
+                             prefer_locations=list(prefer_locations)):
+                out.append(_match_row(**g))
+        except RuntimeError:
+            # TAG_LIMIT guardrail (reference: hard error per document,
+            # SolrMatcherSupport.java:46,186-195).  In a distributed map
+            # stage an exception would fail the task and, after retries,
+            # the whole 100 TB job for one pathological turn — degrade
+            # instead: keep the regex-family matches, skip geotagging for
+            # this turn, mark it with a filtered sentinel so downstream
+            # audits can count affected turns.
+            out.append(_match_row(
+                span_start=0, span_end=0, matchtext="",
+                label="tag_limit_exceeded", filtered_out=True))
 
     # stable output ordering by span (reference orders candidates by start
     # offset via TreeMap — GazetteerMatcher.java:445)
