@@ -214,16 +214,21 @@ def q_ann_topk(spark, sf_dir):
 
 
 def q_ann_lsh(spark, sf_dir):
+    # bits=5/probes=5 ~ 19% candidate fraction, recall@10 ~0.30 on the
+    # structure-free gaussian test embeddings (BENCH/BASELINE.md quality
+    # table) — the recall/cost dial of multi-probe LSH
     qs = _queries_from(spark, sf_dir)
-    return (cosine_topk_lsh(_emb(spark, sf_dir), qs, k=5)
+    return (cosine_topk_lsh(_emb(spark, sf_dir), qs, k=5, bits=5, probes=5)
             .select("query_id", "vec_id", "rank"))
 
 
 def q_ann_ivf(spark, sf_dir):
-    """IVF coarse-quantizer ANN (rows-only: approximate by design)."""
+    """IVF coarse-quantizer ANN (rows-only: approximate by design);
+    n=32/nprobe=8 ~ 25% candidate fraction, recall@10 ~0.65."""
     from xponents_spark.operators.similarity import cosine_topk_ivf
     qs = _queries_from(spark, sf_dir)
-    return (cosine_topk_ivf(_emb(spark, sf_dir), qs, k=5, nprobe=4)
+    return (cosine_topk_ivf(_emb(spark, sf_dir), qs, k=5,
+                            n_centroids=32, nprobe=8)
             .select("query_id", "vec_id", "rank"))
 
 
