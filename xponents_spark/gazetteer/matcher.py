@@ -110,6 +110,11 @@ import re as _re
 import unicodedata as _ud
 
 _WS_TOKEN = _re.compile(r"\S+")
+# matches the edge-punct-trimmed token core directly: first/last char
+# outside the edge set, anything non-whitespace between (equivalent to
+# \S+ then .strip(_EDGE_PUNCT); differential-fuzzed for equality)
+_CORE_TOKEN = _re.compile(
+    rf"[^\s{_re.escape(_EDGE_PUNCT)}](?:\S*[^\s{_re.escape(_EDGE_PUNCT)}])?")
 _CJK_CHAR = _re.compile(r"[⺀-鿿぀-ヿ가-힯豈-﫿]")
 # Arabic orthographic variant folding (the Solr ArabicNormalization analog,
 # schema.xml:449-471): alef variants, teh marbuta, alef maqsura, tatweel
@@ -147,16 +152,12 @@ def tokens_with_offsets(text: str) -> list[tuple[str, int, int]]:
     equivalent — names index as character sequences, so contiguous
     unsegmented text still matches multi-char names)."""
     out = []
-    for m in _WS_TOKEN.finditer(text):
-        raw = m.group()
-        chunk = raw.strip(_EDGE_PUNCT)   # C-level trim of the edge punct
-        if not chunk:
-            continue
-        if len(chunk) == len(raw):
-            s, e = m.start(), m.end()
-        else:
-            s = m.start() + (len(raw) - len(raw.lstrip(_EDGE_PUNCT)))
-            e = s + len(chunk)
+    for m in _CORE_TOKEN.finditer(text):
+        # the regex matches the edge-punct-trimmed core directly (first and
+        # last char outside the edge set, anything non-space between) — no
+        # per-token trim logic, one C-level scan
+        chunk = m.group()
+        s, e = m.start(), m.end()
         if not chunk.isascii() and _CJK_CHAR.search(chunk):
             for i, ch in enumerate(chunk):
                 if _CJK_CHAR.match(ch):
