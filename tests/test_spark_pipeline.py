@@ -67,6 +67,30 @@ def test_resumable_checkpoints(spark, sf_dir, tmp_path):
     assert read_resumable_output(spark, out).count() == 500
 
 
+def test_resumable_extracts_each_row_exactly_once(spark, sf_dir, tmp_path, monkeypatch):
+    """Regression for the round-1 double-compute: metrics must come from the
+    write job itself (Observation), so each input row flows through the
+    extraction stage exactly once across all buckets."""
+    from xponents_spark.plans import checkpoints
+
+    acc = spark.sparkContext.accumulator(0)
+    real_extract = checkpoints.extract
+
+    def counting_extract(df, features):
+        def count_rows(batches):
+            for pdf in batches:
+                acc.add(len(pdf))
+                yield pdf
+        return real_extract(df.mapInPandas(count_rows, df.schema),
+                            features=features)
+
+    monkeypatch.setattr(checkpoints, "extract", counting_extract)
+    t = synthesize_transcripts(spark, sf_dir)
+    m = run_resumable(t, str(tmp_path / "once"), buckets=3, input_desc="sf0.001")
+    assert sum(r["rows"] for r in m) == 500
+    assert acc.value == 500   # one extraction pass per row, not two
+
+
 def test_streaming_parity_with_batch(spark, sf_dir):
     """availableNow streaming run produces the same matches as batch."""
     from xponents_spark.streaming import read_transcript_stream, start_extraction_sink

@@ -35,6 +35,13 @@ _EDGE_PUNCT = ".,;:'\"!?()[]|"
 _EDGE_PUNCT_SET = frozenset(_EDGE_PUNCT)
 
 
+class TagLimitExceeded(RuntimeError):
+    """Raised when one document exceeds PhraseIndex.TAG_LIMIT tags
+    (reference: hard error per doc, SolrMatcherSupport.java:46,186-195).
+    A dedicated type so the pipeline's degrade-don't-fail handler cannot
+    swallow unrelated RuntimeErrors."""
+
+
 @dataclass
 class Place:
     place_id: str
@@ -208,7 +215,7 @@ class PhraseIndex:
                     s, e = toks[i][1], toks[i + ln - 1][2]
                     raw.append((s, e, text[s:e], payloads))
                     if len(raw) > self.TAG_LIMIT:
-                        raise RuntimeError(
+                        raise TagLimitExceeded(
                             f"tag limit {self.TAG_LIMIT} exceeded in one document")
         return _longest_dominant_right(raw)
 

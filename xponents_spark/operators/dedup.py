@@ -13,6 +13,8 @@ which is salted per process and would break distributed determinism).
 
 from __future__ import annotations
 
+import zlib
+
 import numpy as np
 import pandas as pd
 
@@ -36,14 +38,14 @@ def exact_dedup(df: DataFrame, text_col: str = "text",
 
 
 def _hash_tokens(tokens: list[str]) -> np.ndarray:
-    """Deterministic 32-bit token hashes (FNV-1a)."""
-    out = np.empty(len(tokens), dtype=np.uint64)
-    for i, t in enumerate(tokens):
-        h = np.uint64(2166136261)
-        for b in t.encode("utf-8"):
-            h = np.uint64((int(h) ^ b) * 16777619 & 0xFFFFFFFF)
-        out[i] = h
-    return out
+    """Deterministic 32-bit token hashes (CRC-32, one C call per token).
+
+    crc32 is stable across processes/platforms (unlike salted ``hash()``)
+    and ~100x faster than a per-byte Python loop — it is the innermost
+    operation of the MinHash/SimHash Arrow stages.
+    """
+    return np.fromiter((zlib.crc32(t.encode("utf-8")) for t in tokens),
+                       dtype=np.uint64, count=len(tokens))
 
 
 def _shingles(tokens: list[str], k: int) -> np.ndarray:
@@ -100,23 +102,29 @@ def minhash_near_dups(df: DataFrame, text_col: str = "text",
     sigs = minhash_signatures(df, text_col, id_col, num_perm, shingle_k)
     sigs = sigs.cache()
 
+    # the shuffle carries only (id, band-key) — NOT the 64-long signature;
+    # sigs are re-attached after the self-join, to surviving pairs only
+    # (bands x num_perm longs per row through the exchange would dominate
+    # shuffle bytes at scale)
     banded = sigs.select(
         F.col(id_col),
-        F.col("sig"),
         F.explode(F.array(*[
             F.struct(F.lit(i).alias("band"),
                      F.hash(*[F.col("sig")[i * rows_per_band + j]
                               for j in range(rows_per_band)]).alias("bh"))
             for i in range(bands)])).alias("bk"))
-    pairs = (banded.alias("l")
+    cands = (banded.alias("l")
              .join(banded.alias("r"),
                    (F.col("l.bk") == F.col("r.bk"))
                    & (F.col(f"l.{id_col}") < F.col(f"r.{id_col}")))
              .select(F.col(f"l.{id_col}").alias("doc_a"),
-                     F.col(f"r.{id_col}").alias("doc_b"),
-                     F.col("l.sig").alias("sig_a"),
-                     F.col("r.sig").alias("sig_b"))
+                     F.col(f"r.{id_col}").alias("doc_b"))
              .dropDuplicates(["doc_a", "doc_b"]))
+    pairs = (cands
+             .join(sigs.select(F.col(id_col).alias("doc_a"),
+                               F.col("sig").alias("sig_a")), "doc_a")
+             .join(sigs.select(F.col(id_col).alias("doc_b"),
+                               F.col("sig").alias("sig_b")), "doc_b"))
     est = F.expr(
         "size(filter(zip_with(sig_a, sig_b, (x, y) -> x = y), v -> v)) "
         f"/ CAST({num_perm} AS DOUBLE)")
@@ -142,7 +150,10 @@ def ngram_jaccard_pairs(df: DataFrame, text_col: str = "text",
     bounded; at 100 TB run ``minhash_near_dups`` (LSH banding) to generate
     candidates and verify only those pairs exactly.
     """
-    w = f"split({text_col}, ' ')"
+    # shared tokenization with minhash_near_dups (python str.split()):
+    # any-whitespace split, empty tokens dropped — so 'exact ground truth
+    # for MinHash' holds on text with newlines/tabs/repeated spaces too
+    w = f"filter(split({text_col}, '\\\\s+'), x -> x != '')"
     grams = F.expr(
         f"array_distinct(transform("
         f"  sequence(1, greatest(size({w}) - {n - 1}, 1)),"

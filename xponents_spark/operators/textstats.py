@@ -29,14 +29,16 @@ def token_stats(df: DataFrame, text_col: str = "text",
     (ceil(chars/4) is the published rule-of-thumb for byte-pair vocabularies).
     """
     toks = _tokens(text_col)
+    # counts are BIGINT on purpose: the DuckDB oracle's len()/list_sum yield
+    # 64/128-bit ints, and INT-vs-BIGINT diverges under the driver value-hash
     return df.select(
         F.col(id_col),
-        F.size(toks).alias("n_tokens"),
-        F.length(text_col).alias("n_chars"),
-        F.expr(f"CAST(ceil(length({text_col}) / 4.0) AS INT)").alias("n_subwords_est"),
+        F.size(toks).cast("long").alias("n_tokens"),
+        F.length(text_col).cast("long").alias("n_chars"),
+        F.expr(f"CAST(ceil(length({text_col}) / 4.0) AS BIGINT)").alias("n_subwords_est"),
         F.expr(
             f"aggregate(transform(split(trim({text_col}), '\\\\s+'), x -> length(x)), "
-            "0, (acc, x) -> acc + x)").alias("token_chars"),
+            "CAST(0 AS BIGINT), (acc, x) -> acc + x)").alias("token_chars"),
     )
 
 

@@ -127,22 +127,26 @@ SELECT md5(array_to_string(list_slice(string_split(text, ' '), 1, 8), ' ')) AS p
 FROM documents GROUP BY 1
 """
 
-TOKEN_STATS_ORACLE = """
+# tokenization parity with Spark's split(trim(text), '\s+'): regexp split,
+# and every count cast to BIGINT (DuckDB list_sum yields HUGEINT -> pandas
+# float, which broke the round-1 value hash)
+TOKEN_STATS_ORACLE = r"""
 SELECT doc_id,
-       len(string_split(trim(text), ' ')) AS n_tokens,
-       length(text) AS n_chars,
-       CAST(ceil(length(text) / 4.0) AS INTEGER) AS n_subwords_est,
-       list_sum(list_transform(string_split(trim(text), ' '), x -> length(x))) AS token_chars
+       CAST(len(regexp_split_to_array(trim(text), '\s+')) AS BIGINT) AS n_tokens,
+       CAST(length(text) AS BIGINT) AS n_chars,
+       CAST(ceil(length(text) / 4.0) AS BIGINT) AS n_subwords_est,
+       CAST(list_sum(list_transform(regexp_split_to_array(trim(text), '\s+'),
+                                    x -> length(x))) AS BIGINT) AS token_chars
 FROM documents
 """
 
-QUALITY_ORACLE = """
+QUALITY_ORACLE = r"""
 SELECT doc_id,
-       len(string_split(trim(text), ' ')) AS n_tokens,
-       CAST(length(text) AS DOUBLE) / len(string_split(trim(text), ' ')) AS chars_per_token,
-       CAST(len(list_filter(string_split(trim(text), ' '),
+       len(regexp_split_to_array(trim(text), '\s+')) AS n_tokens,
+       CAST(length(text) AS DOUBLE) / len(regexp_split_to_array(trim(text), '\s+')) AS chars_per_token,
+       CAST(len(list_filter(regexp_split_to_array(trim(text), '\s+'),
                 x -> x IN ('the','a','and','of','to','in','is'))) AS DOUBLE)
-         / len(string_split(trim(text), ' ')) AS stopword_ratio
+         / len(regexp_split_to_array(trim(text), '\s+')) AS stopword_ratio
 FROM documents
 """
 
@@ -152,7 +156,7 @@ def lang_id_oracle() -> str:
     votes = {}
     for lang, markers in LANG_MARKERS.items():
         arr = ", ".join(_sq(w) for w in markers)
-        votes[lang] = (f"len(list_filter(string_split(trim(text), ' '), "
+        votes[lang] = (f"len(list_filter(regexp_split_to_array(trim(text), '\\s+'), "
                        f"x -> x IN ({arr})))")
     langs = list(LANG_MARKERS)
     case = "CASE "
@@ -168,14 +172,16 @@ def lang_id_oracle() -> str:
     return f"SELECT doc_id, {case} AS lang_pred FROM documents"
 
 
-FINGERPRINT_ORACLE = """
+FINGERPRINT_ORACLE = r"""
 SELECT doc_id, md5(text) AS text_md5,
-       md5(array_to_string(list_slice(string_split(trim(text), ' '), 1, 8), ' ')) AS prefix_md5
+       md5(array_to_string(list_slice(regexp_split_to_array(trim(text), '\s+'), 1, 8), ' ')) AS prefix_md5
 FROM documents
 """
 
-NGRAM_JACCARD_ORACLE = """
-WITH words AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+NGRAM_JACCARD_ORACLE = r"""
+WITH words AS (SELECT doc_id,
+                      list_filter(regexp_split_to_array(text, '\s+'), x -> x != '') AS w
+               FROM documents),
 sh AS (
   SELECT DISTINCT doc_id, array_to_string(w[i:i+2], ' ') AS s
   FROM words,

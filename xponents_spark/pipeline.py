@@ -93,12 +93,13 @@ def extract_turn(text: str, features: tuple,
                       if f in features)
     if geo_feats:
         from .gazetteer import geocode
+        from .gazetteer.matcher import TagLimitExceeded
         try:
             for g in geocode(main, coords=coords, features=geo_feats,
                              prefer_countries=list(prefer_countries),
                              prefer_locations=list(prefer_locations)):
                 out.append(_match_row(**g))
-        except RuntimeError:
+        except TagLimitExceeded:
             # TAG_LIMIT guardrail (reference: hard error per document,
             # SolrMatcherSupport.java:46,186-195).  In a distributed map
             # stage an exception would fail the task and, after retries,
@@ -170,7 +171,15 @@ def extract_conversation_scoped(df: DataFrame,
     from pyspark.sql import functions as F
 
     feats = tuple(features)
-    ext = extract(df, feats, text_col)
+    # pass-1 extraction feeds three consumers (country votes, the redo
+    # slice, and the kept anti-join) — persist it so the expensive Arrow
+    # stage runs once, not once per downstream action.  MEMORY_AND_DISK:
+    # at cluster scale the extracted columns spill rather than recompute.
+    # Lifetime note: the persist stays live inside the returned plan; a
+    # caller that fully materializes the result (write/collect) can release
+    # it with spark.catalog.clearCache() or by unpersisting this stage.
+    from pyspark import StorageLevel
+    ext = extract(df, feats, text_col).persist(StorageLevel.MEMORY_AND_DISK)
 
     geo = (ext.select("conv_id", F.explode("matches").alias("m"))
               .filter(F.col("m.label").isin("place", "country")

@@ -6,7 +6,18 @@ lineage and match-count metrics written alongside each commit".  Design:
 * the input splits into B deterministic buckets by ``pmod(hash(conv_id), B)``
   (same function Iceberg's ``bucket(conv_id)`` partition transform uses
   conceptually — co-located with the recommended table layout);
-* each bucket runs extract -> write ``out/bucket=<b>/`` independently;
+* **stage 0** materializes the input ONCE, partitioned by bucket, under
+  ``out/_input/`` (manifest-guarded, so a resume skips it).  Each bucket job
+  then reads only its own partition directory via partition pruning — total
+  input bytes per run is ~2x the table (one bucketize pass + the sum of the
+  pruned per-bucket reads) instead of B full scans.  When the source table is
+  *already* physically partitioned by a bucket column (the Iceberg
+  ``bucket(conv_id)`` layout the north rule assumes), pass ``bucket_col`` and
+  stage 0 is skipped entirely — the filter prunes at the source scan;
+* each bucket runs extract -> write ``out/bucket=<b>/`` in ONE pass: row and
+  match counts come from ``Observation`` metrics attached to the write job,
+  never from a second action over the extraction (round-1 version computed
+  extraction twice per bucket — fixed per VERDICT.md item 4);
 * a committed bucket writes ``manifest_<b>.json`` (input path, bucket id,
   row/match counts, wall time, engine version) — the lineage record;
 * a re-run skips buckets whose manifest exists and is complete.
@@ -22,7 +33,7 @@ import os
 import time
 from typing import Iterable
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, Observation, SparkSession
 from pyspark.sql import functions as F
 
 from .. import __version__
@@ -33,28 +44,61 @@ def _manifest_path(out_dir: str, bucket: int) -> str:
     return os.path.join(out_dir, f"manifest_{bucket:04d}.json")
 
 
+def _read_committed(path: str) -> dict | None:
+    if os.path.exists(path):
+        with open(path) as fh:
+            m = json.load(fh)
+        if m.get("status") == "committed":
+            return m
+    return None
+
+
 def run_resumable(df: DataFrame, out_dir: str, buckets: int = 16,
                   features: Iterable[str] = DEFAULT_FEATURES,
-                  input_desc: str = "") -> list[dict]:
-    """Extract ``df`` in ``buckets`` resumable units; returns manifests."""
+                  input_desc: str = "", bucket_col: str | None = None) -> list[dict]:
+    """Extract ``df`` in ``buckets`` resumable units; returns manifests.
+
+    ``bucket_col``: name of an existing physical bucket partition column
+    (values 0..buckets-1).  When given, stage-0 bucketize is skipped and the
+    per-bucket filter prunes directly at the source scan.
+    """
     os.makedirs(out_dir, exist_ok=True)
+    spark = df.sparkSession
+
+    if bucket_col is None:
+        # stage 0: one full scan, written partitioned by bucket
+        bucket_col = "_bucket"
+        in_dir = os.path.join(out_dir, "_input")
+        stage0_path = os.path.join(out_dir, "input_manifest.json")
+        if _read_committed(stage0_path) is None:
+            t0 = time.time()
+            (df.withColumn(bucket_col, F.pmod(F.hash("conv_id"), F.lit(buckets)))
+               .write.mode("overwrite").partitionBy(bucket_col).parquet(in_dir))
+            with open(stage0_path, "w") as fh:
+                json.dump({"status": "committed", "stage": "bucketize",
+                           "buckets": buckets, "input": input_desc,
+                           "engine_version": __version__,
+                           "wall_sec": round(time.time() - t0, 3)}, fh)
+        src = spark.read.parquet(in_dir)
+    else:
+        src = df
+
     manifests = []
-    bucketed = df.withColumn("_bucket", F.pmod(F.hash("conv_id"), F.lit(buckets)))
     for b in range(buckets):
         mpath = _manifest_path(out_dir, b)
-        if os.path.exists(mpath):
-            with open(mpath) as fh:
-                m = json.load(fh)
-            if m.get("status") == "committed":
-                manifests.append(m)
-                continue
+        m = _read_committed(mpath)
+        if m is not None:
+            manifests.append(m)
+            continue
         t0 = time.time()
-        part = bucketed.filter(F.col("_bucket") == b).drop("_bucket")
-        result = extract(part, features=features)
-        agg = result.agg(
-            F.count("*").alias("rows"),
-            F.sum(F.size("matches")).alias("matches")).collect()[0]
+        part = src.filter(F.col(bucket_col) == b).drop(bucket_col)
+        obs = Observation(f"bucket_{b}")
+        result = extract(part, features=features).observe(
+            obs,
+            F.count(F.lit(1)).alias("rows"),
+            F.sum(F.size("matches")).alias("matches"))
         result.write.mode("overwrite").parquet(os.path.join(out_dir, f"bucket={b}"))
+        metrics = obs.get  # populated by the write job — no second action
         manifest = {
             "status": "committed",
             "bucket": b,
@@ -62,8 +106,8 @@ def run_resumable(df: DataFrame, out_dir: str, buckets: int = 16,
             "input": input_desc,
             "engine_version": __version__,
             "features": list(features),
-            "rows": int(agg["rows"] or 0),
-            "matches": int(agg["matches"] or 0),
+            "rows": int(metrics["rows"] or 0),
+            "matches": int(metrics["matches"] or 0),
             "wall_sec": round(time.time() - t0, 3),
         }
         with open(mpath, "w") as fh:
