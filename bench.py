@@ -107,6 +107,37 @@ def bench_extraction(spark, turns_per_doc: int, runs: int = 1) -> tuple[float, i
         shutil.rmtree(out_dir, ignore_errors=True)
 
 
+def bench_extraction_disk(spark, turns_per_doc: int) -> float:
+    """One warm timed run writing to DISK (not tmpfs) — the honest
+    local-storage counterpart to the tmpfs headline (a cluster writes to
+    distributed storage; a laptop writes here).  Reported alongside the
+    headline as ``extract_write_disk_sec``."""
+    from xponents_spark.pipeline import extract
+    from xponents_spark.plans import salted_repartition
+    from xponents_spark.sources import synthesize_transcripts
+
+    out_dir = tempfile.mkdtemp(prefix="bench_disk_")   # /tmp: disk-backed
+    par = spark.sparkContext.defaultParallelism
+    try:
+        t = synthesize_transcripts(spark, SF_DIR, turns_per_doc=turns_per_doc)
+        t = salted_repartition(t, max(par * 2, 8)).cache()
+        t.count()
+
+        def run_once():
+            (extract(t).select(*OUT_COLS)
+                .sortWithinPartitions("conv_id", "turn_idx")
+                .write.mode("overwrite").parquet(out_dir))
+
+        run_once()          # warm (python workers are already warm; this
+        t0 = time.time()    # warms the disk-path writer)
+        run_once()
+        dt = time.time() - t0
+        t.unpersist()
+        return dt
+    finally:
+        shutil.rmtree(out_dir, ignore_errors=True)
+
+
 def timed(fn) -> float:
     t0 = time.time()
     fn()
@@ -145,7 +176,12 @@ def main():
     dt, turns = bench_extraction(spark, tpd, runs=3)
     result["value"] = round(turns / dt, 1)
     result["turns"] = turns
+    # headline is WARM steady-state with a tmpfs sink (see _out_dir note);
+    # extract_write_disk_sec is the same warm job writing to local disk
+    result["headline_note"] = "warm steady-state, tmpfs sink"
     result["extract_write_sec"] = round(dt, 3)
+    result["extract_write_disk_sec"] = round(
+        bench_extraction_disk(spark, tpd), 3)
     result["queries"] = bench_queries(spark)
 
     if os.environ.get("BENCH_SCALING"):

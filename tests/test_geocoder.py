@@ -236,3 +236,42 @@ def test_tag_limit_degrades_gracefully():
     sentinel = [m for m in ms if m["label"] == "tag_limit_exceeded"]
     assert len(sentinel) == 1 and sentinel[0]["filtered_out"]
     assert any(m["label"] == "coord" for m in ms)   # regex families kept
+
+
+def test_adm1_name_province_setter():
+    """ProvinceNameSetter (PlaceGeocoder.java:523-525): place matches carry
+    the resolved ADM1 display name."""
+    out = geocode("travel to San Diego, CA next week")
+    sd = [m for m in out if m.get("matchtext", "").startswith("San Diego")]
+    assert sd and sd[0]["adm1_name"] == "California"
+
+
+def test_filtered_out_on_request():
+    """Xlayer 'filtered_out' option (XponentsGeotagger.java:207-251): killed
+    candidates are emitted with the filter reason only when asked."""
+    text = "the in box is full"      # 'in' = stopword-filtered gazetteer hit
+    default = geocode(text)
+    assert all(not m["filtered_out"] for m in default)
+    debug = geocode(text, emit_filtered=True)
+    killed = [m for m in debug if m["filtered_out"]]
+    assert killed and all(m["method"] for m in killed)
+
+
+def test_country_catalog_lookups():
+    """GeonamesUtility-equivalent country catalog (SolrGazetteer.java:209-245):
+    ISO2/ISO3/FIPS/alias/territory keys, UTC-offset queries."""
+    from xponents_spark.gazetteer.countries import (
+        approximate_longitude_for_utc_offset, countries_in_utc_offset,
+        get_country)
+
+    assert get_country("US").iso3 == "USA"
+    assert get_country("GBR").iso2 == "GB"
+    assert get_country("UK").iso2 == "GB"          # FIPS + alias
+    assert get_country("DPRK").iso2 == "KP"        # alias
+    assert get_country("Hong Kong").iso2 == "CN"   # territory -> parent
+    assert get_country("puerto rico").iso2 == "US"
+    assert get_country("zz") is None
+    assert "IN" in countries_in_utc_offset(5.5)
+    assert "JP" in countries_in_utc_offset(9.0)
+    assert approximate_longitude_for_utc_offset(-5) == -75
+    assert approximate_longitude_for_utc_offset(14) == 180

@@ -132,3 +132,36 @@ def test_geohash_known():
 def test_haversine():
     d = haversine_m(0, 0, 0, 1)
     assert d == pytest.approx(111195, rel=0.01)
+
+
+def test_per_family_enable_flags():
+    """XCoord match_DD/DM/DMS/MGRS/UTM equivalents (XCoord.html)."""
+    text = "at 39.56N, 123.45W or 38SMB4611036560 site"
+    both = [m.family for m in xcoord.extract_coordinates(text)
+            if not m.filtered_out]
+    assert set(both) == {"DD", "MGRS"}
+    only_dd = [m.family for m in
+               xcoord.extract_coordinates(text, families=("DD",))
+               if not m.filtered_out]
+    assert set(only_dd) == {"DD"}
+    only_mgrs = [m.family for m in
+                 xcoord.extract_coordinates(text, families=("MGRS",))
+                 if not m.filtered_out]
+    assert set(only_mgrs) == {"MGRS"}
+
+
+def test_strict_mode_drops_integer_degree_dd():
+    """setStrictMode (XCoord.html): strict drops the lowest-confidence DD
+    form — integer degrees without a degree symbol (DD-07 'N42, W102');
+    symboled or sub-degree-resolution DD survives."""
+    from xponents_spark.pipeline import extract_turn
+
+    bare = "near N42, W102 junction"               # DD-07: no symbol, int°
+    _m, relaxed = extract_turn(bare, ("coordinates",))
+    _m, strict = extract_turn(bare, ("coordinates",), strict_coords=True)
+    assert [r["label"] for r in relaxed] == ["coord"]
+    assert strict == []
+    for keeper in ("position 39.56N, 123.45W reported",   # sub-degree res
+                   "anchor +42.3°; -102.4° fixed"):      # degree symbols
+        _m, out = extract_turn(keeper, ("coordinates",), strict_coords=True)
+        assert [r["label"] for r in out] == ["coord"], keeper

@@ -240,6 +240,13 @@ def normalize_dd(pm: PatternMatch) -> None:
     _finish(pm, lat.decimal(), lon.decimal(),
             _precision_m(min(lat.specificity, lon.specificity),
                          min(lat.frac_digits, lon.frac_digits) or max(lat.frac_digits, lon.frac_digits)))
+    # XCoord setStrictMode gate (XCoord.html): strict mode drops the
+    # lowest-confidence DD form — integer degrees with no degree symbol
+    # (DD-07 'N42, W102'; everything else carries a symbol or sub-degree
+    # resolution).  Recorded as an attr so the pipeline can apply the
+    # caller's mode without re-running normalization.
+    pm.attrs["strict_ok"] = bool(
+        valid_sym or lat.frac_digits > 0 or lon.frac_digits > 0)
 
 
 def normalize_dm(pm: PatternMatch) -> None:

@@ -33,7 +33,8 @@ from . import data
 def geocode(text: str, coords: list[tuple[float, float]] | None = None,
             features: tuple = ("places", "countries", "taxons", "postal"),
             prefer_countries: list[str] | None = None,
-            prefer_locations: list[tuple[float, float]] | None = None) -> list[dict]:
+            prefer_locations: list[tuple[float, float]] | None = None,
+            emit_filtered: bool = False) -> list[dict]:
     """Per-turn geotagging; returns flat match dicts (schemas.MATCH_STRUCT
     field subset).  ``coords`` are (lat, lon) pairs from XCoord for the
     coordinate-association rule.  ``prefer_countries`` (ISO2) and
@@ -89,6 +90,16 @@ def geocode(text: str, coords: list[tuple[float, float]] | None = None,
     if "places" in features or "countries" in features:
         for c in cands:
             if c.filtered_out or not c.chosen:
+                # the Xlayer 'filtered_out' request option: emit killed
+                # candidates for debugging, marked with the filter reason
+                # (XponentsGeotagger.java:207-251)
+                if emit_filtered and c.filtered_out:
+                    out.append({
+                        "span_start": c.start, "span_end": c.end,
+                        "matchtext": text[c.start:c.end], "label": "place",
+                        "pattern_id": None, "filtered_out": True,
+                        "method": c.filter_reason or None,
+                    })
                 continue
             p = c.chosen
             label = "country" if (c.is_country and p.is_country) else "place"
@@ -110,6 +121,10 @@ def geocode(text: str, coords: list[tuple[float, float]] | None = None,
                 "lat": p.lat, "lon": p.lon, "prec": R.feat_precision(p),
                 "geohash": geohash_encode(p.lat, p.lon, 6),
                 "cc": p.cc, "adm1": p.adm1 or None,
+                # ProvinceNameSetter (PlaceGeocoder.java:523-525): resolve
+                # the ADM1 code to its display name ('province-name',
+                # Transforms.java:226)
+                "adm1_name": data.ADM1_NAMES.get(p.hierarchical_path),
                 "feat_class": p.feat_class, "feat_code": p.feat_code,
                 "place_id": p.place_id, "name": p.name,
                 "method": ";".join(sorted(c.rules)) or None,

@@ -243,22 +243,42 @@ def _longest_dominant_right(matches):
 
 # --- gazetteer index (lazy process singleton — executor 'pump priming') -----
 
-_GAZ_INDEX: PhraseIndex | None = None
+_GAZ_INDEX = None                     # PhraseIndex | ParquetGazetteerIndex
 _GAZ_ROWS: list[tuple] | None = None
+_GAZ_PATH: str | None = None
 
 
 def set_gazetteer(rows: list[tuple]) -> None:
     """Swap in external gazetteer rows (broadcast value) before first tag."""
-    global _GAZ_ROWS, _GAZ_INDEX
+    global _GAZ_ROWS, _GAZ_INDEX, _GAZ_PATH
     _GAZ_ROWS = rows
+    _GAZ_PATH = None
     _GAZ_INDEX = None
 
 
-def gaz_index() -> PhraseIndex:
+def set_gazetteer_parquet(path: str | None) -> None:
+    """Scale path: point this worker process at a tagger parquet (built by
+    ``sources.gazetteer_etl.build_tagger_parquet``).  The index builds
+    lazily ONCE per process from the local/shared file — no driver collect,
+    no broadcast of rows through the JVM.  Idempotent per path (called from
+    every Arrow batch of ``pipeline.extract``)."""
+    global _GAZ_PATH, _GAZ_ROWS, _GAZ_INDEX
+    if path == _GAZ_PATH:
+        return
+    _GAZ_PATH = path
+    _GAZ_ROWS = None
+    _GAZ_INDEX = None
+
+
+def gaz_index():
     global _GAZ_INDEX
     if _GAZ_INDEX is None:
-        rows = _GAZ_ROWS if _GAZ_ROWS is not None else data.GAZETTEER_ROWS
-        _GAZ_INDEX = PhraseIndex([(r[1], Place(*r)) for r in rows])
+        if _GAZ_PATH is not None:
+            from .store import ParquetGazetteerIndex
+            _GAZ_INDEX = ParquetGazetteerIndex(_GAZ_PATH)
+        else:
+            rows = _GAZ_ROWS if _GAZ_ROWS is not None else data.GAZETTEER_ROWS
+            _GAZ_INDEX = PhraseIndex([(r[1], Place(*r)) for r in rows])
     return _GAZ_INDEX
 
 

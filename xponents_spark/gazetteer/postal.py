@@ -22,6 +22,7 @@ from __future__ import annotations
 import re
 
 from ..functions.geo import geohash_encode
+from . import data
 from .matcher import PlaceCandidate
 
 # (cc, adm1, code, place name, lat, lon)
@@ -125,7 +126,9 @@ def tag_postals(text: str, cands: list[PlaceCandidate],
                 "filtered_out": False, "confidence": conf,
                 "lat": lat, "lon": lon, "prec": 2000,
                 "geohash": geohash_encode(lat, lon, 6),
-                "cc": cc, "adm1": adm1, "feat_class": "A",
+                "cc": cc, "adm1": adm1,
+                "adm1_name": data.ADM1_NAMES.get(f"{cc}.{adm1}"),
+                "feat_class": "A",
                 "feat_code": "POST", "place_id": f"{cc}.{raw_code}",
                 "name": name, "method": "PostalAssoc" if adj_admin else "PostalCountry",
             })

@@ -68,23 +68,40 @@ class SpatialIndex:
         return None
 
 
-_INDEX: SpatialIndex | None = None
+_INDEX = None          # SpatialIndex | store.CompactSpatialIndex
+_INDEX_SRC = None      # what the cached index was built from
 
 
-def spatial_index() -> SpatialIndex:
-    global _INDEX
-    if _INDEX is None:
-        from .matcher import _GAZ_ROWS
-        rows = _GAZ_ROWS if _GAZ_ROWS is not None else data.GAZETTEER_ROWS
-        _INDEX = SpatialIndex([Place(*r) for r in rows])
+def spatial_index():
+    global _INDEX, _INDEX_SRC
+    from . import matcher
+    src = matcher._GAZ_PATH or matcher._GAZ_ROWS or data.GAZETTEER_ROWS
+    if _INDEX is None or _INDEX_SRC is not src:
+        if matcher._GAZ_PATH is not None:
+            # scale path: array-backed grid straight from the tagger parquet
+            from .store import CompactSpatialIndex
+            _INDEX = CompactSpatialIndex(matcher._GAZ_PATH)
+        else:
+            rows = matcher._GAZ_ROWS if matcher._GAZ_ROWS is not None \
+                else data.GAZETTEER_ROWS
+            _INDEX = SpatialIndex([Place(*r) for r in rows])
+        _INDEX_SRC = src
     return _INDEX
 
 
 def reverse_geocode(lat: float, lon: float) -> dict:
     """Coordinate -> related-place attributes for the coord match
-    (Transforms.java geo fields related_place_name / nearest_places)."""
-    p = spatial_index().nearest_place(lat, lon)
+    (Transforms.java geo fields related_place_name / nearest_places).
+
+    ``nearest_places``: top-5 place names within 50 km, nearest first
+    (PlaceGeocoder.java:917-941 emits max 5 nearby places per coordinate).
+    ``adm1_name``: ProvinceNameSetter resolution for the related place."""
+    idx = spatial_index()
+    p = idx.nearest_place(lat, lon)
     if p is None:
         return {}
+    near = [q.name for _d, q in idx.places_at(lat, lon, 50, limit=5)]
     return {"cc": p.cc, "adm1": p.adm1 or None, "name": p.name,
-            "place_id": p.place_id}
+            "place_id": p.place_id,
+            "adm1_name": data.ADM1_NAMES.get(p.hierarchical_path),
+            "nearest_places": near or None}

@@ -176,14 +176,9 @@ def ngram_jaccard_pairs(df: DataFrame, text_col: str = "text",
             .filter(F.col("jaccard") >= threshold))
 
 
-def simhash_near_dups(df: DataFrame, text_col: str = "text",
-                      id_col: str = "doc_id", max_hamming: int = 3) -> DataFrame:
-    """64-bit SimHash near-dups: 4x16-bit block join (pigeonhole: hamming<=3
-    guarantees one identical block), then exact Hamming verify.
-
-    NOTE: recall is complete only for max_hamming <= 3 with 4 blocks; a
-    looser threshold can miss pairs whose differing bits spread across all
-    blocks (use more/finer blocks for larger radii)."""
+def simhash_signatures(df: DataFrame, text_col: str = "text",
+                       id_col: str = "doc_id") -> DataFrame:
+    """id + 64-bit SimHash signature, computed per Arrow batch."""
     out_schema = T.StructType([
         T.StructField(id_col, df.schema[id_col].dataType, False),
         T.StructField("simhash", T.LongType(), False),
@@ -209,7 +204,18 @@ def simhash_near_dups(df: DataFrame, text_col: str = "text",
                 hashes.append(sim - (1 << 64) if sim >= (1 << 63) else sim)
             yield pd.DataFrame({id_col: pdf[id_col], "simhash": hashes})
 
-    sh = df.select(id_col, text_col).mapInPandas(run, schema=out_schema).cache()
+    return df.select(id_col, text_col).mapInPandas(run, schema=out_schema)
+
+
+def simhash_near_dups(df: DataFrame, text_col: str = "text",
+                      id_col: str = "doc_id", max_hamming: int = 3) -> DataFrame:
+    """64-bit SimHash near-dups: 4x16-bit block join (pigeonhole: hamming<=3
+    guarantees one identical block), then exact Hamming verify.
+
+    NOTE: recall is complete only for max_hamming <= 3 with 4 blocks; a
+    looser threshold can miss pairs whose differing bits spread across all
+    blocks (use more/finer blocks for larger radii)."""
+    sh = simhash_signatures(df, text_col, id_col).cache()
     blocks = sh.select(
         F.col(id_col), F.col("simhash"),
         F.explode(F.array(*[

@@ -40,6 +40,8 @@ def _fixture_values(label_filter=None, fields=()) -> tuple[str, int]:
                     # numeric literal would go through DECIMAL and lose the
                     # shortest-repr bit-exact round trip
                     vals.append(f"CAST('{v!r}' AS DOUBLE)")
+                elif isinstance(v, list):   # array<string> (nearest_places)
+                    vals.append("[" + ", ".join(_sq(x) for x in v) + "]")
                 else:
                     vals.append(str(v))
             rows.append("(" + ", ".join(vals) + ")")
@@ -304,4 +306,22 @@ ranked AS (
   FROM sims
 )
 SELECT query_id, vec_id, CAST(rank AS INTEGER) AS rank FROM ranked WHERE rank <= 5
+"""
+
+
+# pinned results for the invariant queries (__spark_entry__ q_*_check /
+# q_*_floor): empty violation sets with schema-matching columns
+EMPTY_CONV_VIOLATIONS = """
+SELECT CAST(NULL AS VARCHAR) AS conv_id, CAST(NULL AS INTEGER) AS turn_idx,
+       CAST(NULL AS VARCHAR) AS violation WHERE false
+"""
+
+EMPTY_PAIR_VIOLATIONS = """
+SELECT CAST(NULL AS BIGINT) AS doc_a, CAST(NULL AS BIGINT) AS doc_b,
+       CAST(NULL AS VARCHAR) AS violation WHERE false
+"""
+
+EMPTY_VEC_VIOLATIONS = """
+SELECT CAST(NULL AS BIGINT) AS vec_a, CAST(NULL AS BIGINT) AS vec_b,
+       CAST(NULL AS VARCHAR) AS violation WHERE false
 """

@@ -37,12 +37,38 @@ def _match_row(**kw) -> dict:
     return row
 
 
+# TODAY for DateMatch isDistantPast/isFuture classification.  The reference
+# defaults TODAY to wall-clock (XTemporal.html: "the notion of TODAY is
+# relative to the caller's notion of TODAY"); a distributed deterministic
+# engine pins it — callers override via extract(today_epoch=...).
+DEFAULT_TODAY_EPOCH = 1_767_225_600          # 2026-01-01T00:00:00Z
+DISTANT_PAST_EPOCH = -2_208_988_800          # 1900-01-01 (DISTANT_PAST_THRESHOLD)
+
+
+def _slot_map(m) -> dict | None:
+    """FlexPat named groups -> slots map (SURVEY §1.2 match struct)."""
+    d = {name: val for name, val, _s, _e in m.slots if val is not None}
+    return d or None
+
+
 def extract_turn(text: str, features: tuple,
                  prefer_countries: tuple = (),
-                 prefer_locations: tuple = ()) -> tuple[str, list[dict]]:
+                 prefer_locations: tuple = (),
+                 coord_families: tuple | None = None,
+                 strict_coords: bool = False,
+                 today_epoch: int = DEFAULT_TODAY_EPOCH,
+                 emit_filtered: bool = False) -> tuple[str, list[dict]]:
     """Pure per-turn extraction: main-content recovery then pattern families.
     Offsets are into ``main_text``.  Import-inside keeps executor pickles
-    small; modules cache their compiled managers process-wide."""
+    small; modules cache their compiled managers process-wide.
+
+    ``coord_families``: XCoord per-family enables (match_DD/DM/DMS/MGRS/UTM,
+    XCoord.html method summary); None = all.  ``strict_coords``: XCoord
+    setStrictMode — DD matches must carry alpha hemispheres or degree
+    symbols, sign-only pairs are filtered.  ``emit_filtered``: keep
+    gazetteer candidates the filters killed, marked filtered_out=true with
+    the filter reason (the Xlayer 'filtered_out' request option,
+    XponentsGeotagger.java:207-251)."""
     from .extractors import poli as _poli
     from .extractors import xcoord as _xcoord
     from .extractors import xtemporal as _xtemporal
@@ -58,8 +84,11 @@ def extract_turn(text: str, features: tuple,
         revgeo = None
         if "places" in features or "revgeo" in features:
             from .gazetteer.spatial import reverse_geocode as revgeo
-        for m in _xcoord.extract_coordinates(main):
+        for m in _xcoord.extract_coordinates(main, families=coord_families):
             if m.filtered_out:
+                continue
+            if strict_coords and m.family == "DD" and \
+                    not m.attrs.get("strict_ok", True):
                 continue
             coords.append((m.attrs["lat"], m.attrs["lon"]))
             related = revgeo(*coords[-1]) if revgeo else {}
@@ -68,18 +97,29 @@ def extract_turn(text: str, features: tuple,
                 label="coord", pattern_id=m.pattern_id, filtered_out=False,
                 lat=m.attrs["lat"], lon=m.attrs["lon"], prec=m.attrs["prec"],
                 geohash=m.attrs["geohash"], method=m.pattern_id,
+                slots=_slot_map(m),
                 # J4: nearest-place reverse geocode enriches the coordinate
                 cc=related.get("cc"), adm1=related.get("adm1"),
-                name=related.get("name"), place_id=related.get("place_id")))
+                adm1_name=related.get("adm1_name"),
+                name=related.get("name"), place_id=related.get("place_id"),
+                nearest_places=related.get("nearest_places")))
     if "dates" in features:
         for m in _xtemporal.extract_dates(main):
             if m.filtered_out:
                 continue
+            epoch = m.attrs["epoch"]
+            flags = None
+            if epoch is not None:
+                if epoch < DISTANT_PAST_EPOCH:
+                    flags = ["distant-past"]
+                elif epoch > today_epoch:
+                    flags = ["future"]
             out.append(_match_row(
                 span_start=m.start, span_end=m.end, matchtext=m.text,
                 label="date", pattern_id=m.pattern_id, filtered_out=False,
-                date_norm=m.attrs["datenorm"], epoch=m.attrs["epoch"],
-                resolution=m.attrs["resolution"], method=m.pattern_id))
+                date_norm=m.attrs["datenorm"], epoch=epoch,
+                resolution=m.attrs["resolution"], method=m.pattern_id,
+                slots=_slot_map(m), flags=flags))
     if "patterns" in features:
         for m in _poli.extract_poli(main):
             if m.filtered_out:
@@ -87,7 +127,8 @@ def extract_turn(text: str, features: tuple,
             out.append(_match_row(
                 span_start=m.start, span_end=m.end, matchtext=m.text,
                 label=m.family.lower(), pattern_id=m.pattern_id,
-                filtered_out=False, method=m.pattern_id))
+                filtered_out=False, method=m.pattern_id,
+                slots=_slot_map(m)))
 
     geo_feats = tuple(f for f in ("places", "countries", "taxons", "postal")
                       if f in features)
@@ -97,7 +138,8 @@ def extract_turn(text: str, features: tuple,
         try:
             for g in geocode(main, coords=coords, features=geo_feats,
                              prefer_countries=list(prefer_countries),
-                             prefer_locations=list(prefer_locations)):
+                             prefer_locations=list(prefer_locations),
+                             emit_filtered=emit_filtered):
                 out.append(_match_row(**g))
         except TagLimitExceeded:
             # TAG_LIMIT guardrail (reference: hard error per document,
@@ -120,27 +162,48 @@ def extract_turn(text: str, features: tuple,
 def extract(df: DataFrame, features: Iterable[str] = DEFAULT_FEATURES,
             text_col: str = "text",
             prefer_countries: Iterable[str] = (),
-            prefer_locations: Iterable[tuple] = ()) -> DataFrame:
+            prefer_locations: Iterable[tuple] = (),
+            gazetteer_parquet: str | None = None,
+            coord_families: Iterable[str] | None = None,
+            strict_coords: bool = False,
+            today_epoch: int = DEFAULT_TODAY_EPOCH,
+            emit_filtered: bool = False) -> DataFrame:
     """Append ``main_text`` + ``matches`` columns via one mapInPandas stage.
 
     ``prefer_countries`` / ``prefer_locations`` are the Xlayer request
     options (preferred geography bias, TaggerResource.java:176-224),
     shipped to executors via closure capture as job parameters.
 
+    ``gazetteer_parquet`` (or env ``XPONENTS_GAZETTEER_PARQUET``): path to a
+    tagger parquet built by ``sources.gazetteer_etl.build_tagger_parquet``;
+    each executor worker reads it directly and builds one process-wide
+    index — the driver never collects or broadcasts gazetteer rows.
+
     The plan stays scan -> project -> mapInPandas: no shuffle, predicate
     pushdown and column pruning reach the parquet scan untouched.
     """
+    import os as _os
     feats = tuple(features)
     prefs_cc = tuple(prefer_countries)
     prefs_loc = tuple(tuple(x) for x in prefer_locations)
+    cfams = tuple(coord_families) if coord_families is not None else None
+    gaz_path = gazetteer_parquet or _os.environ.get("XPONENTS_GAZETTEER_PARQUET")
     out_schema = extraction_output_schema(df.schema)
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        # ALWAYS set (None resets): python workers are reused across jobs,
+        # so a path left behind by a previous job would silently redirect
+        # this job's tagging (no-op when unchanged)
+        from .gazetteer.matcher import set_gazetteer_parquet
+        set_gazetteer_parquet(gaz_path)
         for pdf in batches:
             mains = []
             matches = []
             for text in pdf[text_col].tolist():
-                main, rows = extract_turn(text, feats, prefs_cc, prefs_loc)
+                main, rows = extract_turn(
+                    text, feats, prefs_cc, prefs_loc,
+                    coord_families=cfams, strict_coords=strict_coords,
+                    today_epoch=today_epoch, emit_filtered=emit_filtered)
                 mains.append(main)
                 matches.append(rows)
             pdf = pdf.copy()

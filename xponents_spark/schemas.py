@@ -37,6 +37,9 @@ MATCH_STRUCT = T.StructType([
     T.StructField("geohash", T.StringType(), True),
     T.StructField("cc", T.StringType(), True),
     T.StructField("adm1", T.StringType(), True),
+    # ProvinceNameSetter (PlaceGeocoder.java:523-525; 'province-name',
+    # Transforms.java:226): resolved ADM1 display name
+    T.StructField("adm1_name", T.StringType(), True),
     T.StructField("feat_class", T.StringType(), True),
     T.StructField("feat_code", T.StringType(), True),
     T.StructField("place_id", T.StringType(), True),
@@ -49,6 +52,14 @@ MATCH_STRUCT = T.StructType([
     # taxon (Transforms.java:362-368)
     T.StructField("taxon", T.StringType(), True),
     T.StructField("catalog", T.StringType(), True),
+    # coordinate enrichment: top-5 nearby place names, nearest first
+    # ('nearest_places', PlaceGeocoder.java:917-941, Transforms.java:174-226)
+    T.StructField("nearest_places", T.ArrayType(T.StringType()), True),
+    # FlexPat named slot values (SURVEY §1.2 match struct 'slots')
+    T.StructField("slots", T.MapType(T.StringType(), T.StringType()), True),
+    # classifier flags: date 'distant-past'/'future' (DateMatch.html
+    # isDistantPast/isFuture relative to a caller-set TODAY)
+    T.StructField("flags", T.ArrayType(T.StringType()), True),
 ])
 
 MATCH_FIELD_NAMES = [f.name for f in MATCH_STRUCT.fields]

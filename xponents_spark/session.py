@@ -20,6 +20,15 @@ def get_spark(app: str = "xponents-spark", master: str | None = None,
     master = master or f"local[{cpus}]"
     if shuffle_partitions is None:
         shuffle_partitions = int(cpus) if cpus.isdigit() else 32
+    # single-JVM local[N] puts ALL task concurrency in the driver heap;
+    # size it with the thread count or GC thrashes (measured: 8g heap at
+    # local[32] spent 46s/12s-job in GC — 0.39 scaling efficiency; 1.5g/core
+    # restores GC to ~1.5s.  A real cluster never hits this: executors are
+    # separate JVMs with per-executor heaps, e.g. 8 cores x 4-6g).
+    local_threads = 0
+    if master.startswith("local[") and master[6:-1].isdigit():
+        local_threads = int(master[6:-1])
+    default_mem = f"{max(8, (local_threads * 3 + 1) // 2)}g"
     return (
         SparkSession.builder
         .appName(app)
@@ -33,6 +42,6 @@ def get_spark(app: str = "xponents-spark", master: str | None = None,
         .config("spark.sql.execution.arrow.maxRecordsPerBatch", str(arrow_batch))
         # extraction output rows are wide (match arrays); keep file splits sane
         .config("spark.sql.files.maxPartitionBytes", "128m")
-        .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEM", "8g"))
+        .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEM", default_mem))
         .getOrCreate()
     )
