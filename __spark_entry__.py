@@ -178,6 +178,31 @@ def q_pdf_roundtrip(spark, sf_dir):
                                "payload", "text").select("doc_id", "text")
 
 
+def q_docx_roundtrip(spark, sf_dir):
+    """S1 office path: each document rendered to a deterministic DOCX
+    (binary), text layer recovered by the stdlib zip+XML extractor — output
+    must equal the source text (identity oracle, same contract as the PDF
+    roundtrip)."""
+    import pandas as pd
+    from pyspark.sql import types as T
+
+    from xponents_spark.textract import convert_binary_docs
+    from xponents_spark.textract.office import make_simple_docx
+
+    docs = _docs(spark, sf_dir).select("doc_id", "text")
+    schema = T.StructType([T.StructField("doc_id", T.LongType()),
+                           T.StructField("payload", T.BinaryType())])
+
+    def mk(batches):
+        for pdf in batches:
+            yield pd.DataFrame({
+                "doc_id": pdf["doc_id"],
+                "payload": [make_simple_docx(t) for t in pdf["text"].tolist()]})
+
+    return convert_binary_docs(docs.mapInPandas(mk, schema=schema),
+                               "payload", "text").select("doc_id", "text")
+
+
 def q_exact_dedup(spark, sf_dir):
     return exact_dedup(_docs(spark, sf_dir))
 
@@ -409,6 +434,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "match_label_histogram": q_label_histogram,
         "gazetteer_etl": q_gazetteer_etl,
         "pdf_text_recovery": q_pdf_roundtrip,
+        "docx_text_recovery": q_docx_roundtrip,
         "exact_dedup": q_exact_dedup,
         "prefix_dedup": q_prefix_dedup,
         "token_stats": q_token_stats,
@@ -481,6 +507,7 @@ def oracle_sql() -> dict[str, str]:
         "match_label_histogram": O.label_histogram_oracle(),
         "gazetteer_etl": O.gazetteer_etl_oracle(),
         "pdf_text_recovery": "SELECT doc_id, text FROM documents",
+        "docx_text_recovery": "SELECT doc_id, text FROM documents",
         "exact_dedup": O.EXACT_DEDUP_ORACLE,
         "prefix_dedup": O.PREFIX_DEDUP_ORACLE,
         "token_stats": O.TOKEN_STATS_ORACLE,

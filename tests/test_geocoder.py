@@ -275,3 +275,20 @@ def test_country_catalog_lookups():
     assert "JP" in countries_in_utc_offset(9.0)
     assert approximate_longitude_for_utc_offset(-5) == -75
     assert approximate_longitude_for_utc_offset(14) == 180
+
+
+def test_user_match_filter_excludes_values():
+    """F8 user MatchFilter (MatchFilter.filterOut, GazetteerMatcher.java:
+    236-238,529-535): caller stop set kills matches by normalized value."""
+    base = geocode("the London office and Dublin desk")
+    names = {m["matchtext"] for m in base if m["label"] == "place"}
+    assert {"London", "Dublin"} <= names
+    filt = geocode("the London office and Dublin desk",
+                   match_filter=frozenset({"london"}))
+    names = {m["matchtext"] for m in filt if m["label"] == "place"}
+    assert "London" not in names and "Dublin" in names
+    # with emit_filtered, the kill is visible with its reason
+    dbg = geocode("the London office and Dublin desk", emit_filtered=True,
+                  match_filter=frozenset({"london"}))
+    killed = [m for m in dbg if m["filtered_out"]]
+    assert any(m["method"] == "user-filter" for m in killed)

@@ -51,3 +51,64 @@ def test_cjk_char_tokenization():
 
 def test_arabic_variant_normalization():
     assert normalize_token("أحمد") == normalize_token("احمد")
+
+
+def test_arabic_light_stemming():
+    """ArabicStemFilter analog (schema.xml:449-471; light10 family):
+    definite-article prefixes and common suffixes strip with remainder
+    guards, at index AND tag time — prefixed mentions match bare names."""
+    # prefixes: wal-/bal-/al-/waw
+    assert normalize_token("العراق") == normalize_token("عراق")
+    assert normalize_token("والعراق") == normalize_token("عراق")
+    assert normalize_token("بالعراق") == normalize_token("عراق")
+    # teh-marbuta fold + suffix strip
+    assert normalize_token("القاهرة") == normalize_token("قاهر")
+    # guard: stripping never leaves < 2 chars
+    assert normalize_token("الف") == "الف"
+    # a prefixed mention geotags against the bare gazetteer name
+    out = geocode("الهجوم بالعراق أمس")
+    assert any(m.get("cc") == "IQ" for m in out), out
+
+
+def test_arabic_stopwords_not_places():
+    """Per-language stop set: Arabic function words never become places
+    even if a gazetteer name collides."""
+    from xponents_spark.gazetteer import data
+    assert normalize_token("في") in data.STOPWORDS
+    assert normalize_token("على") in data.STOPWORDS
+
+
+def test_cjk_percharacter_equals_bigram_matching():
+    """CJK bigram-field equivalence (schema.xml:416-447): matching names as
+    per-char token sequences finds exactly the spans a CJKBigramFilter
+    index would (overlapping bigram AND-chain), fuzz-checked."""
+    import random
+
+    from xponents_spark.gazetteer.matcher import PhraseIndex, Place
+
+    rng = random.Random(11)
+    chars = "北京都東海南西山川口市区街村"
+    names = {"".join(rng.choice(chars) for _ in range(rng.randint(2, 4)))
+             for _ in range(30)}
+    idx = PhraseIndex([(n, Place(n, n, "N", "P", "PPL", "CN", "", 0.0, 0.0,
+                                 5, 1000)) for n in names])
+    for _ in range(200):
+        text = "".join(rng.choice(chars) for _ in range(rng.randint(4, 18)))
+        got = {(s, e) for s, e, _m, _p in idx.scan(text)}
+        # oracle: greedy longest-dominant-right over brute-force substring
+        # hits == what a bigram-chain matcher resolves to
+        hits = []
+        for n in names:
+            start = 0
+            while True:
+                i = text.find(n, start)
+                if i < 0:
+                    break
+                hits.append((i, i + len(n)))
+                start = i + 1
+        # LONGEST_DOMINANT_RIGHT: longest first, rightmost wins ties
+        want = set()
+        for s, e in sorted(hits, key=lambda x: (-(x[1] - x[0]), -x[0])):
+            if all(not (s < we and ws < e) for ws, we in want):
+                want.add((s, e))
+        assert got == want, (text, got, want)

@@ -350,3 +350,25 @@ def test_gazetteer_etl_semantics(spark, sf_dir):
     full = {r["name"]: r for r in out if r["name_type"] == "N"}
     pops = sorted(full.values(), key=lambda r: r["pop"])
     assert pops[0]["id_bias"] <= pops[-1]["id_bias"]
+
+
+def test_office_format_roundtrips():
+    """S1 office coverage: DOCX / ODT / RTF text recovery (stdlib zip+XML /
+    control-word stream), exact roundtrip through deterministic writers."""
+    from xponents_spark.textract import convert_document, doc_kind
+    from xponents_spark.textract.office import (extract_rtf_text,
+                                                make_simple_docx,
+                                                make_simple_rtf)
+
+    t = "Crisis in Falluja — café naïve.\nSecond line 北京 text."
+    docx = make_simple_docx(t)
+    rtf = make_simple_rtf(t)
+    assert doc_kind(docx) == "docx"
+    assert doc_kind(rtf) == "rtf"
+    flat = t.replace("\n", " ")
+    assert convert_document(docx) == flat
+    assert convert_document(rtf) == flat
+    # RTF escapes: hex, unicode-with-fallback-char, skipped destinations
+    raw = (rb"{\rtf1\ansi{\fonttbl{\f0 X;}}{\*\generator Foo 1.0;}"
+           rb"caf\'e9 \u21271 ?north\par second}")
+    assert extract_rtf_text(raw) == "caf\xe9 \u5317north\nsecond"

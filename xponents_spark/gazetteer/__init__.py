@@ -34,7 +34,8 @@ def geocode(text: str, coords: list[tuple[float, float]] | None = None,
             features: tuple = ("places", "countries", "taxons", "postal"),
             prefer_countries: list[str] | None = None,
             prefer_locations: list[tuple[float, float]] | None = None,
-            emit_filtered: bool = False) -> list[dict]:
+            emit_filtered: bool = False,
+            match_filter: frozenset[str] | None = None) -> list[dict]:
     """Per-turn geotagging; returns flat match dicts (schemas.MATCH_STRUCT
     field subset).  ``coords`` are (lat, lon) pairs from XCoord for the
     coordinate-association rule.  ``prefer_countries`` (ISO2) and
@@ -48,6 +49,14 @@ def geocode(text: str, coords: list[tuple[float, float]] | None = None,
     if not toks:
         return []
     cands = tag_places(text, toks=toks)
+    # F8 user MatchFilter (MatchFilter.filterOut(value); applied at tag
+    # time, GazetteerMatcher.java:236-238,529-535): caller-supplied stop
+    # set compared against the normalized match text
+    if match_filter:
+        for c in cands:
+            if not c.filtered_out and c.textnorm in match_filter:
+                c.filtered_out = True
+                c.filter_reason = "user-filter"
     taxons = tag_taxons(text, toks=toks)
     scope = R.Scope()
     scope.set_preferences(prefer_countries, prefer_locations)

@@ -159,6 +159,7 @@ GAZETTEER_ROWS: list[tuple] = [
     ("HKG.HK", "香港", "N", "P", "PPLC", "HK", "", 22.3193, 114.1694, 9, 7500000),
     ("BGW.IQ", "بغداد", "N", "P", "PPLC", "IQ", "BG", 33.3152, 44.3661, 9, 7100000),
     ("FAL.IQ2", "الفلوجة", "N", "P", "PPL", "IQ", "AN", 33.3538, 43.7866, 6, 275000),
+    ("C.IQ", "العراق", "N", "A", "PCLI", "IQ", "", 33.0, 44.0, 10, 40200000),
     ("DXB.AE", "دبي", "N", "P", "PPLA", "AE", "03", 25.2048, 55.2708, 8, 3300000),
     # --- continents (marked + filtered by F9) ---
     ("CONT.AF", "Africa", "N", "L", "CONT", "", "", 7.19, 21.1, 5, 0),
@@ -201,7 +202,13 @@ that these those i you he she we they my your his her our their me him them us
 do does did done will would can could shall should may might must not no yes
 so if then than there here when where what who why how all any some none
 hi ok bye part where's i'll
-""".split())
+""".split()) | frozenset(
+    # Arabic stop set (per-language Lucene stopwords, schema.xml:449-471).
+    # Stored as the matcher compares them: post variant-fold + light-stem
+    # forms of {في من الى على عن ان او لا ما هذا هذه ذلك التي الذي كان يوم
+    # أمس غدا} — keep in sync with matcher.normalize_token
+    "ال امس ان او تي ذلك ذي عل عن غدا في كان لا ما من هذ هذا يوم".split()
+)
 
 # non-place name collisions (filters/non-placenames*.csv)
 NON_PLACES: frozenset[str] = frozenset({

@@ -127,6 +127,27 @@ _CJK_CHAR = _re.compile(r"[⺀-鿿぀-ヿ가-힯豈-﫿]")
 # schema.xml:449-471): alef variants, teh marbuta, alef maqsura, tatweel
 _AR_FOLD = str.maketrans({"أ": "ا", "إ": "ا", "آ": "ا", "ة": "ه",
                           "ى": "ي", "ـ": None})
+_AR_CHAR = _re.compile(r"[؀-ۿ]")
+# light10-style Arabic stemming (the Solr ArabicStemFilter analog,
+# schema.xml:449-471; Larkey's published light stemmer): definite-article
+# prefixes stripped once (longest first), then the suffix list in order,
+# each with a 2-char-remainder guard.  Applied identically at index build
+# and tag time, so stems always compare against stems.
+_AR_PREFIXES = ("وال", "بال", "كال", "فال", "ال", "لل")
+_AR_SUFFIXES = ("ها", "ان", "ات", "ون", "ين", "يه", "ه", "ي")
+
+
+def _arabic_stem(tok: str) -> str:
+    if tok.startswith("و") and len(tok) >= 4:      # conjunction waw
+        tok = tok[1:]
+    for p in _AR_PREFIXES:
+        if tok.startswith(p) and len(tok) - len(p) >= 2:
+            tok = tok[len(p):]
+            break
+    for s in _AR_SUFFIXES:
+        if tok.endswith(s) and len(tok) - len(s) >= 2:
+            tok = tok[:-len(s)]
+    return tok
 
 
 # token -> normalized memo: natural text is Zipf-distributed, so the hit
@@ -145,6 +166,8 @@ def normalize_token(tok: str) -> str:
         # width-fold (NFKC) + diacritic strip + Arabic variant fold + lowercase
         folded = _ud.normalize("NFKC", tok).translate(_AR_FOLD)
         v = strip_diacritics(folded).lower().strip(_EDGE_PUNCT)
+        if _AR_CHAR.search(v):
+            v = _arabic_stem(v)
     if len(_NORM_CACHE) >= _NORM_CACHE_MAX:
         _NORM_CACHE.clear()
     _NORM_CACHE[tok] = v

@@ -57,7 +57,8 @@ def extract_turn(text: str, features: tuple,
                  coord_families: tuple | None = None,
                  strict_coords: bool = False,
                  today_epoch: int = DEFAULT_TODAY_EPOCH,
-                 emit_filtered: bool = False) -> tuple[str, list[dict]]:
+                 emit_filtered: bool = False,
+                 match_filter: frozenset[str] | None = None) -> tuple[str, list[dict]]:
     """Pure per-turn extraction: main-content recovery then pattern families.
     Offsets are into ``main_text``.  Import-inside keeps executor pickles
     small; modules cache their compiled managers process-wide.
@@ -139,7 +140,8 @@ def extract_turn(text: str, features: tuple,
             for g in geocode(main, coords=coords, features=geo_feats,
                              prefer_countries=list(prefer_countries),
                              prefer_locations=list(prefer_locations),
-                             emit_filtered=emit_filtered):
+                             emit_filtered=emit_filtered,
+                             match_filter=match_filter):
                 out.append(_match_row(**g))
         except TagLimitExceeded:
             # TAG_LIMIT guardrail (reference: hard error per document,
@@ -167,7 +169,8 @@ def extract(df: DataFrame, features: Iterable[str] = DEFAULT_FEATURES,
             coord_families: Iterable[str] | None = None,
             strict_coords: bool = False,
             today_epoch: int = DEFAULT_TODAY_EPOCH,
-            emit_filtered: bool = False) -> DataFrame:
+            emit_filtered: bool = False,
+            match_filter: Iterable[str] = ()) -> DataFrame:
     """Append ``main_text`` + ``matches`` columns via one mapInPandas stage.
 
     ``prefer_countries`` / ``prefer_locations`` are the Xlayer request
@@ -187,6 +190,9 @@ def extract(df: DataFrame, features: Iterable[str] = DEFAULT_FEATURES,
     prefs_cc = tuple(prefer_countries)
     prefs_loc = tuple(tuple(x) for x in prefer_locations)
     cfams = tuple(coord_families) if coord_families is not None else None
+    # F8 user MatchFilter: normalized stop values ride the closure to every
+    # worker (the 'optional broadcast set' in SURVEY §2.4)
+    mfilter = frozenset(match_filter) or None
     gaz_path = gazetteer_parquet or _os.environ.get("XPONENTS_GAZETTEER_PARQUET")
     out_schema = extraction_output_schema(df.schema)
 
@@ -203,7 +209,8 @@ def extract(df: DataFrame, features: Iterable[str] = DEFAULT_FEATURES,
                 main, rows = extract_turn(
                     text, feats, prefs_cc, prefs_loc,
                     coord_families=cfams, strict_coords=strict_coords,
-                    today_epoch=today_epoch, emit_filtered=emit_filtered)
+                    today_epoch=today_epoch, emit_filtered=emit_filtered,
+                    match_filter=mfilter)
                 mains.append(main)
                 matches.append(rows)
             pdf = pdf.copy()

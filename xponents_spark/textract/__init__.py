@@ -113,24 +113,40 @@ def _drop_flagged_elements(doc: str) -> str:
 def convert_document(payload: bytes) -> str:
     """XText-equivalent conversion dispatcher (doc-in -> text-out, the API
     shape of ConvertedDocument): PDF payloads go through the text-layer
-    recovery (:mod:`.pdf`), anything else charset-decodes and, when
-    HTML-ish, scrubs boilerplate."""
+    recovery (:mod:`.pdf`); DOCX/ODT/RTF through the office text recovery
+    (:mod:`.office` — the Tika-class formats, pure stdlib); anything else
+    charset-decodes and, when HTML-ish, scrubs boilerplate."""
+    from .office import (extract_docx_text, extract_odt_text,
+                         extract_rtf_text, is_rtf, zip_kind)
     from .pdf import extract_pdf_text, is_pdf
     if payload is None:
         return ""
     if is_pdf(payload):
         return squeeze_whitespace(extract_pdf_text(payload))
+    zk = zip_kind(payload)
+    if zk == "docx":
+        return squeeze_whitespace(extract_docx_text(payload))
+    if zk == "odt":
+        return squeeze_whitespace(extract_odt_text(payload))
+    if is_rtf(payload):
+        return squeeze_whitespace(extract_rtf_text(payload))
     return extract_main_content(decode_bytes(payload))
 
 
 def doc_kind(payload: bytes) -> str:
-    """Payload sniffing: pdf / html / text (the ConvertedDocument mime
-    analog)."""
+    """Payload sniffing: pdf / docx / odt / rtf / html / text (the
+    ConvertedDocument mime analog)."""
+    from .office import is_rtf, zip_kind
     from .pdf import is_pdf
     if payload is None:
         return "empty"
     if is_pdf(payload):
         return "pdf"
+    zk = zip_kind(payload)
+    if zk:
+        return zk
+    if is_rtf(payload):
+        return "rtf"
     if is_htmlish(decode_bytes(payload[:4096])):
         return "html"
     return "text"
