@@ -202,8 +202,15 @@ class PhraseIndex:
     """Token-keyed phrase dictionary with longest-first lookup."""
 
     def __init__(self, entries: list[tuple[str, object]]):
-        """entries: (phrase, payload); phrases normalize at build time."""
-        self.index: dict[str, dict[tuple, list]] = {}
+        """entries: (phrase, payload); phrases normalize at build time.
+
+        Layout (shared with store.ParquetGazetteerIndex, which measured ~30%
+        faster than the round-1 nested tuple-keyed dicts): one flat dict
+        keyed by the space-joined normalized phrase, plus a per-first-token
+        max phrase length so the scan's inner loop is bounded by THAT
+        token's longest dictionary phrase, not the global max."""
+        self.index: dict[str, list] = {}
+        self.first_max: dict[str, int] = {}
         self.max_len = 1
         for phrase, payload in entries:
             # same tokenization as tag time (CJK names -> char sequences)
@@ -211,8 +218,9 @@ class PhraseIndex:
             if not toks:
                 continue
             self.max_len = max(self.max_len, len(toks))
-            bucket = self.index.setdefault(toks[0], {})
-            bucket.setdefault(toks, []).append(payload)
+            if len(toks) > self.first_max.get(toks[0], 0):
+                self.first_max[toks[0]] = len(toks)
+            self.index.setdefault(" ".join(toks), []).append(payload)
 
     # reference guardrail: DEFAULT_TAG_LIMIT per doc hard error beyond
     # (SolrMatcherSupport.java:46,186-195)
@@ -226,14 +234,16 @@ class PhraseIndex:
         if toks is None:
             toks = tokens_with_offsets(text)
         raw: list[tuple[int, int, str, list]] = []
+        index = self.index
+        first_max = self.first_max
         for i, (norm, _s, _e) in enumerate(toks):
-            bucket = self.index.get(norm)
-            if not bucket:
+            maxlen = first_max.get(norm)
+            if not maxlen:
                 continue
-            limit = min(self.max_len, len(toks) - i)
+            limit = min(maxlen, len(toks) - i)
             for ln in range(limit, 0, -1):
-                key = tuple(t[0] for t in toks[i:i + ln])
-                payloads = bucket.get(key)
+                key = " ".join(t[0] for t in toks[i:i + ln])
+                payloads = index.get(key)
                 if payloads:
                     s, e = toks[i][1], toks[i + ln - 1][2]
                     raw.append((s, e, text[s:e], payloads))

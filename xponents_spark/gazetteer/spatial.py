@@ -96,12 +96,20 @@ def reverse_geocode(lat: float, lon: float) -> dict:
     ``nearest_places``: top-5 place names within 50 km, nearest first
     (PlaceGeocoder.java:917-941 emits max 5 nearby places per coordinate).
     ``adm1_name``: ProvinceNameSetter resolution for the related place."""
-    idx = spatial_index()
-    p = idx.nearest_place(lat, lon)
+    # ONE grid query serves both the nearest-place choice (populated place
+    # at 25 km, P/A fallback at 50 km — PlaceGeocoder.java:898-978) and the
+    # top-5 name list; three separate radius queries per coordinate showed
+    # up in the round-2 bench
+    near = spatial_index().places_at(lat, lon, 50, limit=10)
+    if not near:
+        return {}
+    p = next((q for d, q in near if d <= 25_000 and q.feat_class == "P"),
+             None)
+    if p is None:
+        p = next((q for _d, q in near if q.feat_class in ("P", "A")), None)
     if p is None:
         return {}
-    near = [q.name for _d, q in idx.places_at(lat, lon, 50, limit=5)]
     return {"cc": p.cc, "adm1": p.adm1 or None, "name": p.name,
             "place_id": p.place_id,
             "adm1_name": data.ADM1_NAMES.get(p.hierarchical_path),
-            "nearest_places": near or None}
+            "nearest_places": [q.name for _d, q in near[:5]] or None}
