@@ -44,6 +44,10 @@ MATCH_STRUCT = T.StructType([
     T.StructField("feat_code", T.StringType(), True),
     T.StructField("place_id", T.StringType(), True),
     T.StructField("name", T.StringType(), True),
+    # K12 second choice (choose top-2, PlaceCandidate.java:331-397):
+    # runner-up location for downstream disambiguation audits
+    T.StructField("alt_place_id", T.StringType(), True),
+    T.StructField("alt_cc", T.StringType(), True),
     T.StructField("method", T.StringType(), True),
     # temporal (Transforms.java:380-391)
     T.StructField("date_norm", T.StringType(), True),
