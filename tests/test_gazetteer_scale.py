@@ -110,3 +110,26 @@ def test_parquet_gazetteer_resets_cleanly(tagger_pq):
         matcher.set_gazetteer_parquet(None)
     # back to the embedded fixture gazetteer
     assert matcher.gaz_index().scan("the London office") != []
+
+
+def test_postal_parquet_path(spark, tmp_path_factory):
+    """Parquet-backed postal table: worker-side load, reset semantics, and
+    an end-to-end tag against a synthesized code."""
+    from xponents_spark.gazetteer import postal
+    from xponents_spark.sources.gazetteer_synth import synthesize_postal_raw
+
+    out = str(tmp_path_factory.mktemp("postal") / "postal.parquet")
+    synthesize_postal_raw(spark, n_rows=5_000, partitions=4) \
+        .write.mode("overwrite").parquet(out)
+    try:
+        postal.set_postal_parquet(out)
+        assert len(postal._BY_CODE) > 3_000
+        row = spark.read.parquet(out).first()
+        # a code adjacent to country scope resolves through the big table
+        hits = postal.tag_postals(f"parcel code {row['code']} sent", [],
+                                  {row["cc"]})
+        assert any(h["cc"] == row["cc"] and h["matchtext"] == row["code"]
+                   for h in hits)
+    finally:
+        postal.set_postal_parquet(None)
+    assert len(postal._BY_CODE) == len(postal.POSTAL_ROWS)

@@ -85,3 +85,15 @@ def test_published_catalog_examples():
         assert ms[0].pattern_id.startswith(fam)
         assert ms[0].attrs["datenorm"] == "2017-09-22"
         assert ms[0].attrs["resolution"] == res
+
+
+def test_date_family_enable_flags():
+    """XTemporal match_DateTime/match_DayMonYear analogs: per-family
+    enables on extract_dates (XTemporal.html method summary)."""
+    from xponents_spark.extractors.xtemporal import extract_dates
+    text = "on 09/22/2017 then 2017-09-22T07:00-05:00 end"
+    fams = {m.family for m in extract_dates(text) if not m.filtered_out}
+    assert fams == {"MDY", "DTM"}
+    only_dtm = {m.family for m in extract_dates(text, families=("DTM",))
+                if not m.filtered_out}
+    assert only_dtm == {"DTM"}

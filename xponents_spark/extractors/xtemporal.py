@@ -266,5 +266,8 @@ def manager() -> PatternManager:
     return _manager
 
 
-def extract_dates(text: str) -> list[PatternMatch]:
-    return manager().scan(text)
+def extract_dates(text: str, families=None) -> list[PatternMatch]:
+    """``families``: per-family enables — the XTemporal
+    match_DateTime/match_DayMonYear toggles (XTemporal.html method summary);
+    None = all of MDY/DMY/YMD/DTM."""
+    return manager().scan(text, families=families)

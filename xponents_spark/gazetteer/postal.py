@@ -41,9 +41,37 @@ POSTAL_ROWS: list[tuple] = [
     ("GB", "ENG", "SW1A 1AA", "London", 51.5010, -0.1416),
 ]
 
-_BY_CODE: dict[str, list[tuple]] = {}
-for _r in POSTAL_ROWS:
-    _BY_CODE.setdefault(_r[2].replace(" ", "").upper(), []).append(_r)
+def _build_code_map(rows) -> dict[str, list[tuple]]:
+    by_code: dict[str, list[tuple]] = {}
+    for r in rows:
+        by_code.setdefault(r[2].replace(" ", "").upper(), []).append(tuple(r))
+    return by_code
+
+
+_BY_CODE: dict[str, list[tuple]] = _build_code_map(POSTAL_ROWS)
+_POSTAL_PATH: str | None = None
+
+
+def set_postal_parquet(path: str | None) -> None:
+    """Scale path for the reference's ~4M COUNTRY+CODE tuples
+    (PostalGeocoder.java:25-33): point this worker process at a postal
+    parquet with columns (cc, adm1, code, name, lat, lon); the code map
+    builds lazily ONCE per process from the file — no driver collect.
+    ``None`` resets to the embedded fixture rows (reused python workers
+    must not leak a previous job's table).  Idempotent per path."""
+    global _POSTAL_PATH, _BY_CODE
+    if path == _POSTAL_PATH:
+        return
+    _POSTAL_PATH = path
+    if path is None:
+        _BY_CODE = _build_code_map(POSTAL_ROWS)
+        return
+    import pyarrow.parquet as pq
+    tbl = pq.read_table(path, columns=["cc", "adm1", "code", "name",
+                                       "lat", "lon"])
+    cols = [tbl.column(c).to_pylist() for c in ("cc", "adm1", "code",
+                                                "name", "lat", "lon")]
+    _BY_CODE = _build_code_map(zip(*cols))
 
 # candidate postal tokens: alnum with optional internal space/dash, len>=4
 _POSTAL_TOKEN = re.compile(r"(?<![\w-])[A-Z0-9]{3,5}(?:[ -]?[A-Z0-9]{2,4})?(?![\w-])")

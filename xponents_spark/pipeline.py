@@ -55,6 +55,7 @@ def extract_turn(text: str, features: tuple,
                  prefer_countries: tuple = (),
                  prefer_locations: tuple = (),
                  coord_families: tuple | None = None,
+                 date_families: tuple | None = None,
                  strict_coords: bool = False,
                  today_epoch: int = DEFAULT_TODAY_EPOCH,
                  emit_filtered: bool = False,
@@ -105,7 +106,7 @@ def extract_turn(text: str, features: tuple,
                 name=related.get("name"), place_id=related.get("place_id"),
                 nearest_places=related.get("nearest_places")))
     if "dates" in features:
-        for m in _xtemporal.extract_dates(main):
+        for m in _xtemporal.extract_dates(main, families=date_families):
             if m.filtered_out:
                 continue
             epoch = m.attrs["epoch"]
@@ -166,7 +167,9 @@ def extract(df: DataFrame, features: Iterable[str] = DEFAULT_FEATURES,
             prefer_countries: Iterable[str] = (),
             prefer_locations: Iterable[tuple] = (),
             gazetteer_parquet: str | None = None,
+            postal_parquet: str | None = None,
             coord_families: Iterable[str] | None = None,
+            date_families: Iterable[str] | None = None,
             strict_coords: bool = False,
             today_epoch: int = DEFAULT_TODAY_EPOCH,
             emit_filtered: bool = False,
@@ -190,10 +193,12 @@ def extract(df: DataFrame, features: Iterable[str] = DEFAULT_FEATURES,
     prefs_cc = tuple(prefer_countries)
     prefs_loc = tuple(tuple(x) for x in prefer_locations)
     cfams = tuple(coord_families) if coord_families is not None else None
+    dfams = tuple(date_families) if date_families is not None else None
     # F8 user MatchFilter: normalized stop values ride the closure to every
     # worker (the 'optional broadcast set' in SURVEY §2.4)
     mfilter = frozenset(match_filter) or None
     gaz_path = gazetteer_parquet or _os.environ.get("XPONENTS_GAZETTEER_PARQUET")
+    postal_path = postal_parquet or _os.environ.get("XPONENTS_POSTAL_PARQUET")
     out_schema = extraction_output_schema(df.schema)
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
@@ -201,14 +206,17 @@ def extract(df: DataFrame, features: Iterable[str] = DEFAULT_FEATURES,
         # so a path left behind by a previous job would silently redirect
         # this job's tagging (no-op when unchanged)
         from .gazetteer.matcher import set_gazetteer_parquet
+        from .gazetteer.postal import set_postal_parquet
         set_gazetteer_parquet(gaz_path)
+        set_postal_parquet(postal_path)
         for pdf in batches:
             mains = []
             matches = []
             for text in pdf[text_col].tolist():
                 main, rows = extract_turn(
                     text, feats, prefs_cc, prefs_loc,
-                    coord_families=cfams, strict_coords=strict_coords,
+                    coord_families=cfams, date_families=dfams,
+                    strict_coords=strict_coords,
                     today_epoch=today_epoch, emit_filtered=emit_filtered,
                     match_filter=mfilter)
                 mains.append(main)

@@ -112,3 +112,23 @@ def synthesize_gazetteer_raw(spark: SparkSession, n_rows: int = 1_200_000,
                  .withColumn("name", F.upper(F.substring("name", 1, 3)))
                  .withColumn("name_type", F.lit("C")))
     return base.unionAll(dups).unionAll(codes)
+
+
+def synthesize_postal_raw(spark: SparkSession, n_rows: int = 500_000,
+                          seed: int = 77, partitions: int = 32) -> DataFrame:
+    """Deterministic postal tuples in the reference's shape (~4M unique
+    COUNTRY+CODE, PostalGeocoder.java:25-33): numeric 4-5 digit codes keyed
+    to (cc, adm1) with coordinates.  JVM-side expressions only."""
+    df = spark.range(0, n_rows, 1, partitions)
+    i = F.col("id")
+    h = lambda k: F.hash(i, F.lit(seed), F.lit(k))
+    cc_arr = F.array(*[F.lit(c) for c in _CCS])
+    cc = F.element_at(cc_arr, (F.pmod(h(1), F.lit(len(_CCS))) + 1).cast("int"))
+    adm1 = F.pmod(h(2), F.lit(30)).cast("string")
+    code = F.lpad(F.pmod(h(3), F.lit(90_000)) + 10_000, 5, "0").cast("string")
+    lat = (F.pmod(h(4), F.lit(170_000)) / F.lit(1000.0)) - 85.0
+    lon = (F.pmod(h(5), F.lit(360_000)) / F.lit(1000.0)) - 180.0
+    return df.select(
+        cc.alias("cc"), adm1.alias("adm1"), code.alias("code"),
+        _name_expr(i, 300).alias("name"),
+        F.round(lat, 3).alias("lat"), F.round(lon, 3).alias("lon"))
