@@ -116,5 +116,5 @@ def manager() -> PatternManager:
     return _manager
 
 
-def extract_poli(text: str, families=None):
-    return manager().scan(text, families=families)
+def extract_poli(text: str, families=None, ctx=None):
+    return manager().scan(text, families=families, ctx=ctx)

@@ -420,5 +420,5 @@ def manager() -> PatternManager:
     return _manager
 
 
-def extract_coordinates(text: str, families=None) -> list[PatternMatch]:
-    return manager().scan(text, families=families)
+def extract_coordinates(text: str, families=None, ctx=None) -> list[PatternMatch]:
+    return manager().scan(text, families=families, ctx=ctx)

@@ -266,8 +266,8 @@ def manager() -> PatternManager:
     return _manager
 
 
-def extract_dates(text: str, families=None) -> list[PatternMatch]:
+def extract_dates(text: str, families=None, ctx=None) -> list[PatternMatch]:
     """``families``: per-family enables — the XTemporal
     match_DateTime/match_DayMonYear toggles (XTemporal.html method summary);
     None = all of MDY/DMY/YMD/DTM."""
-    return manager().scan(text, families=families)
+    return manager().scan(text, families=families, ctx=ctx)

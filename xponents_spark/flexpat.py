@@ -230,7 +230,8 @@ class PatternManager:
 
     # -- scanning -----------------------------------------------------------
 
-    def scan(self, text: str, families=None, context_len: int = 20) -> list[PatternMatch]:
+    def scan(self, text: str, families=None, context_len: int = 20,
+             ctx: "ScanCtx | None" = None) -> list[PatternMatch]:
         """Apply every enabled rule to ``text``; normalize + reduce.
 
         Same pipeline as the reference PatternExtractor.extract_patterns
@@ -242,7 +243,10 @@ class PatternManager:
         if unknown:
             raise ValueError(f"unknown pattern families: {sorted(unknown)}")
         if self.prescreen:
-            ctx = ScanCtx(text)
+            # a caller-shared ScanCtx memoizes lower()/has-digit across the
+            # three pattern managers scanning the same turn
+            if ctx is None:
+                ctx = ScanCtx(text)
             keep = set()
             for f in fams:
                 pre = self.prescreen.get(f)

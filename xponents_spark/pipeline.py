@@ -81,12 +81,17 @@ def extract_turn(text: str, features: tuple,
     main = extract_main_content(text) if "content" in features else text
     out: list[dict] = []
     coords: list[tuple[float, float]] = []
+    # one prescreen context shared by all three pattern managers: the
+    # lower()/has-digit scans over the turn run once, not per family set
+    from .flexpat import ScanCtx
+    sctx = ScanCtx(main)
 
     if "coordinates" in features:
         revgeo = None
         if "places" in features or "revgeo" in features:
             from .gazetteer.spatial import reverse_geocode as revgeo
-        for m in _xcoord.extract_coordinates(main, families=coord_families):
+        for m in _xcoord.extract_coordinates(main, families=coord_families,
+                                             ctx=sctx):
             if m.filtered_out:
                 continue
             if strict_coords and m.family == "DD" and \
@@ -106,7 +111,8 @@ def extract_turn(text: str, features: tuple,
                 name=related.get("name"), place_id=related.get("place_id"),
                 nearest_places=related.get("nearest_places")))
     if "dates" in features:
-        for m in _xtemporal.extract_dates(main, families=date_families):
+        for m in _xtemporal.extract_dates(main, families=date_families,
+                                          ctx=sctx):
             if m.filtered_out:
                 continue
             epoch = m.attrs["epoch"]
@@ -123,7 +129,7 @@ def extract_turn(text: str, features: tuple,
                 resolution=m.attrs["resolution"], method=m.pattern_id,
                 slots=_slot_map(m), flags=flags))
     if "patterns" in features:
-        for m in _poli.extract_poli(main):
+        for m in _poli.extract_poli(main, ctx=sctx):
             if m.filtered_out:
                 continue
             out.append(_match_row(
