@@ -372,3 +372,23 @@ def test_office_format_roundtrips():
     raw = (rb"{\rtf1\ansi{\fonttbl{\f0 X;}}{\*\generator Foo 1.0;}"
            rb"caf\'e9 \u21271 ?north\par second}")
     assert extract_rtf_text(raw) == "caf\xe9 \u5317north\nsecond"
+
+
+def test_resumable_with_physical_bucket_column(spark, sf_dir, tmp_path):
+    """Pre-bucketed input (the Iceberg bucket(conv_id) layout): stage-0
+    bucketize is skipped and the per-bucket filter prunes at the source —
+    results identical to the self-bucketizing path."""
+    import os
+
+    from pyspark.sql import functions as F
+
+    t = synthesize_transcripts(spark, sf_dir)
+    src = str(tmp_path / "bucketed_src")
+    (t.withColumn("bkt", F.pmod(F.hash("conv_id"), F.lit(3)))
+      .write.partitionBy("bkt").parquet(src))
+    out = str(tmp_path / "run_bc")
+    m = run_resumable(spark.read.parquet(src), out, buckets=3,
+                      input_desc="pre-bucketed", bucket_col="bkt")
+    assert sum(r["rows"] for r in m) == 500
+    assert not os.path.exists(os.path.join(out, "_input"))  # no stage 0
+    assert read_resumable_output(spark, out).count() == 500
