@@ -133,3 +133,22 @@ def test_postal_parquet_path(spark, tmp_path_factory):
     finally:
         postal.set_postal_parquet(None)
     assert len(postal._BY_CODE) == len(postal.POSTAL_ROWS)
+
+
+def test_normalization_version_fingerprint(spark, tmp_path_factory):
+    """A tagger parquet built under different normalization semantics is
+    refused at load time instead of silently not matching."""
+    import json
+    import os
+
+    from xponents_spark.gazetteer.store import ParquetGazetteerIndex
+
+    out = str(tmp_path_factory.mktemp("gazv") / "tagger.parquet")
+    raw = synthesize_gazetteer_raw(spark, n_rows=500, partitions=2)
+    build_tagger_parquet(gazetteer_etl(raw), out)
+    meta = os.path.join(out, "_normalization.json")
+    assert json.load(open(meta))["normalization_version"] >= 2
+    ParquetGazetteerIndex(out)     # current version loads
+    json.dump({"normalization_version": 1}, open(meta, "w"))
+    with pytest.raises(ValueError, match="normalized with version"):
+        ParquetGazetteerIndex(out)

@@ -35,6 +35,14 @@ _EDGE_PUNCT = ".,;:'\"!?()[]|"
 _EDGE_PUNCT_SET = frozenset(_EDGE_PUNCT)
 
 
+# bump when tokenization/normalization SEMANTICS change (NFKC fold, CJK
+# per-char, Arabic variant fold + light stem...).  Tagger parquets record
+# the version they were normalized with; the runtime index refuses an
+# artifact built under different semantics — silent mismatches would just
+# stop matching (store.ParquetGazetteerIndex checks this).
+NORMALIZATION_VERSION = 2   # v2: round-2 Arabic light stem
+
+
 class TagLimitExceeded(RuntimeError):
     """Raised when one document exceeds PhraseIndex.TAG_LIMIT tags
     (reference: hard error per doc, SolrMatcherSupport.java:46,186-195).

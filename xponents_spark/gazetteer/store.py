@@ -41,7 +41,21 @@ class ParquetGazetteerIndex:
     TAG_LIMIT = 100_000
 
     def __init__(self, path: str):
+        import json
+        import os
+
         import pyarrow.parquet as pq
+
+        from .matcher import NORMALIZATION_VERSION
+        meta_path = os.path.join(path, "_normalization.json")
+        if os.path.exists(meta_path):
+            with open(meta_path) as fh:
+                ver = json.load(fh).get("normalization_version")
+            if ver != NORMALIZATION_VERSION:
+                raise ValueError(
+                    f"tagger parquet {path} was normalized with version "
+                    f"{ver}, engine expects {NORMALIZATION_VERSION} — "
+                    f"rebuild with sources.gazetteer_etl.build_tagger_parquet")
         tbl = pq.read_table(path, columns=_COLS + ["phrase"])
         phrases = np.asarray(tbl.column("phrase").to_pylist(), dtype=object)
         order = np.argsort(phrases, kind="stable")

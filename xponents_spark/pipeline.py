@@ -239,7 +239,9 @@ def extract_conversation_scoped(df: DataFrame,
                                 features: Iterable[str] = DEFAULT_FEATURES,
                                 text_col: str = "text",
                                 min_confidence: int = 60,
-                                vote_confidence: int = 65) -> DataFrame:
+                                vote_confidence: int = 65,
+                                gazetteer_parquet: str | None = None,
+                                postal_parquet: str | None = None) -> DataFrame:
     """Two-pass conversation-scope extraction: the reference's document-scope
     country inference (relevantCountries, PlaceGeocoder.java:400-411; chooser
     country bias, LocationChooserRule.java:186-295) lifted to conversation
@@ -262,8 +264,13 @@ def extract_conversation_scoped(df: DataFrame,
     # Lifetime note: the persist stays live inside the returned plan; a
     # caller that fully materializes the result (write/collect) can release
     # it with spark.catalog.clearCache() or by unpersisting this stage.
+    import os as _os
     from pyspark import StorageLevel
-    ext = extract(df, feats, text_col).persist(StorageLevel.MEMORY_AND_DISK)
+    gaz_path = gazetteer_parquet or _os.environ.get("XPONENTS_GAZETTEER_PARQUET")
+    postal_path = postal_parquet or _os.environ.get("XPONENTS_POSTAL_PARQUET")
+    ext = extract(df, feats, text_col,
+                  gazetteer_parquet=gaz_path,
+                  postal_parquet=postal_path).persist(StorageLevel.MEMORY_AND_DISK)
 
     geo = (ext.select("conv_id", F.explode("matches").alias("m"))
               .filter(F.col("m.label").isin("place", "country")
@@ -284,6 +291,11 @@ def extract_conversation_scoped(df: DataFrame,
     in_names = [f.name for f in out_schema.fields]
 
     def rerun(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        # same worker-state reset as extract.run (reused python workers)
+        from .gazetteer.matcher import set_gazetteer_parquet
+        from .gazetteer.postal import set_postal_parquet
+        set_gazetteer_parquet(gaz_path)
+        set_postal_parquet(postal_path)
         for pdf in batches:
             mains, matches = [], []
             for text, cc in zip(pdf[text_col].tolist(),

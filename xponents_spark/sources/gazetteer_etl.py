@@ -171,3 +171,12 @@ def build_tagger_parquet(taggable: DataFrame, path: str) -> None:
 
     out = taggable.mapInPandas(add_phrase, schema=schema)
     out.filter("phrase != ''").write.mode("overwrite").parquet(path)
+
+    # sidecar fingerprint: the runtime index refuses artifacts whose phrase
+    # column was normalized under different semantics
+    import json
+    import os
+
+    from ..gazetteer.matcher import NORMALIZATION_VERSION
+    with open(os.path.join(path, "_normalization.json"), "w") as fh:
+        json.dump({"normalization_version": NORMALIZATION_VERSION}, fh)
