@@ -302,6 +302,36 @@ def q_minhash_dedup(spark, sf_dir):
     return minhash_near_dups(_docs(spark, sf_dir), threshold=0.2)
 
 
+def q_winnow_dedup(spark, sf_dir):
+    """Winnowing-fingerprint near-dups (Schleimer et al., SIGMOD'03) —
+    rows-only (fingerprint sampling is approximate by construction); the
+    companion winnow_dup_check invariant is driver-gated."""
+    from xponents_spark.operators.dedup import winnow_near_dups
+    return winnow_near_dups(_docs(spark, sf_dir), threshold=0.6)
+
+
+def q_winnow_dup_check(spark, sf_dir):
+    """Invariant: byte-identical docs (exact_dedup groups) MUST be winnowing
+    near-dups at fp_jaccard = 1.0 — identical text yields identical
+    fingerprint sets.  Violations empty."""
+    from xponents_spark.operators.dedup import winnow_near_dups
+    docs = _docs(spark, sf_dir)
+    groups = (exact_dedup(docs).filter(F.col("n_docs") > 1)
+              .select("text_md5"))
+    dup_docs = (docs.select("doc_id", F.md5("text").alias("text_md5"))
+                    .join(groups, "text_md5"))
+    expected = (dup_docs.alias("a")
+                .join(dup_docs.alias("b"),
+                      (F.col("a.text_md5") == F.col("b.text_md5"))
+                      & (F.col("a.doc_id") < F.col("b.doc_id")))
+                .select(F.col("a.doc_id").alias("doc_a"),
+                        F.col("b.doc_id").alias("doc_b")))
+    found = (winnow_near_dups(docs, threshold=0.999)
+             .select("doc_a", "doc_b"))
+    return (expected.join(found, ["doc_a", "doc_b"], "left_anti")
+            .withColumn("violation", F.lit("identical-docs-not-found")))
+
+
 def q_simhash_dedup(spark, sf_dir):
     # hamming<=3 is the radius the 4x16-bit block scheme covers completely
     return simhash_near_dups(_docs(spark, sf_dir), max_hamming=3)
@@ -485,9 +515,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_ivf_topk": q_ann_ivf,          # rows-only (approximate op)
         "minhash_near_dups": q_minhash_dedup,   # rows-only
         "simhash_near_dups": q_simhash_dedup,   # rows-only
+        "winnow_near_dups": q_winnow_dedup,     # rows-only
         # driver-checkable invariants over the approximate / two-pass ops
         "conv_scoped_invariants": q_conv_scoped_invariants,
         "minhash_recall_check": q_minhash_recall_check,
+        "winnow_dup_check": q_winnow_dup_check,
         "simhash_complete_check": q_simhash_complete_check,
         "ann_lsh_recall_floor": q_ann_lsh_floor,
         "ann_ivf_recall_floor": q_ann_ivf_floor,
@@ -563,6 +595,7 @@ def oracle_sql() -> dict[str, str]:
         # approximate ops turns these rows non-empty and the gate red.
         "conv_scoped_invariants": O.EMPTY_CONV_VIOLATIONS,
         "minhash_recall_check": O.EMPTY_PAIR_VIOLATIONS,
+        "winnow_dup_check": O.EMPTY_PAIR_VIOLATIONS,
         "simhash_complete_check": O.EMPTY_PAIR_VIOLATIONS,
         "ann_lsh_recall_floor": "SELECT 50 AS n_truth, true AS meets_floor",
         "ann_ivf_recall_floor": "SELECT 50 AS n_truth, true AS meets_floor",

@@ -392,3 +392,23 @@ def test_resumable_with_physical_bucket_column(spark, sf_dir, tmp_path):
     assert sum(r["rows"] for r in m) == 500
     assert not os.path.exists(os.path.join(out, "_input"))  # no stage 0
     assert read_resumable_output(spark, out).count() == 500
+
+
+def test_winnowing_guarantee_property():
+    """Winnowing (SIGMOD'03) guarantee: any shared substring of length
+    >= k + window - 1 yields at least one shared fingerprint."""
+    import random
+
+    from xponents_spark.operators.dedup import _winnow
+
+    k, w = 5, 4
+    rng = random.Random(3)
+    alpha = "abcdefgh "
+    for _ in range(100):
+        shared = "".join(rng.choice(alpha) for _ in range(k + w - 1))
+        a = "".join(rng.choice(alpha) for _ in range(30)) + shared
+        b = shared + "".join(rng.choice(alpha) for _ in range(30))
+        assert set(_winnow(a, k, w)) & set(_winnow(b, k, w)), (a, b)
+    # determinism + identity
+    t = "identical text identical text"
+    assert _winnow(t, k, w) == _winnow(t, k, w)

@@ -44,18 +44,27 @@ def token_stats(df: DataFrame, text_col: str = "text",
 
 def quality_score(df: DataFrame, text_col: str = "text",
                   id_col: str = "doc_id") -> DataFrame:
-    """Document quality signals: length, mean token length, stopword ratio.
-    All exact integer/float arithmetic (parity-checkable against SQL)."""
+    """Document quality signals: length, mean token length, stopword ratio,
+    punctuation and alphabetic character ratios (the length/punct/stopword
+    family of published quality heuristics).  All exact integer/float
+    arithmetic (parity-checkable against SQL)."""
     toks = _tokens(text_col)
     stop_arr = ", ".join(f"'{w}'" for w in _STOPWORDS)
     n_stop = F.expr(
         f"size(filter(split(trim({text_col}), '\\\\s+'), x -> x IN ({stop_arr})))")
     n_tok = F.size(toks)
+    n_chars = F.length(text_col)
+    n_punct = n_chars - F.length(
+        F.regexp_replace(F.col(text_col), r"[!-/:-@\[-`{-~]", ""))
+    n_alpha = n_chars - F.length(
+        F.regexp_replace(F.col(text_col), r"[A-Za-z]", ""))
     return df.select(
         F.col(id_col),
         n_tok.alias("n_tokens"),
-        (F.length(text_col).cast("double") / n_tok).alias("chars_per_token"),
+        (n_chars.cast("double") / n_tok).alias("chars_per_token"),
         (n_stop.cast("double") / n_tok).alias("stopword_ratio"),
+        (n_punct.cast("double") / n_chars).alias("punct_ratio"),
+        (n_alpha.cast("double") / n_chars).alias("alpha_ratio"),
     )
 
 

@@ -148,7 +148,11 @@ SELECT doc_id,
        CAST(length(text) AS DOUBLE) / len(regexp_split_to_array(trim(text), '\s+')) AS chars_per_token,
        CAST(len(list_filter(regexp_split_to_array(trim(text), '\s+'),
                 x -> x IN ('the','a','and','of','to','in','is'))) AS DOUBLE)
-         / len(regexp_split_to_array(trim(text), '\s+')) AS stopword_ratio
+         / len(regexp_split_to_array(trim(text), '\s+')) AS stopword_ratio,
+       CAST(length(text) - length(regexp_replace(text, '[!-/:-@\[-`{-~]', '', 'g')) AS DOUBLE)
+         / length(text) AS punct_ratio,
+       CAST(length(text) - length(regexp_replace(text, '[A-Za-z]', '', 'g')) AS DOUBLE)
+         / length(text) AS alpha_ratio
 FROM documents
 """
 
