@@ -110,3 +110,26 @@ def test_convert_document_total(payload):
     from xponents_spark.textract import convert_document
     assert isinstance(convert_document(payload), str)
     assert isinstance(convert_document(b"%PDF-" + payload), str)
+
+
+def test_lang_id_script_shortcuts(spark):
+    """Script-range detection resolves non-latin writing systems before the
+    marker vote; latin text still goes through the stopword profile."""
+    from pyspark.sql import Row
+
+    from xponents_spark.operators.textstats import lang_id
+
+    rows = [
+        Row(doc_id=1, text="我想去北京旅游"),
+        Row(doc_id=2, text="東京タワーへ行く予定です"),
+        Row(doc_id=3, text="서울에 갑니다"),
+        Row(doc_id=4, text="الهجوم في بغداد أمس"),
+        Row(doc_id=5, text="Привет мир как дела"),
+        Row(doc_id=6, text="the cat and the dog of the house is here"),
+        Row(doc_id=7, text="der hund ist nicht da und das ist gut"),
+        Row(doc_id=8, text="xyzzy plugh"),
+    ]
+    got = {r["doc_id"]: r["lang_pred"]
+           for r in lang_id(spark.createDataFrame(rows)).collect()}
+    assert got == {1: "zh", 2: "ja", 3: "ko", 4: "ar", 5: "ru",
+                   6: "en", 7: "de", 8: "und"}

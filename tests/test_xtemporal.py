@@ -97,3 +97,27 @@ def test_date_family_enable_flags():
     only_dtm = {m.family for m in extract_dates(text, families=("DTM",))
                 if not m.filtered_out}
     assert only_dtm == {"DTM"}
+
+
+def test_published_date_catalog():
+    """The reference's published XTemporal examples (doc/Patterns.md:57-62)
+    — the independent (non-fixture-derived) date anchor, like the
+    40-example coordinate catalog in test_xcoord_published.py."""
+    from xponents_spark.extractors.xtemporal import extract_dates
+    published = [
+        ("Sept 22nd, 2017",      "2017-09-22", "D"),
+        ("09/22/2017",           "2017-09-22", "D"),
+        ("22 SEPT 2017 0700Z",   "2017-09-22", "m"),
+        ("2017-09-22",           "2017-09-22", "D"),
+        ("2017-09-22T0700-0500", "2017-09-22", "m"),
+    ]
+    for text, norm, res in published:
+        ms = [m for m in extract_dates(text) if not m.filtered_out]
+        assert len(ms) == 1, text
+        assert ms[0].attrs["datenorm"] == norm, text
+        assert ms[0].attrs["resolution"] == res, text
+    # the Z-suffixed time resolves to the exact UTC instant
+    zulu = [m for m in extract_dates("22 SEPT 2017 0700Z")
+            if not m.filtered_out][0]
+    assert zulu.attrs["timestamp"] == "2017-09-22T07:00:00Z"
+    assert zulu.attrs["epoch"] == 1506063600

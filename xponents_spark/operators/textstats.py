@@ -68,10 +68,24 @@ def quality_score(df: DataFrame, text_col: str = "text",
     )
 
 
+# script-range shortcuts resolved BEFORE the marker vote (writing system
+# identifies the language family outright; the stopword profile only
+# separates latin-script languages)
+_SCRIPTS = (
+    ("ja", "[぀-ヿ]"),              # kana present -> Japanese
+    ("ko", "[가-힯]"),              # hangul -> Korean
+    ("zh", "[⺀-鿿豈-﫿]"),          # han without kana/hangul -> Chinese
+    ("ar", "[؀-ۿ]"),               # Arabic block
+    ("ru", "[Ѐ-ӿ]"),               # Cyrillic
+)
+
+
 def lang_id(df: DataFrame, text_col: str = "text",
             id_col: str = "doc_id") -> DataFrame:
-    """Marker-token language vote (the classic stopword-profile heuristic).
-    Deterministic tie-break by fixed language order; zero votes -> 'und'."""
+    """Language ID: script-range detection for non-latin writing systems,
+    then the classic marker-token (stopword-profile) vote for latin-script
+    languages.  Deterministic tie-break by fixed language order; zero
+    signal -> 'und'.  Pure JVM expressions."""
     cols = [F.col(id_col)]
     votes = {}
     for lang, markers in LANG_MARKERS.items():
@@ -79,6 +93,9 @@ def lang_id(df: DataFrame, text_col: str = "text",
         votes[lang] = F.expr(
             f"size(filter(split(trim({text_col}), '\\\\s+'), x -> x IN ({arr})))")
     best = None
+    for lang, pattern in _SCRIPTS:   # script shortcut wins in listed order
+        cond = F.col(text_col).rlike(pattern)
+        best = F.when(cond, lang) if best is None else best.when(cond, lang)
     for lang in LANG_MARKERS:  # first language with the max vote wins
         cond = (votes[lang] > 0)
         for other in LANG_MARKERS:
@@ -86,7 +103,7 @@ def lang_id(df: DataFrame, text_col: str = "text",
                 op = votes[lang] >= votes[other] if _order(lang) < _order(other) \
                     else votes[lang] > votes[other]
                 cond = cond & op
-        best = F.when(cond, lang) if best is None else best.when(cond, lang)
+        best = best.when(cond, lang)
     cols.append(best.otherwise("und").alias("lang_pred"))
     return df.select(*cols)
 

@@ -158,7 +158,7 @@ FROM documents
 
 
 def lang_id_oracle() -> str:
-    from .operators.textstats import LANG_MARKERS
+    from .operators.textstats import LANG_MARKERS, _SCRIPTS
     votes = {}
     for lang, markers in LANG_MARKERS.items():
         arr = ", ".join(_sq(w) for w in markers)
@@ -166,6 +166,8 @@ def lang_id_oracle() -> str:
                        f"x -> x IN ({arr})))")
     langs = list(LANG_MARKERS)
     case = "CASE "
+    for lang, pattern in _SCRIPTS:   # script shortcuts, same order as Spark
+        case += f"WHEN regexp_matches(text, '{pattern}') THEN '{lang}' "
     for i, lang in enumerate(langs):
         conds = [f"{votes[lang]} > 0"]
         for j, other in enumerate(langs):
