@@ -152,3 +152,20 @@ def test_normalization_version_fingerprint(spark, tmp_path_factory):
     json.dump({"normalization_version": 1}, open(meta, "w"))
     with pytest.raises(ValueError, match="normalized with version"):
         ParquetGazetteerIndex(out)
+
+
+def test_cjk_names_tag_through_parquet_index(spark, tmp_path_factory):
+    """CJK names in the scale gazetteer index as per-char phrases and tag
+    inside unsegmented runs through the parquet-backed index."""
+    from xponents_spark.gazetteer.store import ParquetGazetteerIndex
+
+    out = str(tmp_path_factory.mktemp("gazcjk") / "tagger.parquet")
+    raw = synthesize_gazetteer_raw(spark, n_rows=30_000, partitions=8)
+    build_tagger_parquet(gazetteer_etl(raw), out)
+    cjk = (spark.read.parquet(out)
+           .filter("name rlike '[\\\\x{4e00}-\\\\x{9fff}]'").limit(5).collect())
+    assert cjk, "synth should emit CJK names"
+    idx = ParquetGazetteerIndex(out)
+    for r in cjk:
+        hits = idx.scan(f"前往{r['name']}旅行")
+        assert any(m == r["name"] for _s, _e, m, _p in hits), r["name"]

@@ -72,7 +72,17 @@ def synthesize_gazetteer_raw(spark: SparkSession, n_rows: int = 1_200_000,
     pool_idx = F.floor(F.pow(u(1), F.lit(3.0)) * collision_pool).cast("bigint")
     unique_name = _name_expr(i, 100)
     pool_name = _name_expr(pool_idx, 200)
-    name = F.when(u(2) < 0.20, pool_name).otherwise(unique_name)
+    # 2% CJK names (2-3 han chars): exercises the per-character phrase keys
+    # of the tagger index at scale, like the reference's CJK fields
+    cjk_chars = F.array(*[F.lit(c) for c in "北京都東海南西山川口市区街村関"])
+    cjk_pick = lambda k: F.element_at(
+        cjk_chars, (F.pmod(h(20 + k), F.lit(15)) + 1).cast("int"))
+    cjk_name = F.concat(cjk_pick(0), cjk_pick(1),
+                        F.when(F.pmod(h(23), F.lit(2)) == 0, cjk_pick(2))
+                         .otherwise(F.lit("")))
+    name = (F.when(u(3) < 0.02, cjk_name)
+             .when(u(2) < 0.20, pool_name)
+             .otherwise(unique_name))
 
     cc_arr = F.array(*[F.lit(c) for c in _CCS])
     cc = F.element_at(cc_arr, (F.pmod(h(3), F.lit(len(_CCS))) + 1).cast("int"))
