@@ -276,7 +276,9 @@ scored AS (
          AS INTEGER) AS id_bias,
     CAST(CASE WHEN name_type != 'N' THEN 0
               WHEN lower(name) IN ({stoplist}) THEN -100
-              WHEN length(name) < 5 AND name = lower(name) THEN -50
+              WHEN length(name) < 5 AND name = lower(name)
+                   AND name = regexp_replace(name, '[^\\x00-\\x7F]', '?', 'g')
+                   THEN -50
               ELSE 10 + (CASE WHEN length(name) >= 10 THEN 20 ELSE 0 END)
                       + (CASE WHEN name LIKE '% %' THEN 10 ELSE 0 END)
                       + (CASE WHEN name != regexp_replace(name,

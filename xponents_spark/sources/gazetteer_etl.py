@@ -81,10 +81,15 @@ def gazetteer_etl(raw: DataFrame,
     is_lower_name = F.col("name") == F.lower("name")
     non_ascii = F.col("name") != F.expr(
         "regexp_replace(name, '[^\\\\x00-\\\\x7F]', '?')")
+    # the trivial-lowercase penalty is a LATIN heuristic: caseless scripts
+    # (CJK/Arabic/...) always satisfy name == lower(name), so non-ASCII
+    # names bypass it — matching the reference's "non-ASCII up" gradient
+    # (gazetteer.html PlaceHeuristics; round-2 fix: the old order filtered
+    # virtually every short CJK name into search_only)
     name_bias = (
         F.when(F.col("name_type") != "N", F.lit(0))
          .when(F.lower("name").isin(*stopnames), F.lit(-100))
-         .when((ln < 5) & is_lower_name, F.lit(-50))
+         .when((ln < 5) & is_lower_name & ~non_ascii, F.lit(-50))
          .otherwise(F.lit(10)
                     + F.when(ln >= 10, 20).otherwise(0)
                     + F.when(F.col("name").contains(" "), 10).otherwise(0)
