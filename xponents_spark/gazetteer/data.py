@@ -247,10 +247,13 @@ NATIONALITIES: dict[str, str] = {
 
 
 def load_gazetteer_parquet(spark, path: str) -> list[tuple]:
-    """Scale path: load gazetteer rows from a parquet built by the ETL
-    (same column order as GAZETTEER_ROWS).  Collected to the driver and
-    broadcast — the reference's 25M-row basis pares to the taggable subset
-    exactly as its Solr ETL does (search_only filter, name_type in N/A/C:
-    solr/README.md:198, GazetteerMatcher fq)."""
+    """SMALL-table path: collect gazetteer rows to the driver for
+    ``set_gazetteer`` (closure broadcast).  Only for dictionaries that fit
+    driver memory comfortably (tests, curated subsets).
+
+    The SCALE path does not collect: build the tagger parquet with
+    ``sources.gazetteer_etl.build_tagger_parquet`` and point workers at it
+    via ``extract(gazetteer_parquet=...)`` / ``set_gazetteer_parquet`` —
+    each executor reads the artifact directly (gazetteer/store.py)."""
     rows = spark.read.parquet(path).collect()
     return [tuple(r) for r in rows]
