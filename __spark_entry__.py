@@ -374,11 +374,14 @@ def q_conv_scoped_invariants(spark, sf_dir):
 
 
 def q_minhash_recall_check(spark, sf_dir):
-    """MinHash-LSH recall guard: every exact-Jaccard pair at >=0.6 must be
-    found by the banded join at est>=0.5 (0.1 margin absorbs signature
-    estimation noise; the planted near-dups sit near 1.0)."""
+    """MinHash-LSH recall guard: every exact-Jaccard pair at >=0.9 must be
+    found by the banded join at est>=0.5.  The margin is probability-sound,
+    not just noise slack: with 16 bands x 4 rows, P(candidate) at true
+    J=0.9 is 1-(1-0.9^4)^16 ~= 1-4e-8, and P(est<0.5 | J=0.9) over 64
+    permutations is ~1e-12 — whereas a 0.6-threshold guard would carry an
+    ~11% per-pair miss probability by banding design (caught in review)."""
     docs = _docs(spark, sf_dir)
-    exact = (ngram_jaccard_pairs(docs, n=3, threshold=0.6)
+    exact = (ngram_jaccard_pairs(docs, n=3, threshold=0.9)
              .select("doc_a", "doc_b"))
     got = minhash_near_dups(docs, threshold=0.5).select("doc_a", "doc_b")
     return (exact.join(got, ["doc_a", "doc_b"], "left_anti")

@@ -123,7 +123,8 @@ def test_postal_parquet_path(spark, tmp_path_factory):
         .write.mode("overwrite").parquet(out)
     try:
         postal.set_postal_parquet(out)
-        assert len(postal._BY_CODE) > 3_000
+        assert postal._BY_CODE is None   # lazy until first lookup
+        assert len(postal._codes()) > 3_000
         row = spark.read.parquet(out).first()
         # a code adjacent to country scope resolves through the big table
         hits = postal.tag_postals(f"parcel code {row['code']} sent", [],
@@ -132,7 +133,7 @@ def test_postal_parquet_path(spark, tmp_path_factory):
                    for h in hits)
     finally:
         postal.set_postal_parquet(None)
-    assert len(postal._BY_CODE) == len(postal.POSTAL_ROWS)
+    assert len(postal._codes()) == len(postal.POSTAL_ROWS)
 
 
 def test_normalization_version_fingerprint(spark, tmp_path_factory):

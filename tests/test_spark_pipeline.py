@@ -412,3 +412,28 @@ def test_winnowing_guarantee_property():
     # determinism + identity
     t = "identical text identical text"
     assert _winnow(t, k, w) == _winnow(t, k, w)
+
+
+def test_resumable_rejects_bucket_count_change(spark, sf_dir, tmp_path):
+    """Resuming with a different bucket count over a committed bucketize
+    must fail loudly — silently skipping buckets loses data."""
+    import pytest as _pytest
+
+    t = synthesize_transcripts(spark, sf_dir)
+    out = str(tmp_path / "run_bc_guard")
+    run_resumable(t, out, buckets=4, input_desc="sf0.001")
+    with _pytest.raises(ValueError, match="bucket-count mismatch"):
+        run_resumable(t, out, buckets=2, input_desc="sf0.001")
+
+
+def test_rtf_surrogate_pairs_roundtrip():
+    """Word-style non-BMP RTF escapes (UTF-16 surrogate \\uN pairs) decode
+    to the astral char, never to Arrow-crashing lone surrogates."""
+    from xponents_spark.textract.office import extract_rtf_text, make_simple_rtf
+
+    t = "emoji \U0001F600 and astral \U00020000 text"
+    assert extract_rtf_text(make_simple_rtf(t)) == t
+    raw = rb"{\rtf1\ansi\uc1 \u-10179?\u-8704?}"
+    got = extract_rtf_text(raw)
+    assert got == "\U0001F600"
+    got.encode("utf-8")   # no lone surrogates

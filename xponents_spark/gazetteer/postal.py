@@ -48,30 +48,35 @@ def _build_code_map(rows) -> dict[str, list[tuple]]:
     return by_code
 
 
-_BY_CODE: dict[str, list[tuple]] = _build_code_map(POSTAL_ROWS)
+_BY_CODE: dict[str, list[tuple]] | None = _build_code_map(POSTAL_ROWS)
 _POSTAL_PATH: str | None = None
 
 
 def set_postal_parquet(path: str | None) -> None:
     """Scale path for the reference's ~4M COUNTRY+CODE tuples
     (PostalGeocoder.java:25-33): point this worker process at a postal
-    parquet with columns (cc, adm1, code, name, lat, lon); the code map
-    builds lazily ONCE per process from the file — no driver collect.
+    parquet with columns (cc, adm1, code, name, lat, lon).  The code map
+    builds LAZILY on first postal lookup — a job whose feature set never
+    tags postal codes pays nothing even with the env var exported.
     ``None`` resets to the embedded fixture rows (reused python workers
     must not leak a previous job's table).  Idempotent per path."""
     global _POSTAL_PATH, _BY_CODE
     if path == _POSTAL_PATH:
         return
     _POSTAL_PATH = path
-    if path is None:
-        _BY_CODE = _build_code_map(POSTAL_ROWS)
-        return
-    import pyarrow.parquet as pq
-    tbl = pq.read_table(path, columns=["cc", "adm1", "code", "name",
-                                       "lat", "lon"])
-    cols = [tbl.column(c).to_pylist() for c in ("cc", "adm1", "code",
-                                                "name", "lat", "lon")]
-    _BY_CODE = _build_code_map(zip(*cols))
+    _BY_CODE = _build_code_map(POSTAL_ROWS) if path is None else None
+
+
+def _codes() -> dict[str, list[tuple]]:
+    global _BY_CODE
+    if _BY_CODE is None:
+        import pyarrow.parquet as pq
+        tbl = pq.read_table(_POSTAL_PATH, columns=["cc", "adm1", "code",
+                                                   "name", "lat", "lon"])
+        cols = [tbl.column(c).to_pylist() for c in ("cc", "adm1", "code",
+                                                    "name", "lat", "lon")]
+        _BY_CODE = _build_code_map(zip(*cols))
+    return _BY_CODE
 
 # candidate postal tokens: alnum with optional internal space/dash, len>=4
 _POSTAL_TOKEN = re.compile(r"(?<![\w-])[A-Z0-9]{3,5}(?:[ -]?[A-Z0-9]{2,4})?(?![\w-])")
@@ -127,7 +132,7 @@ def tag_postals(text: str, cands: list[PlaceCandidate],
         for cand_code, s_, e_ in variants:
             if not _passes_filter(cand_code):
                 continue
-            found = _BY_CODE.get(cand_code.replace(" ", "").upper())
+            found = _codes().get(cand_code.replace(" ", "").upper())
             if found:
                 code, s0, e0, rows = cand_code, s_, e_, found
                 break

@@ -54,19 +54,6 @@ class SpatialIndex:
         top = heapq.nsmallest(limit, cand)
         return [(d, p) for d, _pid, p in top]
 
-    def nearest_place(self, lat: float, lon: float) -> Place | None:
-        """Nearest populated place at 25 km, province fallback at 50 km
-        (PlaceGeocoder.java:898-978)."""
-        near = self.places_at(lat, lon, 25)
-        pops = [p for _d, p in near if p.feat_class == "P"]
-        if pops:
-            return pops[0]
-        wider = self.places_at(lat, lon, 50)
-        for _d, p in wider:
-            if p.feat_class in ("P", "A"):
-                return p
-        return None
-
 
 _INDEX = None          # SpatialIndex | store.CompactSpatialIndex
 _INDEX_SRC = None      # what the cached index was built from

@@ -48,14 +48,21 @@ class ParquetGazetteerIndex:
 
         from .matcher import NORMALIZATION_VERSION
         meta_path = os.path.join(path, "_normalization.json")
-        if os.path.exists(meta_path):
-            with open(meta_path) as fh:
-                ver = json.load(fh).get("normalization_version")
-            if ver != NORMALIZATION_VERSION:
-                raise ValueError(
-                    f"tagger parquet {path} was normalized with version "
-                    f"{ver}, engine expects {NORMALIZATION_VERSION} — "
-                    f"rebuild with sources.gazetteer_etl.build_tagger_parquet")
+        # a MISSING sidecar is refused too: an artifact copied without it
+        # (object-store sync of part files only) could carry stale phrase
+        # normalization and would silently stop matching
+        if not os.path.exists(meta_path):
+            raise ValueError(
+                f"tagger parquet {path} has no _normalization.json sidecar "
+                f"— rebuild with sources.gazetteer_etl.build_tagger_parquet "
+                f"(or copy the artifact directory whole)")
+        with open(meta_path) as fh:
+            ver = json.load(fh).get("normalization_version")
+        if ver != NORMALIZATION_VERSION:
+            raise ValueError(
+                f"tagger parquet {path} was normalized with version "
+                f"{ver}, engine expects {NORMALIZATION_VERSION} — "
+                f"rebuild with sources.gazetteer_etl.build_tagger_parquet")
         tbl = pq.read_table(path, columns=_COLS + ["phrase"])
         phrases = np.asarray(tbl.column("phrase").to_pylist(), dtype=object)
         order = np.argsort(phrases, kind="stable")
@@ -182,13 +189,3 @@ class CompactSpatialIndex:
             if len(out) >= limit:
                 break
         return out
-
-    def nearest_place(self, lat: float, lon: float) -> Place | None:
-        near = self.places_at(lat, lon, 25)
-        pops = [p for _d, p in near if p.feat_class == "P"]
-        if pops:
-            return pops[0]
-        for _d, p in self.places_at(lat, lon, 50):
-            if p.feat_class in ("P", "A"):
-                return p
-        return None

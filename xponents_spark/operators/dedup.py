@@ -13,6 +13,7 @@ which is salted per process and would break distributed determinism).
 
 from __future__ import annotations
 
+import re
 import zlib
 
 import numpy as np
@@ -24,6 +25,16 @@ from pyspark.sql import types as T
 
 _MERSENNE = (1 << 61) - 1
 _MAX_SHINGLE = (1 << 32) - 1
+
+# ONE whitespace definition across all three engines: the explicit Java \s
+# class.  python str.split() splits ALL unicode whitespace (\xa0,  …)
+# and DuckDB RE2 '\s' EXCLUDES \x0B — both silently diverge from Spark's
+# Java '\s' at the margins (caught in round-2 review).
+_WS = re.compile("[ \t\n\x0b\f\r]+")
+
+
+def _tokens_ws(text: str) -> list[str]:
+    return [t for t in _WS.split(text) if t]
 
 
 def exact_dedup(df: DataFrame, text_col: str = "text",
@@ -80,7 +91,7 @@ def minhash_signatures(df: DataFrame, text_col: str = "text",
         for pdf in batches:
             sigs = []
             for text in pdf[text_col].tolist():
-                sh = _shingles((text or "").split(), shingle_k)
+                sh = _shingles(_tokens_ws(text or ""), shingle_k)
                 # (a*x+b) mod p for all perms x shingles, min over shingles
                 vals = (a[None, :] * sh[:, None] + b[None, :]) % np.uint64(_MERSENNE)
                 sigs.append(vals.min(axis=0).astype(np.int64).tolist())
@@ -195,7 +206,7 @@ def simhash_signatures(df: DataFrame, text_col: str = "text",
         for pdf in batches:
             hashes = []
             for text in pdf[text_col].tolist():
-                toks = (text or "").split()
+                toks = _tokens_ws(text or "")
                 th = (_shingles(toks, shingle_k) if shingle_k > 1
                       else _hash_tokens(toks))
                 if not len(th):
@@ -253,7 +264,9 @@ def _winnow(text: str, k: int, window: int) -> list[int]:
     b = np.frombuffer(text.encode("utf-8"), dtype=np.uint8)
     n = len(b) - k + 1
     if n <= 0:
-        return [int(zlib.crc32(text.encode("utf-8")))] if text else []
+        # short docs fingerprint whole; EMPTY docs get a sentinel so two
+        # empty (byte-identical) docs still pair at jaccard 1.0
+        return [int(zlib.crc32(text.encode("utf-8")))]
     # polynomial rolling hash, vectorized: h[i] = sum b[i+j] * B^(k-1-j)
     h = np.zeros(n, dtype=np.uint64)
     B = np.uint64(1_000_003)

@@ -134,21 +134,21 @@ FROM documents GROUP BY 1
 # float, which broke the round-1 value hash)
 TOKEN_STATS_ORACLE = r"""
 SELECT doc_id,
-       CAST(len(regexp_split_to_array(trim(text), '\s+')) AS BIGINT) AS n_tokens,
+       CAST(len(regexp_split_to_array(trim(text), '[ \t\n\v\f\r]+')) AS BIGINT) AS n_tokens,
        CAST(length(text) AS BIGINT) AS n_chars,
        CAST(ceil(length(text) / 4.0) AS BIGINT) AS n_subwords_est,
-       CAST(list_sum(list_transform(regexp_split_to_array(trim(text), '\s+'),
+       CAST(list_sum(list_transform(regexp_split_to_array(trim(text), '[ \t\n\v\f\r]+'),
                                     x -> length(x))) AS BIGINT) AS token_chars
 FROM documents
 """
 
 QUALITY_ORACLE = r"""
 SELECT doc_id,
-       len(regexp_split_to_array(trim(text), '\s+')) AS n_tokens,
-       CAST(length(text) AS DOUBLE) / len(regexp_split_to_array(trim(text), '\s+')) AS chars_per_token,
-       CAST(len(list_filter(regexp_split_to_array(trim(text), '\s+'),
+       len(regexp_split_to_array(trim(text), '[ \t\n\v\f\r]+')) AS n_tokens,
+       CAST(length(text) AS DOUBLE) / len(regexp_split_to_array(trim(text), '[ \t\n\v\f\r]+')) AS chars_per_token,
+       CAST(len(list_filter(regexp_split_to_array(trim(text), '[ \t\n\v\f\r]+'),
                 x -> x IN ('the','a','and','of','to','in','is'))) AS DOUBLE)
-         / len(regexp_split_to_array(trim(text), '\s+')) AS stopword_ratio,
+         / len(regexp_split_to_array(trim(text), '[ \t\n\v\f\r]+')) AS stopword_ratio,
        CAST(length(text) - length(regexp_replace(text, '[!-/:-@\[-`{-~]', '', 'g')) AS DOUBLE)
          / length(text) AS punct_ratio,
        CAST(length(text) - length(regexp_replace(text, '[A-Za-z]', '', 'g')) AS DOUBLE)
@@ -162,7 +162,7 @@ def lang_id_oracle() -> str:
     votes = {}
     for lang, markers in LANG_MARKERS.items():
         arr = ", ".join(_sq(w) for w in markers)
-        votes[lang] = (f"len(list_filter(regexp_split_to_array(trim(text), '\\s+'), "
+        votes[lang] = (f"len(list_filter(regexp_split_to_array(trim(text), '[ \t\n\v\f\r]+'), "
                        f"x -> x IN ({arr})))")
     langs = list(LANG_MARKERS)
     case = "CASE "
@@ -182,13 +182,13 @@ def lang_id_oracle() -> str:
 
 FINGERPRINT_ORACLE = r"""
 SELECT doc_id, md5(text) AS text_md5,
-       md5(array_to_string(list_slice(regexp_split_to_array(trim(text), '\s+'), 1, 8), ' ')) AS prefix_md5
+       md5(array_to_string(list_slice(regexp_split_to_array(trim(text), '[ \t\n\v\f\r]+'), 1, 8), ' ')) AS prefix_md5
 FROM documents
 """
 
 NGRAM_JACCARD_ORACLE = r"""
 WITH words AS (SELECT doc_id,
-                      list_filter(regexp_split_to_array(text, '\s+'), x -> x != '') AS w
+                      list_filter(regexp_split_to_array(text, '[ \t\n\v\f\r]+'), x -> x != '') AS w
                FROM documents),
 sh AS (
   SELECT DISTINCT doc_id, array_to_string(w[i:i+2], ' ') AS s

@@ -70,7 +70,15 @@ def run_resumable(df: DataFrame, out_dir: str, buckets: int = 16,
         bucket_col = "_bucket"
         in_dir = os.path.join(out_dir, "_input")
         stage0_path = os.path.join(out_dir, "input_manifest.json")
-        if _read_committed(stage0_path) is None:
+        stage0 = _read_committed(stage0_path)
+        if stage0 is not None and stage0.get("buckets") != buckets:
+            # resuming with a different bucket count over a committed
+            # bucketize would silently skip (or double-read) buckets
+            raise ValueError(
+                f"resume bucket-count mismatch: {out_dir} was bucketized "
+                f"with buckets={stage0.get('buckets')}, this run asked for "
+                f"{buckets} — pass the original count or use a fresh out_dir")
+        if stage0 is None:
             t0 = time.time()
             (df.withColumn(bucket_col, F.pmod(F.hash("conv_id"), F.lit(buckets)))
                .write.mode("overwrite").partitionBy(bucket_col).parquet(in_dir))
@@ -88,6 +96,10 @@ def run_resumable(df: DataFrame, out_dir: str, buckets: int = 16,
         mpath = _manifest_path(out_dir, b)
         m = _read_committed(mpath)
         if m is not None:
+            if m.get("buckets") != buckets:
+                raise ValueError(
+                    f"bucket manifest {mpath} was committed under "
+                    f"buckets={m.get('buckets')}, this run asked for {buckets}")
             manifests.append(m)
             continue
         t0 = time.time()

@@ -33,7 +33,16 @@ def get_spark(app: str = "xponents-spark", master: str | None = None,
     local_threads = 0
     if master.startswith("local[") and master[6:-1].isdigit():
         local_threads = int(master[6:-1])
-    default_mem = f"{max(8, (local_threads * 3 + 1) // 2)}g"
+    want_gb = max(8, (local_threads * 3 + 1) // 2)
+    # cap at half of physical RAM: a 48g default on a 16 GB laptop would
+    # let the JVM grow past memory into swap/OOM before ever GC-ing
+    try:
+        with open("/proc/meminfo") as fh:
+            total_gb = int(fh.readline().split()[1]) // (1024 * 1024)
+        want_gb = max(2, min(want_gb, total_gb // 2))
+    except OSError:
+        pass
+    default_mem = f"{want_gb}g"
     return (
         SparkSession.builder
         .appName(app)

@@ -131,12 +131,27 @@ def extract_rtf_text(payload: bytes) -> str:
                                                        errors="replace"))
             continue
         if uni is not None:
-            out.append(chr(int(uni) & 0xFFFF))
+            cu = int(uni) & 0xFFFF
+            # Word encodes non-BMP chars as UTF-16 surrogate PAIRS of \uN
+            # escapes; combine them — a lone surrogate is not valid UTF-8
+            # and would crash Arrow serialization downstream
+            if 0xD800 <= cu <= 0xDBFF:
+                out.append(cu)          # high surrogate: park until the low
+            elif 0xDC00 <= cu <= 0xDFFF:
+                if out and isinstance(out[-1], int):
+                    hi = out.pop()
+                    out.append(chr(0x10000 + ((hi - 0xD800) << 10)
+                                   + (cu - 0xDC00)))
+                else:
+                    out.append("�")   # stray low surrogate
+            else:
+                out.append(chr(cu))
             continue
         if text is not None:
             out.append(text.decode("windows-1252", errors="replace")
                        .replace("\r", "").replace("\n", ""))
-    return "".join(out).strip()
+    # a high surrogate never followed by its low half -> replacement char
+    return "".join("�" if isinstance(p, int) else p for p in out).strip()
 
 
 # --- deterministic writers (test fixtures without codecs) --------------------
@@ -159,6 +174,11 @@ def make_simple_docx(text: str) -> bytes:
     return buf.getvalue()
 
 
+def _rtf_u(cu: int) -> str:
+    """RTF \\uN escape: N is a SIGNED 16-bit decimal."""
+    return f"\\u{cu - 0x10000 if cu >= 0x8000 else cu} "
+
+
 def make_simple_rtf(text: str) -> bytes:
     body = []
     for line in text.split("\n"):
@@ -168,8 +188,14 @@ def make_simple_rtf(text: str) -> bytes:
                 body.append("\\" + ch)
             elif o < 128:
                 body.append(ch)
+            elif o <= 0xFFFF:
+                body.append(_rtf_u(o))
             else:
-                body.append(f"\\u{o} ")
+                # astral chars encode as a UTF-16 surrogate pair of \uN
+                # escapes (what Word writes)
+                o -= 0x10000
+                body.append(_rtf_u(0xD800 + (o >> 10)))
+                body.append(_rtf_u(0xDC00 + (o & 0x3FF)))
         body.append("\\par ")
     if body and body[-1] == "\\par ":
         body.pop()      # no trailing paragraph break
