@@ -161,9 +161,10 @@ def ngram_jaccard_pairs(df: DataFrame, text_col: str = "text",
     bounded; at 100 TB run ``minhash_near_dups`` (LSH banding) to generate
     candidates and verify only those pairs exactly.
     """
-    # shared tokenization with minhash_near_dups (python str.split()):
-    # any-whitespace split, empty tokens dropped — so 'exact ground truth
-    # for MinHash' holds on text with newlines/tabs/repeated spaces too
+    # shared tokenization with minhash_near_dups (_tokens_ws, the explicit
+    # Java \s class): Spark's split('\s+') below IS that class, empties
+    # dropped — so 'exact ground truth for MinHash' holds on text with
+    # newlines/tabs/vertical-tabs/repeated spaces too
     w = f"filter(split({text_col}, '\\\\s+'), x -> x != '')"
     grams = F.expr(
         f"array_distinct(transform("
@@ -228,14 +229,15 @@ def simhash_signatures(df: DataFrame, text_col: str = "text",
 
 
 def simhash_near_dups(df: DataFrame, text_col: str = "text",
-                      id_col: str = "doc_id", max_hamming: int = 3) -> DataFrame:
+                      id_col: str = "doc_id", max_hamming: int = 3,
+                      shingle_k: int = 2) -> DataFrame:
     """64-bit SimHash near-dups: 4x16-bit block join (pigeonhole: hamming<=3
     guarantees one identical block), then exact Hamming verify.
 
     NOTE: recall is complete only for max_hamming <= 3 with 4 blocks; a
     looser threshold can miss pairs whose differing bits spread across all
     blocks (use more/finer blocks for larger radii)."""
-    sh = simhash_signatures(df, text_col, id_col).cache()
+    sh = simhash_signatures(df, text_col, id_col, shingle_k).cache()
     blocks = sh.select(
         F.col(id_col), F.col("simhash"),
         F.explode(F.array(*[

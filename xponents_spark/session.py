@@ -34,13 +34,23 @@ def get_spark(app: str = "xponents-spark", master: str | None = None,
     if master.startswith("local[") and master[6:-1].isdigit():
         local_threads = int(master[6:-1])
     want_gb = max(8, (local_threads * 3 + 1) // 2)
-    # cap at half of physical RAM: a 48g default on a 16 GB laptop would
-    # let the JVM grow past memory into swap/OOM before ever GC-ing
+    # cap at half of AVAILABLE RAM — the smaller of the host total and the
+    # cgroup limit (containers report the host's MemTotal but are killed at
+    # the cgroup ceiling).  A host with less than 1.5 GB/core trades some
+    # GC pressure for not swapping/OOM-ing; set SPARK_DRIVER_MEM to choose.
     try:
         with open("/proc/meminfo") as fh:
-            total_gb = int(fh.readline().split()[1]) // (1024 * 1024)
-        want_gb = max(2, min(want_gb, total_gb // 2))
-    except OSError:
+            avail = int(fh.readline().split()[1]) * 1024
+        for cg in ("/sys/fs/cgroup/memory.max",
+                   "/sys/fs/cgroup/memory/memory.limit_in_bytes"):
+            try:
+                raw = open(cg).read().strip()
+                if raw.isdigit():
+                    avail = min(avail, int(raw))
+            except OSError:
+                continue
+        want_gb = max(2, min(want_gb, avail // (2 << 30)))
+    except (OSError, ValueError, IndexError):
         pass
     default_mem = f"{want_gb}g"
     return (

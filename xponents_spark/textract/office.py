@@ -175,8 +175,10 @@ def make_simple_docx(text: str) -> bytes:
 
 
 def _rtf_u(cu: int) -> str:
-    """RTF \\uN escape: N is a SIGNED 16-bit decimal."""
-    return f"\\u{cu - 0x10000 if cu >= 0x8000 else cu} "
+    """RTF \\uN escape: N is a SIGNED 16-bit decimal, followed by the
+    ANSI fallback char that \\uc1 readers (the spec default) skip —
+    without it a conformant reader consumes the next real character."""
+    return f"\\u{cu - 0x10000 if cu >= 0x8000 else cu}?"
 
 
 def make_simple_rtf(text: str) -> bytes:
