@@ -310,6 +310,23 @@ def q_winnow_dedup(spark, sf_dir):
     return winnow_near_dups(_docs(spark, sf_dir), threshold=0.6)
 
 
+def q_near_dup_groups(spark, sf_dir):
+    """Survivor selection via connected components (dedup.near_dup_components),
+    oracle-checked END-TO-END: pairs are built as a CHAIN through each
+    byte-identical group (doc->next doc by id), so the component labels are
+    only correct if transitive closure works; the SQL oracle states the
+    expected grouping directly with a window over md5(text)."""
+    from pyspark.sql import Window
+
+    from xponents_spark.operators.dedup import near_dup_components
+    docs = _docs(spark, sf_dir)
+    w = Window.partitionBy(F.md5("text")).orderBy("doc_id")
+    chain = (docs.select("doc_id", F.lead("doc_id").over(w).alias("doc_b"))
+                 .filter(F.col("doc_b").isNotNull())
+                 .select(F.col("doc_id").alias("doc_a"), "doc_b"))
+    return near_dup_components(chain, docs).select("doc_id", "group_id", "keep")
+
+
 def q_winnow_dup_check(spark, sf_dir):
     """Invariant: byte-identical docs (exact_dedup groups) MUST be winnowing
     near-dups at fp_jaccard = 1.0 — identical text yields identical
@@ -519,6 +536,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "minhash_near_dups": q_minhash_dedup,   # rows-only
         "simhash_near_dups": q_simhash_dedup,   # rows-only
         "winnow_near_dups": q_winnow_dedup,     # rows-only
+        "near_dup_groups": q_near_dup_groups,
         # driver-checkable invariants over the approximate / two-pass ops
         "conv_scoped_invariants": q_conv_scoped_invariants,
         "minhash_recall_check": q_minhash_recall_check,
@@ -599,6 +617,7 @@ def oracle_sql() -> dict[str, str]:
         "conv_scoped_invariants": O.EMPTY_CONV_VIOLATIONS,
         "minhash_recall_check": O.EMPTY_PAIR_VIOLATIONS,
         "winnow_dup_check": O.EMPTY_PAIR_VIOLATIONS,
+        "near_dup_groups": O.NEAR_DUP_GROUPS_ORACLE,
         "simhash_complete_check": O.EMPTY_PAIR_VIOLATIONS,
         "ann_lsh_recall_floor": "SELECT 50 AS n_truth, true AS meets_floor",
         "ann_ivf_recall_floor": "SELECT 50 AS n_truth, true AS meets_floor",

@@ -437,3 +437,20 @@ def test_rtf_surrogate_pairs_roundtrip():
     got = extract_rtf_text(raw)
     assert got == "\U0001F600"
     got.encode("utf-8")   # no lone surrogates
+
+
+def test_near_dup_components_transitive(spark):
+    """Survivor selection groups A~B~C transitively even when A-C never
+    paired directly; unpaired docs stay singleton keepers."""
+    from xponents_spark.operators.dedup import near_dup_components
+
+    docs = spark.createDataFrame([(i,) for i in range(8)], ["doc_id"])
+    pairs = spark.createDataFrame([(0, 1), (1, 2), (5, 6)],
+                                  ["doc_a", "doc_b"])
+    got = {(r.doc_id, r.group_id, r.keep)
+           for r in near_dup_components(pairs, docs).collect()}
+    assert (2, 0, False) in got        # transitive closure
+    assert (0, 0, True) in got
+    assert (6, 5, False) in got
+    assert (3, 3, True) in got         # singleton keeper
+    assert sum(1 for _d, _g, k in got if k) == 5   # 2 groups + 3 singles

@@ -333,3 +333,44 @@ def winnow_near_dups(df: DataFrame, text_col: str = "text",
             .join(sizes.alias("sb"), F.col("doc_b") == F.col(f"sb.{id_col}"))
             .select("doc_a", "doc_b", jac.alias("fp_jaccard"))
             .filter(F.col("fp_jaccard") >= threshold))
+
+
+def near_dup_components(pairs: DataFrame, docs: DataFrame,
+                        id_col: str = "doc_id",
+                        max_iter: int = 20) -> DataFrame:
+    """Survivor selection: connected components over near-dup pairs →
+    (doc, group, keep flag).  The step every dedup pipeline runs after
+    pair generation: transitive closure groups A~B~C even when A-C never
+    paired directly, then one canonical doc (min id) survives per group.
+
+    Iterative min-label propagation — each round a doc adopts the smallest
+    label among itself and its neighbors; converges in O(diameter) rounds
+    (near-dup clusters are shallow; ``max_iter`` bounds pathological
+    chains).  Each round is one broadcast-free shuffle on ids; no
+    ``collect``, no RDDs.  Docs in no pair form singleton groups.
+    """
+    sym = (pairs.select(F.col("doc_a").alias("src"),
+                        F.col("doc_b").alias("dst"))
+           .unionByName(pairs.select(F.col("doc_b").alias("src"),
+                                     F.col("doc_a").alias("dst"))))
+    sym = sym.cache()
+    labels = docs.select(F.col(id_col).alias("src"),
+                         F.col(id_col).alias("label"))
+    for _ in range(max_iter):
+        neigh = (sym.join(labels.withColumnRenamed("src", "dst"), "dst")
+                    .groupBy("src").agg(F.min("label").alias("nbr_label")))
+        new = (labels.join(neigh, "src", "left")
+               .select("src", F.least("label", F.coalesce("nbr_label", "label"))
+                       .alias("label")))
+        new = new.cache()
+        changed = (new.join(labels.withColumnRenamed("label", "old"), "src")
+                      .filter(F.col("label") != F.col("old")).limit(1).count())
+        labels.unpersist() if hasattr(labels, "unpersist") else None
+        labels = new
+        if not changed:
+            break
+    sym.unpersist()
+    return labels.select(
+        F.col("src").alias(id_col),
+        F.col("label").alias("group_id"),
+        (F.col("src") == F.col("label")).alias("keep"))

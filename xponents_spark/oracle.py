@@ -333,3 +333,13 @@ EMPTY_VEC_VIOLATIONS = """
 SELECT CAST(NULL AS BIGINT) AS vec_a, CAST(NULL AS BIGINT) AS vec_b,
        CAST(NULL AS VARCHAR) AS violation WHERE false
 """
+
+
+# survivor selection: components over chained identical-doc pairs must equal
+# the md5 grouping (min doc_id per group survives)
+NEAR_DUP_GROUPS_ORACLE = """
+SELECT doc_id,
+       min(doc_id) OVER (PARTITION BY md5(text)) AS group_id,
+       doc_id = min(doc_id) OVER (PARTITION BY md5(text)) AS keep
+FROM documents
+"""
