@@ -78,17 +78,21 @@ def q_main_content(spark, sf_dir):
 def q_xcoord(spark, sf_dir):
     ex = exploded_matches(_extracted(spark, sf_dir), label="coord")
     # cc/adm1/adm1_name/name/place_id/nearest_places: J4 reverse-geocode
-    # enrichment (nearest_places = top-5 names, PlaceGeocoder.java:917-941)
+    # enrichment (nearest_places = top-5 names, PlaceGeocoder.java:917-941).
+    # The array is projected as a '|'-joined scalar: the driver's
+    # canonicalization (pandas sort_values over all columns) cannot hash
+    # list cells — MATCH_STRUCT keeps the real array<string>.
     return ex.select(*_MATCH_BASE_COLS, "lat", "lon", "prec", "geohash",
                      "cc", "adm1", "adm1_name", "name", "place_id",
-                     "nearest_places")
+                     F.array_join("nearest_places", "|").alias("nearest_places"))
 
 
 def q_xtemporal(spark, sf_dir):
     ex = exploded_matches(_extracted(spark, sf_dir), label="date")
-    # flags: DateMatch isDistantPast/isFuture classification
+    # flags: DateMatch isDistantPast/isFuture classification — joined to a
+    # scalar for the driver canonicalizer (see q_xcoord note)
     return ex.select(*_MATCH_BASE_COLS, "date_norm", "epoch", "resolution",
-                     "flags")
+                     F.array_join("flags", "|").alias("flags"))
 
 
 def q_poli(spark, sf_dir):
@@ -562,12 +566,13 @@ def oracle_sql() -> dict[str, str]:
             "exp.cc AS cc, exp.adm1 AS adm1, "
             "CAST(exp.adm1_name AS VARCHAR) AS adm1_name, exp.name AS name, "
             "exp.place_id AS place_id, "
-            "CAST(exp.nearest_places AS VARCHAR[]) AS nearest_places"),
+            "array_to_string(CAST(exp.nearest_places AS VARCHAR[]), '|') "
+            "AS nearest_places"),
         "xtemporal_extract": O.extraction_oracle(
             ("date",), ("date_norm", "epoch", "resolution", "flags"),
             ", exp.date_norm AS date_norm, CAST(exp.epoch AS BIGINT) AS epoch, "
             "exp.resolution AS resolution, "
-            "CAST(exp.flags AS VARCHAR[]) AS flags"),
+            "array_to_string(CAST(exp.flags AS VARCHAR[]), '|') AS flags"),
         "poli_extract": O.extraction_oracle(
             ("email", "phone", "money", "ip", "url", "mac"), ()),
         "place_extract": O.extraction_oracle(

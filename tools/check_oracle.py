@@ -35,6 +35,21 @@ def norm_rows(cols, rows):
     return sorted(tuple(norm_cell(v) for v in r) for r in rows)
 
 
+def driver_canon(cols, rows):
+    """Replica of the driver's canonicalization: pandas DataFrame, columns
+    sorted by name, then sort_values over ALL columns.  This is the step
+    that dies with `TypeError: unhashable type: 'list'` on array-typed
+    output columns (CORRECTNESS_r02 regression on xcoord/xtemporal) — run
+    it locally so such projections fail BEFORE the driver's gate does.
+    Raises on any column pandas cannot sort (list/dict/set cells)."""
+    import pandas as pd
+    df = pd.DataFrame(list(rows), columns=list(cols))
+    df = df[sorted(df.columns)]
+    if len(df):
+        df = df.sort_values(by=list(df.columns)).reset_index(drop=True)
+    return df
+
+
 def main():
     sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
     only = set(sys.argv[2:])
@@ -82,6 +97,16 @@ def main():
                 print(f"{name:24s} VALUE MISMATCH, first diffs:")
                 for x, y in diff:
                     print(f"   spark: {x}\n   duck : {y}")
+                ok = False
+        if ok:
+            # the driver's gate sorts pandas frames over all columns; a
+            # query projecting list/map cells passes the repr() check above
+            # but errs in the driver — replicate that failure mode here
+            try:
+                driver_canon(scols, srows)
+                driver_canon(ocols, orows)
+            except Exception as e:
+                print(f"{name:24s} DRIVER-CANON ERROR: {type(e).__name__}: {e}")
                 ok = False
         if ok:
             print(f"{name:24s} OK ({len(srows)} rows)")
