@@ -70,7 +70,13 @@ def extract_turn(text: str, features: tuple,
     symbols, sign-only pairs are filtered.  ``emit_filtered``: keep
     gazetteer candidates the filters killed, marked filtered_out=true with
     the filter reason (the Xlayer 'filtered_out' request option,
-    XponentsGeotagger.java:207-251)."""
+    XponentsGeotagger.java:207-251).
+
+    The ``slots`` map (FlexPat named groups per match) is emitted only when
+    the ``"slots"`` feature is requested: it rides EVERY pattern match as a
+    map<string,string>, which at 100 TB is real Arrow + parquet weight for a
+    debug-grade field — like the reference's Xlayer feature params, payload
+    extras are opt-in."""
     from .extractors import poli as _poli
     from .extractors import xcoord as _xcoord
     from .extractors import xtemporal as _xtemporal
@@ -85,6 +91,7 @@ def extract_turn(text: str, features: tuple,
     # lower()/has-digit scans over the turn run once, not per family set
     from .flexpat import ScanCtx
     sctx = ScanCtx(main)
+    slot_of = _slot_map if "slots" in features else (lambda m: None)
 
     if "coordinates" in features:
         revgeo = None
@@ -104,7 +111,7 @@ def extract_turn(text: str, features: tuple,
                 label="coord", pattern_id=m.pattern_id, filtered_out=False,
                 lat=m.attrs["lat"], lon=m.attrs["lon"], prec=m.attrs["prec"],
                 geohash=m.attrs["geohash"], method=m.pattern_id,
-                slots=_slot_map(m),
+                slots=slot_of(m),
                 # J4: nearest-place reverse geocode enriches the coordinate
                 cc=related.get("cc"), adm1=related.get("adm1"),
                 adm1_name=related.get("adm1_name"),
@@ -127,7 +134,7 @@ def extract_turn(text: str, features: tuple,
                 label="date", pattern_id=m.pattern_id, filtered_out=False,
                 date_norm=m.attrs["datenorm"], epoch=epoch,
                 resolution=m.attrs["resolution"], method=m.pattern_id,
-                slots=_slot_map(m), flags=flags))
+                slots=slot_of(m), flags=flags))
     if "patterns" in features:
         for m in _poli.extract_poli(main, ctx=sctx):
             if m.filtered_out:
@@ -136,7 +143,7 @@ def extract_turn(text: str, features: tuple,
                 span_start=m.start, span_end=m.end, matchtext=m.text,
                 label=m.family.lower(), pattern_id=m.pattern_id,
                 filtered_out=False, method=m.pattern_id,
-                slots=_slot_map(m)))
+                slots=slot_of(m)))
 
     geo_feats = tuple(f for f in ("places", "countries", "taxons", "postal")
                       if f in features)
