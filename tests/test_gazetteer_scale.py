@@ -155,6 +155,100 @@ def test_normalization_version_fingerprint(spark, tmp_path_factory):
         ParquetGazetteerIndex(out)
 
 
+@pytest.fixture(scope="module")
+def mmap_dir(tagger_pq, tmp_path_factory):
+    from xponents_spark.gazetteer.mmapstore import build_mmap_artifact
+    out = str(tmp_path_factory.mktemp("gazmm") / "tagger.mmap")
+    meta = build_mmap_artifact(tagger_pq, out)
+    assert meta["n_phrases"] > 0 and meta["n_rows"] >= meta["n_phrases"]
+    return out
+
+
+def test_mmap_index_matches_parquet_index(spark, tagger_pq, mmap_dir):
+    """Shared-memory path parity: MmapGazetteerIndex.scan must equal
+    ParquetGazetteerIndex.scan (spans, matchtext, hydrated places) on texts
+    containing known names, multi-token names, and misses."""
+    from xponents_spark.gazetteer.mmapstore import MmapGazetteerIndex
+    from xponents_spark.gazetteer.store import ParquetGazetteerIndex
+
+    pq_idx = ParquetGazetteerIndex(tagger_pq)
+    mm_idx = MmapGazetteerIndex(mmap_dir)
+    rows = spark.read.parquet(tagger_pq).limit(80).collect()
+    texts = [f"we visited {r['name']} on the way home" for r in rows]
+    texts += ["no placenames at all here", "", "a b c d e f g",
+              f"{rows[0]['name']} and {rows[1]['name']} twice "
+              f"{rows[0]['name']}"]
+    for text in texts:
+        a = [(s, e, m, sorted((p.place_id, p.cc, p.lat, p.pop) for p in pl))
+             for s, e, m, pl in pq_idx.scan(text)]
+        b = [(s, e, m, sorted((p.place_id, p.cc, p.lat, p.pop) for p in pl))
+             for s, e, m, pl in mm_idx.scan(text)]
+        assert a == b, text[:60]
+
+
+def test_mmap_spatial_matches_compact(spark, tagger_pq, mmap_dir):
+    from xponents_spark.gazetteer.mmapstore import MmapSpatialIndex
+    from xponents_spark.gazetteer.store import CompactSpatialIndex
+
+    cmp_idx = CompactSpatialIndex(tagger_pq)
+    mm_idx = MmapSpatialIndex(mmap_dir)
+    rng = np.random.RandomState(11)
+    for _ in range(40):
+        lat = float(rng.uniform(-80, 80))
+        lon = float(rng.uniform(-175, 175))
+        a = [(round(d), p.place_id) for d, p in cmp_idx.places_at(lat, lon, 50)]
+        b = [(round(d), p.place_id) for d, p in mm_idx.places_at(lat, lon, 50)]
+        assert [x[0] for x in a] == [x[0] for x in b]
+        assert {x[1] for x in a} == {x[1] for x in b} or a == b
+
+
+def test_extract_with_mmap_gazetteer(spark, tagger_pq, mmap_dir):
+    """End-to-end Spark path over the mmap artifact: gazetteer_parquet may
+    point at either artifact kind; workers dispatch on layout."""
+    import datetime
+
+    from pyspark.sql import Row
+    from pyspark.sql import functions as F
+
+    from xponents_spark.pipeline import extract
+    from xponents_spark.schemas import TRANSCRIPT_SCHEMA
+
+    name = spark.read.parquet(tagger_pq) \
+        .filter("name_type = 'N' AND length(name) >= 8") \
+        .orderBy("place_id").first()["name"]
+    rows = [Row(conv_id="c0", turn_idx=i, role="user",
+                text=f"meeting in {name} tomorrow", tool=None,
+                ts=datetime.datetime(2025, 1, 1)) for i in range(6)]
+    df = spark.createDataFrame(rows, TRANSCRIPT_SCHEMA)
+    out = extract(df, features=("places", "countries"),
+                  gazetteer_parquet=mmap_dir)
+    got = (out.select(F.explode("matches").alias("m"))
+              .filter(F.col("m.label").isin("place", "country"))
+              .select("m.matchtext").collect())
+    assert len(got) == 6
+    assert all(r["matchtext"] == name for r in got)
+
+
+def test_mmap_version_fingerprint(tagger_pq, tmp_path_factory):
+    import json
+    import os
+
+    from xponents_spark.gazetteer.mmapstore import (MmapGazetteerIndex,
+                                                    build_mmap_artifact)
+    out = str(tmp_path_factory.mktemp("gazmmv") / "tagger.mmap")
+    build_mmap_artifact(tagger_pq, out)
+    MmapGazetteerIndex(out)
+    meta = os.path.join(out, "meta.json")
+    m = json.load(open(meta))
+    m["normalization_version"] = 1
+    json.dump(m, open(meta, "w"))
+    # fresh process-level state: drop the shared-file memo for this path
+    from xponents_spark.gazetteer import mmapstore
+    mmapstore._FILES.pop(out, None)
+    with pytest.raises(ValueError, match="normalized with version"):
+        MmapGazetteerIndex(out)
+
+
 def test_cjk_names_tag_through_parquet_index(spark, tmp_path_factory):
     """CJK names in the scale gazetteer index as per-char phrases and tag
     inside unsegmented runs through the parquet-backed index."""

@@ -454,3 +454,35 @@ def test_near_dup_components_transitive(spark):
     assert (6, 5, False) in got
     assert (3, 3, True) in got         # singleton keeper
     assert sum(1 for _d, _g, k in got if k) == 5   # 2 groups + 3 singles
+
+
+def test_near_dup_components_long_chain(spark):
+    """A chain-shaped component with diameter far above the round budget of
+    plain propagation: pointer jumping must converge it within max_iter and
+    label every node with the chain head (round-2 review finding — plain
+    min-label propagation silently mislabeled diameter > max_iter)."""
+    from xponents_spark.operators.dedup import near_dup_components
+
+    n = 200
+    docs = spark.createDataFrame([(i,) for i in range(n)], ["doc_id"])
+    pairs = spark.createDataFrame([(i, i + 1) for i in range(n - 1)],
+                                  ["doc_a", "doc_b"])
+    rows = near_dup_components(pairs, docs, max_iter=12).collect()
+    assert all(r.group_id == 0 for r in rows)
+    assert sum(1 for r in rows if r.keep) == 1
+
+
+def test_near_dup_components_raises_on_exhaustion(spark):
+    """Exhausting max_iter with labels still moving raises instead of
+    returning a silently-wrong grouping."""
+    import pytest
+
+    from xponents_spark.operators.dedup import (ComponentsNotConverged,
+                                                near_dup_components)
+
+    n = 40
+    docs = spark.createDataFrame([(i,) for i in range(n)], ["doc_id"])
+    pairs = spark.createDataFrame([(i, i + 1) for i in range(n - 1)],
+                                  ["doc_a", "doc_b"])
+    with pytest.raises(ComponentsNotConverged):
+        near_dup_components(pairs, docs, max_iter=2)

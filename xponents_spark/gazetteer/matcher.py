@@ -315,8 +315,13 @@ def gaz_index():
     global _GAZ_INDEX
     if _GAZ_INDEX is None:
         if _GAZ_PATH is not None:
-            from .store import ParquetGazetteerIndex
-            _GAZ_INDEX = ParquetGazetteerIndex(_GAZ_PATH)
+            from .mmapstore import MmapGazetteerIndex, is_mmap_artifact
+            if is_mmap_artifact(_GAZ_PATH):
+                # shared-memory scale path: page-cache-shared per node
+                _GAZ_INDEX = MmapGazetteerIndex(_GAZ_PATH)
+            else:
+                from .store import ParquetGazetteerIndex
+                _GAZ_INDEX = ParquetGazetteerIndex(_GAZ_PATH)
         else:
             rows = _GAZ_ROWS if _GAZ_ROWS is not None else data.GAZETTEER_ROWS
             _GAZ_INDEX = PhraseIndex([(r[1], Place(*r)) for r in rows])

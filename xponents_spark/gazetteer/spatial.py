@@ -65,9 +65,14 @@ def spatial_index():
     src = matcher._GAZ_PATH or matcher._GAZ_ROWS or data.GAZETTEER_ROWS
     if _INDEX is None or _INDEX_SRC is not src:
         if matcher._GAZ_PATH is not None:
-            # scale path: array-backed grid straight from the tagger parquet
-            from .store import CompactSpatialIndex
-            _INDEX = CompactSpatialIndex(matcher._GAZ_PATH)
+            from .mmapstore import MmapSpatialIndex, is_mmap_artifact
+            if is_mmap_artifact(matcher._GAZ_PATH):
+                # shared-memory scale path: grid lives in the mmap artifact
+                _INDEX = MmapSpatialIndex(matcher._GAZ_PATH)
+            else:
+                # scale path: array-backed grid from the tagger parquet
+                from .store import CompactSpatialIndex
+                _INDEX = CompactSpatialIndex(matcher._GAZ_PATH)
         else:
             rows = matcher._GAZ_ROWS if matcher._GAZ_ROWS is not None \
                 else data.GAZETTEER_ROWS

@@ -136,11 +136,20 @@ class CompactSpatialIndex:
         import pyarrow.parquet as pq
         import pyarrow.compute as pc
         tbl = pq.read_table(path, columns=_COLS)
+        # full parity with SpatialIndex.__init__ build filters: valid
+        # lat AND lon, P/A class, non-empty cc, no country centroids
+        # (round-2 review: the missing cc/lon checks let this path return
+        # rows the broadcast path never would)
+        cc_col = tbl.column("cc")
         keep = pc.and_(
-            pc.is_valid(tbl.column("lat")),
-            pc.and_(pc.is_in(tbl.column("feat_class"),
-                             value_set=__import__("pyarrow").array(["P", "A"])),
-                    pc.invert(pc.starts_with(tbl.column("feat_code"), "PCL"))))
+            pc.and_(pc.is_valid(tbl.column("lat")),
+                    pc.is_valid(tbl.column("lon"))),
+            pc.and_(
+                pc.and_(pc.is_in(tbl.column("feat_class"),
+                                 value_set=__import__("pyarrow").array(["P", "A"])),
+                        pc.invert(pc.starts_with(tbl.column("feat_code"), "PCL"))),
+                pc.and_(pc.is_valid(cc_col),
+                        pc.not_equal(cc_col, ""))))
         tbl = tbl.filter(keep).combine_chunks()
         self._tbl = tbl
         self.lat = tbl.column("lat").to_numpy(zero_copy_only=False)
@@ -179,9 +188,12 @@ class CompactSpatialIndex:
         out = []
         seen: set[str] = set()
         # tagger parquet has one row PER NAME; dedup to one entry per
-        # place_id like spatial.SpatialIndex does at build time
-        for k in np.argsort(d, kind="stable"):
-            row = self._tbl.slice(int(idx[k]), 1).to_pylist()[0]
+        # place_id like spatial.SpatialIndex does at build time.  One
+        # batched take() materializes all in-radius candidates at once
+        # instead of a per-row slice().to_pylist() in the loop.
+        order = np.argsort(d, kind="stable")
+        rows = self._tbl.take(idx[order]).to_pylist()
+        for k, row in zip(order, rows):
             if row["place_id"] in seen:
                 continue
             seen.add(row["place_id"])

@@ -335,6 +335,12 @@ def winnow_near_dups(df: DataFrame, text_col: str = "text",
             .filter(F.col("fp_jaccard") >= threshold))
 
 
+class ComponentsNotConverged(RuntimeError):
+    """near_dup_components exhausted max_iter with labels still moving —
+    the returned grouping would be WRONG (a component split across several
+    keep=true survivors).  Raise rather than silently mislabel."""
+
+
 def near_dup_components(pairs: DataFrame, docs: DataFrame,
                         id_col: str = "doc_id",
                         max_iter: int = 20) -> DataFrame:
@@ -343,11 +349,17 @@ def near_dup_components(pairs: DataFrame, docs: DataFrame,
     pair generation: transitive closure groups A~B~C even when A-C never
     paired directly, then one canonical doc (min id) survives per group.
 
-    Iterative min-label propagation — each round a doc adopts the smallest
-    label among itself and its neighbors; converges in O(diameter) rounds
-    (near-dup clusters are shallow; ``max_iter`` bounds pathological
-    chains).  Each round is one broadcast-free shuffle on ids; no
-    ``collect``, no RDDs.  Docs in no pair form singleton groups.
+    Min-label propagation with POINTER JUMPING: each round a doc adopts the
+    smallest label among itself and its neighbors, then labels are path-
+    compressed (label := label's label).  The jump halves chain distances,
+    so convergence is O(log diameter) rounds — a 10^6-long adversarial
+    chain converges in ~20 rounds where plain propagation needs 10^6.
+    Each round is two shuffles on ids; no ``collect``, no RDDs.  Docs in
+    no pair form singleton groups.
+
+    Raises :class:`ComponentsNotConverged` if labels are still moving
+    after ``max_iter`` rounds instead of returning a silently-wrong
+    grouping (review finding, round 2).
     """
     sym = (pairs.select(F.col("doc_a").alias("src"),
                         F.col("doc_b").alias("dst"))
@@ -356,20 +368,40 @@ def near_dup_components(pairs: DataFrame, docs: DataFrame,
     sym = sym.cache()
     labels = docs.select(F.col(id_col).alias("src"),
                          F.col(id_col).alias("label"))
+    converged = False
     for _ in range(max_iter):
         neigh = (sym.join(labels.withColumnRenamed("src", "dst"), "dst")
                     .groupBy("src").agg(F.min("label").alias("nbr_label")))
         new = (labels.join(neigh, "src", "left")
                .select("src", F.least("label", F.coalesce("nbr_label", "label"))
                        .alias("label")))
-        new = new.cache()
+        # pointer jump: follow the current label one hop (labels are doc
+        # ids, so every label has a row).  Min-propagation guarantees
+        # parent(label) <= label, so least() keeps correctness while
+        # halving the distance to each component's minimum.
+        parent = labels.select(F.col("src").alias("label"),
+                               F.col("label").alias("parent"))
+        new = (new.join(parent, "label", "left")
+               .select("src", F.least("label", F.coalesce("parent", "label"))
+                       .alias("label")))
+        # localCheckpoint, not cache: each round's plan references the
+        # previous round's, so without lineage truncation the logical plan
+        # grows by two joins per round and the driver OOMs planning round
+        # ~10.  Iterative graph algorithms must checkpoint (GraphX does the
+        # same); local (non-resilient) is right here — a lost executor
+        # restarts the job's current round, not a 100-round recompute.
+        new = new.localCheckpoint(eager=True)
         changed = (new.join(labels.withColumnRenamed("label", "old"), "src")
                       .filter(F.col("label") != F.col("old")).limit(1).count())
-        labels.unpersist() if hasattr(labels, "unpersist") else None
         labels = new
         if not changed:
+            converged = True
             break
     sym.unpersist()
+    if not converged:
+        raise ComponentsNotConverged(
+            f"connected components still changing after {max_iter} rounds; "
+            f"raise max_iter (component diameter exceeds 2^{max_iter})")
     return labels.select(
         F.col("src").alias(id_col),
         F.col("label").alias("group_id"),
