@@ -115,8 +115,32 @@ def q_postal(spark, sf_dir):
                      "place_id", "confidence")
 
 
+_TAXCAT_GATE_DIR: str | None = None
+
+
+def _taxcat_gate_parquet(spark) -> str:
+    """Taxcat runtime parquet built from the embedded lexicons: the gate's
+    taxon rows then verify the PARQUET-BACKED index path (T4's scale
+    artifact, mirroring T1/T5) against the same literal-VALUES oracle —
+    output is identical to the embedded path by construction."""
+    global _TAXCAT_GATE_DIR
+    if _TAXCAT_GATE_DIR is None:
+        import tempfile
+
+        from xponents_spark.sources.taxcat_etl import (build_taxcat_parquet,
+                                                       embedded_taxcat_df)
+        d = tempfile.mkdtemp(prefix="taxcat_gate_") + "/taxcat.parquet"
+        build_taxcat_parquet(
+            embedded_taxcat_df(spark).repartition(1)
+            .sortWithinPartitions("kind", "name"), d)
+        _TAXCAT_GATE_DIR = d
+    return _TAXCAT_GATE_DIR
+
+
 def q_taxons(spark, sf_dir):
-    ex = exploded_matches(_extracted(spark, sf_dir))
+    t = synthesize_transcripts(spark, sf_dir)
+    out = extract(t, taxcat_parquet=_taxcat_gate_parquet(spark))
+    ex = exploded_matches(out)
     return (ex.filter(F.col("label").isin("person", "org", "nationality"))
               .select(*_MATCH_BASE_COLS, "taxon", "catalog", "cc"))
 

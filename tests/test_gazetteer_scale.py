@@ -136,6 +136,61 @@ def test_postal_parquet_path(spark, tmp_path_factory):
     assert len(postal._codes()) == len(postal.POSTAL_ROWS)
 
 
+def test_taxcat_parquet_path(spark, tmp_path_factory):
+    """T4 scale artifact (VERDICT r2 item 7): synth JRC/person-scale
+    lexicon -> ETL -> parquet -> worker-side index; known names tag, the
+    valid:false gate holds, and reset semantics restore the embedded
+    lexicons."""
+    from xponents_spark.sources.taxcat_etl import (build_taxcat_parquet,
+                                                   synthesize_taxcat_raw,
+                                                   taxcat_etl)
+
+    out = str(tmp_path_factory.mktemp("taxcat") / "taxcat.parquet")
+    raw = synthesize_taxcat_raw(spark, n_rows=40_000, partitions=8)
+    build_taxcat_parquet(taxcat_etl(raw), out)
+
+    rows = spark.read.parquet(out).collect()
+    assert len(rows) > 1_000
+    valid = next(r for r in rows if r["valid"])
+    try:
+        matcher.set_taxcat_parquet(out)
+        hits = matcher.tag_taxons(f"meeting with {valid['name']} tomorrow")
+        assert any(m == valid["name"] and k == valid["kind"]
+                   for _s, _e, m, k, _c, _cc in hits)
+        # an invalid row whose name is not also a valid entry must not tag
+        valid_names = {r["name"].lower() for r in rows if r["valid"]}
+        bad = next((r for r in rows
+                    if not r["valid"] and r["name"].lower() not in valid_names),
+                   None)
+        if bad is not None:
+            hits = matcher.tag_taxons(f"meeting with {bad['name']} tomorrow")
+            assert not any(m == bad["name"]
+                           for _s, _e, m, _k, _c, _cc in hits)
+    finally:
+        matcher.set_taxcat_parquet(None)
+    # embedded lexicons restored
+    assert matcher.tag_taxons("the Australian delegation")
+
+
+def test_taxcat_parquet_matches_embedded(spark, tmp_path_factory):
+    """Embedded lexicons written through the taxcat ETL produce the exact
+    same taxon tags as the in-memory path (the driver-gate equivalence)."""
+    from xponents_spark.sources.taxcat_etl import (build_taxcat_parquet,
+                                                   embedded_taxcat_df)
+
+    out = str(tmp_path_factory.mktemp("taxcat_emb") / "taxcat.parquet")
+    build_taxcat_parquet(embedded_taxcat_df(spark).repartition(1)
+                         .sortWithinPartitions("kind", "name"), out)
+    probe = ("Mr Smith of Acme Corporation met the Australian envoy "
+             "and French officials in town")
+    base = matcher.tag_taxons(probe)
+    try:
+        matcher.set_taxcat_parquet(out)
+        assert matcher.tag_taxons(probe) == base
+    finally:
+        matcher.set_taxcat_parquet(None)
+
+
 def test_normalization_version_fingerprint(spark, tmp_path_factory):
     """A tagger parquet built under different normalization semantics is
     refused at load time instead of silently not matching."""

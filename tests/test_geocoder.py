@@ -268,11 +268,40 @@ def test_country_catalog_lookups():
     assert get_country("GBR").iso2 == "GB"
     assert get_country("UK").iso2 == "GB"          # FIPS + alias
     assert get_country("DPRK").iso2 == "KP"        # alias
-    assert get_country("Hong Kong").iso2 == "CN"   # territory -> parent
-    assert get_country("puerto rico").iso2 == "US"
+    # territories with their own ISO codes resolve to their OWN entry
+    # (round-3 full-catalog semantics); the parent still lists them
+    assert get_country("Hong Kong").iso2 == "HK"
+    assert "Hong Kong" in get_country("CN").territories
+    assert get_country("puerto rico").iso2 == "PR"
+    assert "Puerto Rico" in get_country("US").territories
     assert get_country("zz") is None
     assert "IN" in countries_in_utc_offset(5.5)
     assert "JP" in countries_in_utc_offset(9.0)
+
+
+def test_country_catalog_full_iso_set():
+    """Round-3 (VERDICT r2 item 9): the catalog carries the full ISO
+    3166-1 set — every gazetteer cc resolves, famous ISO/FIPS divergences
+    hold, no duplicate ISO keys."""
+    from xponents_spark.gazetteer.countries import (
+        _CATALOG, approximate_longitude_for_utc_offset, get_country)
+    from xponents_spark.gazetteer.data import GAZETTEER_ROWS
+    from xponents_spark.sources.gazetteer_synth import _CCS
+
+    assert len(_CATALOG) >= 245
+    iso2 = [c.iso2 for c in _CATALOG]
+    iso3 = [c.iso3 for c in _CATALOG]
+    assert len(set(iso2)) == len(iso2)
+    assert len(set(iso3)) == len(iso3)
+    for cc in set(_CCS) | {r[5] for r in GAZETTEER_ROWS if r[5]}:
+        assert get_country(cc) is not None, cc
+    # ISO/FIPS divergences: FIPS never shadows another country's ISO2
+    assert get_country("CH").name == "Switzerland"   # not Chad/China FIPS
+    assert get_country("SZ").name == "Eswatini"      # not Switzerland FIPS
+    assert get_country("ZA").name == "South Africa"  # not Zambia FIPS
+    assert get_country("Ivory Coast").iso2 == "CI"
+    assert get_country("Burma").iso2 == "MM"
+    assert get_country("Czechia").iso2 == "CZ"
     assert approximate_longitude_for_utc_offset(-5) == -75
     assert approximate_longitude_for_utc_offset(14) == 180
 

@@ -67,6 +67,23 @@ def test_resumable_checkpoints(spark, sf_dir, tmp_path):
     assert read_resumable_output(spark, out).count() == 500
 
 
+def test_resumable_refuses_changed_input(spark, sf_dir, tmp_path):
+    """Resume over a CHANGED source must refuse instead of silently reusing
+    the stale stage-0 bucketized copy (round-2 review finding)."""
+    import pytest
+
+    t = synthesize_transcripts(spark, sf_dir)
+    out = str(tmp_path / "chg")
+    run_resumable(t, out, buckets=3, input_desc="x")
+    grown = t.unionByName(t.limit(5))
+    with pytest.raises(ValueError, match="input mismatch"):
+        run_resumable(grown, out, buckets=3, input_desc="x")
+    # explicit override still allowed for caller-owned input identity
+    m = run_resumable(grown, out, buckets=3, input_desc="x",
+                      verify_input=False)
+    assert sum(r["rows"] for r in m) == 500   # stale copy, by choice
+
+
 def test_resumable_extracts_each_row_exactly_once(spark, sf_dir, tmp_path, monkeypatch):
     """Regression for the round-1 double-compute: metrics must come from the
     write job itself (Observation), so each input row flows through the
@@ -437,6 +454,31 @@ def test_rtf_surrogate_pairs_roundtrip():
     got = extract_rtf_text(raw)
     assert got == "\U0001F600"
     got.encode("utf-8")   # no lone surrogates
+
+
+def test_quality_score_empty_doc_parity(spark):
+    """Empty documents: Spark and DuckDB must both yield NULL ratios (the
+    nullif guard — recent DuckDB defaults x/0 to IEEE NaN, which would
+    break the value-hash gate on an empty doc)."""
+    import duckdb
+
+    from xponents_spark.operators.textstats import quality_score
+    from xponents_spark.oracle import QUALITY_ORACLE
+
+    df = spark.createDataFrame([(1, ""), (2, "hello, world!")],
+                               "doc_id long, text string")
+    got = {r["doc_id"]: r.asDict() for r in quality_score(df).collect()}
+    assert got[1]["punct_ratio"] is None
+    assert got[1]["alpha_ratio"] is None
+    con = duckdb.connect()
+    con.sql("CREATE VIEW documents AS "
+            "SELECT 1::BIGINT AS doc_id, '' AS text "
+            "UNION ALL SELECT 2, 'hello, world!'")
+    want = {r[0]: r for r in con.sql(QUALITY_ORACLE).fetchall()}
+    for d in (1, 2):
+        g = got[d]
+        w = want[d]
+        assert (g["punct_ratio"], g["alpha_ratio"]) == (w[4], w[5]), d
 
 
 def test_near_dup_components_transitive(spark):

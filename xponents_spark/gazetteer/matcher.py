@@ -425,11 +425,66 @@ def _apply_tag_filters(cand: PlaceCandidate, lowercase_doc: bool) -> None:
 # --- taxcat-style lexicons (T4): person / org / nationality ------------------
 
 _TAX_INDEX: PhraseIndex | None = None
+_TAX_PATH: str | None = None
+
+
+def set_taxcat_parquet(path: str | None) -> None:
+    """Scale path for the reference's taxcat core (JRC entities, person
+    names, WFB — solr/build.sh:24-57, TaxonMatcher.java:69-85): point this
+    worker at a taxcat parquet built by
+    ``sources.taxcat_etl.build_taxcat_parquet``.  The index builds lazily
+    once per process from the file — no driver collect.  ``None`` resets
+    to the embedded lexicons (reused python workers must not leak a
+    previous job's table).  Idempotent per path."""
+    global _TAX_PATH, _TAX_INDEX
+    if path == _TAX_PATH:
+        return
+    _TAX_PATH = path
+    _TAX_INDEX = None
+
+
+def _tax_index_from_parquet(path: str) -> PhraseIndex:
+    import json
+    import os
+
+    import pyarrow.parquet as pq
+
+    meta_path = os.path.join(path, "_normalization.json")
+    if not os.path.exists(meta_path):
+        raise ValueError(f"taxcat parquet {path} has no _normalization.json "
+                         f"sidecar — rebuild with build_taxcat_parquet")
+    with open(meta_path) as fh:
+        ver = json.load(fh).get("normalization_version")
+    if ver != NORMALIZATION_VERSION:
+        raise ValueError(f"taxcat parquet {path} normalized with version "
+                         f"{ver}, engine expects {NORMALIZATION_VERSION}")
+    tbl = pq.read_table(path, columns=["phrase", "name", "kind",
+                                       "canonical", "cc", "valid"])
+    idx = PhraseIndex([])
+    index, first_max = idx.index, idx.first_max
+    # phrases are pre-normalized at ETL time (same contract as the tagger
+    # parquet): index build is pure dict assembly, no re-tokenization
+    for phrase, kind, canonical, cc, valid in zip(
+            tbl.column("phrase").to_pylist(), tbl.column("kind").to_pylist(),
+            tbl.column("canonical").to_pylist(), tbl.column("cc").to_pylist(),
+            tbl.column("valid").to_pylist()):
+        if not valid or not phrase:
+            continue
+        ntoks = phrase.count(" ") + 1
+        idx.max_len = max(idx.max_len, ntoks)
+        ft = phrase.split(" ", 1)[0]
+        if ntoks > first_max.get(ft, 0):
+            first_max[ft] = ntoks
+        index.setdefault(phrase, []).append((kind, canonical, cc or None))
+    return idx
 
 
 def tax_index() -> PhraseIndex:
     global _TAX_INDEX
     if _TAX_INDEX is None:
+        if _TAX_PATH is not None:
+            _TAX_INDEX = _tax_index_from_parquet(_TAX_PATH)
+            return _TAX_INDEX
         entries: list[tuple[str, object]] = []
         for n in data.PERSON_NAMES:
             entries.append((n, ("person", n, None)))

@@ -268,6 +268,13 @@ class MmapGazetteerIndex:
     def __init__(self, path: str):
         self.f = _files(path)
         self._memo: dict[int, list[Place]] = {}
+        # first-token probe memo: text vocabularies are Zipf-distributed,
+        # so most tokens repeat constantly and most MISS the dictionary —
+        # caching (exact-hit phrase idx, extension range) per token turns
+        # the dominant top-level binary search into one dict hit.  Bounded:
+        # ~200k entries ≈ 20-30 MB private/worker, still ~100x under the
+        # heap-path footprint at 10M names.
+        self._tok_memo: dict[str, tuple[int, int, int]] = {}
 
     # binary search over the sorted phrase byte table
     def _bisect(self, key: bytes, lo: int, hi: int) -> int:
@@ -301,28 +308,40 @@ class MmapGazetteerIndex:
         T = self.f.prefix2
         n = len(toks)
         raw: list[tuple[int, int, int]] = []
+        memo = self._tok_memo
         for i, (norm, _s, _e) in enumerate(toks):
-            key = norm.encode("utf-8")
-            if not key:
+            ent = memo.get(norm)
+            if ent is None:
+                key = norm.encode("utf-8")
+                if not key:
+                    continue
+                b0 = key[0]
+                if len(key) >= 2:
+                    c = (b0 << 8) | key[1]
+                    lo, hi = int(T[c]), int(T[c + 1])
+                else:   # 1-byte token: cover the whole first-byte band
+                    lo, hi = int(T[b0 << 8]), int(T[(b0 + 1) << 8])
+                if lo >= hi:
+                    exact, lo2, hi2 = -1, 0, 0
+                else:
+                    k = self._bisect(key, lo, hi)
+                    exact = k if k < hi and self._phrase(k) == key else -1
+                    pref = key + b" "
+                    lo2 = self._bisect(pref, k, hi)
+                    hi2 = self._bisect(pref + b"\xff", lo2, hi)
+                if len(memo) > 200_000:
+                    memo.clear()
+                memo[norm] = ent = (exact, lo2, hi2)
+            exact, lo2, hi2 = ent
+            if exact < 0 and lo2 >= hi2:
                 continue
-            b0 = key[0]
-            if len(key) >= 2:
-                c = (b0 << 8) | key[1]
-                lo, hi = int(T[c]), int(T[c + 1])
-            else:   # 1-byte token: cover the whole first-byte band
-                lo, hi = int(T[b0 << 8]), int(T[(b0 + 1) << 8])
-            if lo >= hi:
-                continue
-            k = self._bisect(key, lo, hi)
-            if k < hi and self._phrase(k) == key:
-                raw.append((toks[i][1], toks[i][2], k))
+            if exact >= 0:
+                raw.append((toks[i][1], toks[i][2], exact))
                 if len(raw) > self.TAG_LIMIT:
                     raise TagLimitExceeded(
                         f"tag limit {self.TAG_LIMIT} exceeded in one "
                         f"document")
-            pref = key + b" "
-            lo2 = self._bisect(pref, k, hi)
-            hi2 = self._bisect(pref + b"\xff", lo2, hi)
+            pref = norm.encode("utf-8") + b" "
             j = i + 1
             while lo2 < hi2 and j < n:
                 cur = pref + toks[j][0].encode("utf-8")

@@ -58,13 +58,18 @@ def quality_score(df: DataFrame, text_col: str = "text",
         F.regexp_replace(F.col(text_col), r"[!-/:-@\[-`{-~]", ""))
     n_alpha = n_chars - F.length(
         F.regexp_replace(F.col(text_col), r"[A-Za-z]", ""))
+    # nullif guards: Spark yields NULL for x/0 but recent DuckDB defaults
+    # to IEEE division (NaN), so an empty document would diverge between
+    # the engine and the oracle — pin NULL on BOTH sides (review finding)
+    n_chars_nz = F.nullif(n_chars, F.lit(0))
+    n_tok_nz = F.nullif(n_tok, F.lit(0))
     return df.select(
         F.col(id_col),
         n_tok.alias("n_tokens"),
-        (n_chars.cast("double") / n_tok).alias("chars_per_token"),
-        (n_stop.cast("double") / n_tok).alias("stopword_ratio"),
-        (n_punct.cast("double") / n_chars).alias("punct_ratio"),
-        (n_alpha.cast("double") / n_chars).alias("alpha_ratio"),
+        (n_chars.cast("double") / n_tok_nz).alias("chars_per_token"),
+        (n_stop.cast("double") / n_tok_nz).alias("stopword_ratio"),
+        (n_punct.cast("double") / n_chars_nz).alias("punct_ratio"),
+        (n_alpha.cast("double") / n_chars_nz).alias("alpha_ratio"),
     )
 
 

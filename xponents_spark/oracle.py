@@ -142,17 +142,19 @@ SELECT doc_id,
 FROM documents
 """
 
+# nullif guards match the Spark side: both engines yield NULL (never
+# NaN/error) for empty documents
 QUALITY_ORACLE = r"""
 SELECT doc_id,
        len(regexp_split_to_array(trim(text), '[ \t\n\v\f\r]+')) AS n_tokens,
-       CAST(length(text) AS DOUBLE) / len(regexp_split_to_array(trim(text), '[ \t\n\v\f\r]+')) AS chars_per_token,
+       CAST(length(text) AS DOUBLE) / nullif(len(regexp_split_to_array(trim(text), '[ \t\n\v\f\r]+')), 0) AS chars_per_token,
        CAST(len(list_filter(regexp_split_to_array(trim(text), '[ \t\n\v\f\r]+'),
                 x -> x IN ('the','a','and','of','to','in','is'))) AS DOUBLE)
-         / len(regexp_split_to_array(trim(text), '[ \t\n\v\f\r]+')) AS stopword_ratio,
+         / nullif(len(regexp_split_to_array(trim(text), '[ \t\n\v\f\r]+')), 0) AS stopword_ratio,
        CAST(length(text) - length(regexp_replace(text, '[!-/:-@\[-`{-~]', '', 'g')) AS DOUBLE)
-         / length(text) AS punct_ratio,
+         / nullif(length(text), 0) AS punct_ratio,
        CAST(length(text) - length(regexp_replace(text, '[A-Za-z]', '', 'g')) AS DOUBLE)
-         / length(text) AS alpha_ratio
+         / nullif(length(text), 0) AS alpha_ratio
 FROM documents
 """
 

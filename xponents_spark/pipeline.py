@@ -181,6 +181,7 @@ def extract(df: DataFrame, features: Iterable[str] = DEFAULT_FEATURES,
             prefer_locations: Iterable[tuple] = (),
             gazetteer_parquet: str | None = None,
             postal_parquet: str | None = None,
+            taxcat_parquet: str | None = None,
             coord_families: Iterable[str] | None = None,
             date_families: Iterable[str] | None = None,
             strict_coords: bool = False,
@@ -212,16 +213,19 @@ def extract(df: DataFrame, features: Iterable[str] = DEFAULT_FEATURES,
     mfilter = frozenset(match_filter) or None
     gaz_path = gazetteer_parquet or _os.environ.get("XPONENTS_GAZETTEER_PARQUET")
     postal_path = postal_parquet or _os.environ.get("XPONENTS_POSTAL_PARQUET")
+    taxcat_path = taxcat_parquet or _os.environ.get("XPONENTS_TAXCAT_PARQUET")
     out_schema = extraction_output_schema(df.schema)
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         # ALWAYS set (None resets): python workers are reused across jobs,
         # so a path left behind by a previous job would silently redirect
         # this job's tagging (no-op when unchanged)
-        from .gazetteer.matcher import set_gazetteer_parquet
+        from .gazetteer.matcher import (set_gazetteer_parquet,
+                                        set_taxcat_parquet)
         from .gazetteer.postal import set_postal_parquet
         set_gazetteer_parquet(gaz_path)
         set_postal_parquet(postal_path)
+        set_taxcat_parquet(taxcat_path)
         for pdf in batches:
             mains = []
             matches = []
@@ -299,10 +303,12 @@ def extract_conversation_scoped(df: DataFrame,
 
     def rerun(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         # same worker-state reset as extract.run (reused python workers)
-        from .gazetteer.matcher import set_gazetteer_parquet
+        from .gazetteer.matcher import (set_gazetteer_parquet,
+                                        set_taxcat_parquet)
         from .gazetteer.postal import set_postal_parquet
         set_gazetteer_parquet(gaz_path)
         set_postal_parquet(postal_path)
+        set_taxcat_parquet(_os.environ.get("XPONENTS_TAXCAT_PARQUET"))
         for pdf in batches:
             mains, matches = [], []
             for text, cc in zip(pdf[text_col].tolist(),

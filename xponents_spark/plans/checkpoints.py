@@ -55,12 +55,21 @@ def _read_committed(path: str) -> dict | None:
 
 def run_resumable(df: DataFrame, out_dir: str, buckets: int = 16,
                   features: Iterable[str] = DEFAULT_FEATURES,
-                  input_desc: str = "", bucket_col: str | None = None) -> list[dict]:
+                  input_desc: str = "", bucket_col: str | None = None,
+                  verify_input: bool = True) -> list[dict]:
     """Extract ``df`` in ``buckets`` resumable units; returns manifests.
 
     ``bucket_col``: name of an existing physical bucket partition column
     (values 0..buckets-1).  When given, stage-0 bucketize is skipped and the
     per-bucket filter prunes directly at the source scan.
+
+    ``verify_input``: on resume over a committed stage-0 bucketize, compare
+    ``df.count()`` against the row count recorded in input_manifest.json
+    and refuse a silent resume against a CHANGED source (review finding:
+    keying only on bucket count + free-text desc reused a stale bucketized
+    copy).  count() over a parquet/Iceberg source is metadata-only; pass
+    ``verify_input=False`` for expensive computed inputs where the caller
+    owns input identity.
     """
     os.makedirs(out_dir, exist_ok=True)
     spark = df.sparkSession
@@ -78,13 +87,25 @@ def run_resumable(df: DataFrame, out_dir: str, buckets: int = 16,
                 f"resume bucket-count mismatch: {out_dir} was bucketized "
                 f"with buckets={stage0.get('buckets')}, this run asked for "
                 f"{buckets} — pass the original count or use a fresh out_dir")
+        if stage0 is not None and verify_input and \
+                stage0.get("input_rows") is not None:
+            n_now = df.count()
+            if n_now != stage0["input_rows"]:
+                raise ValueError(
+                    f"resume input mismatch: {out_dir} was bucketized from "
+                    f"{stage0['input_rows']} rows, current source has "
+                    f"{n_now} — the source changed; use a fresh out_dir "
+                    f"(or verify_input=False to override)")
         if stage0 is None:
             t0 = time.time()
+            obs0 = Observation("bucketize")
             (df.withColumn(bucket_col, F.pmod(F.hash("conv_id"), F.lit(buckets)))
+               .observe(obs0, F.count(F.lit(1)).alias("rows"))
                .write.mode("overwrite").partitionBy(bucket_col).parquet(in_dir))
             with open(stage0_path, "w") as fh:
                 json.dump({"status": "committed", "stage": "bucketize",
                            "buckets": buckets, "input": input_desc,
+                           "input_rows": int(obs0.get["rows"] or 0),
                            "engine_version": __version__,
                            "wall_sec": round(time.time() - t0, 3)}, fh)
         src = spark.read.parquet(in_dir)

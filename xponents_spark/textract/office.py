@@ -82,7 +82,7 @@ _RTF_SKIP_GROUPS = {"fonttbl", "colortbl", "stylesheet", "info", "pict",
                     "*"}  # \* marks ignorable destinations
 _RTF_TOKEN = re.compile(
     rb"\\'([0-9a-fA-F]{2})"          # hex escape
-    rb"|\\u(-?\d+)\s?\??"             # unicode escape (+ fallback char)
+    rb"|\\u(-?\d+) ?"                 # unicode escape (space = delimiter)
     rb"|\\([a-zA-Z]+)(-?\d+)? ?"      # control word
     rb"|\\([^a-zA-Z])"                # control symbol
     rb"|([{}])"                       # group delimiters
@@ -97,13 +97,20 @@ def extract_rtf_text(payload: bytes) -> str:
     out: list[str] = []
     depth = 0
     skip_until = -1     # skip while depth > skip_until's entry depth
+    uc_stack = [1]      # \ucN is group-scoped; spec default 1
+    pending = 0         # fallback chars still to skip after a \uN
     for m in _RTF_TOKEN.finditer(payload):
-        hexesc, uni, word, _num, sym, brace, text = m.groups()
+        hexesc, uni, word, num, sym, brace, text = m.groups()
         if brace == b"{":
             depth += 1
+            uc_stack.append(uc_stack[-1])
+            pending = 0          # fallback cannot span group boundaries
             continue
         if brace == b"}":
             depth -= 1
+            if len(uc_stack) > 1:
+                uc_stack.pop()
+            pending = 0
             if skip_until >= 0 and depth < skip_until:
                 skip_until = -1
             continue
@@ -111,12 +118,16 @@ def extract_rtf_text(payload: bytes) -> str:
             continue
         if word is not None:
             w = word.decode("ascii")
-            if w in _RTF_SKIP_GROUPS:
+            if w == "uc" and num is not None:
+                # \ucN: how many ANSI fallback chars follow each \uN
+                uc_stack[-1] = max(0, int(num))
+            elif w in _RTF_SKIP_GROUPS:
                 skip_until = depth
             elif w == "par" or w == "line":
                 out.append("\n")
             elif w == "tab":
                 out.append("\t")
+            pending = 0          # any control word ends the fallback run
             continue
         if sym is not None:
             if sym == b"*":
@@ -127,10 +138,18 @@ def extract_rtf_text(payload: bytes) -> str:
                 out.append(" ")
             continue
         if hexesc is not None:
+            if pending > 0:      # \'hh as a \uN fallback byte: skip it
+                pending -= 1
+                continue
             out.append(bytes([int(hexesc, 16)]).decode("windows-1252",
                                                        errors="replace"))
             continue
         if uni is not None:
+            # per spec the NEXT \ucN fallback chars (any ANSI chars or
+            # \'hh escapes, not just a literal '?') are alternates for
+            # non-unicode readers and must be skipped (review finding:
+            # skipping only '?' duplicated real-world fallback text)
+            pending = uc_stack[-1]
             cu = int(uni) & 0xFFFF
             # Word encodes non-BMP chars as UTF-16 surrogate PAIRS of \uN
             # escapes; combine them — a lone surrogate is not valid UTF-8
@@ -148,6 +167,12 @@ def extract_rtf_text(payload: bytes) -> str:
                 out.append(chr(cu))
             continue
         if text is not None:
+            if pending > 0:      # consume fallback BYTES from this run
+                k = min(pending, len(text))
+                text = text[k:]
+                pending -= k
+                if not text:
+                    continue
             out.append(text.decode("windows-1252", errors="replace")
                        .replace("\r", "").replace("\n", ""))
     # a high surrogate never followed by its low half -> replacement char
