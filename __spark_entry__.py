@@ -146,8 +146,10 @@ def q_taxons(spark, sf_dir):
 
 
 def q_conv_scoped_places(spark, sf_dir):
-    """Two-pass conversation-scope extraction (rows-only: the re-chosen
-    geography depends on engine scoring, not SQL-expressible)."""
+    """Two-pass conversation-scope extraction; value-oracled since round 3:
+    the dominant-country vote, the redo slice, and the pass-2 outcomes are
+    all fully determined by the pinned fixtures (oracle.conv_scoped_oracle),
+    so the driver hash-checks every row of the rescored output."""
     from xponents_spark.pipeline import extract_conversation_scoped
     out = extract_conversation_scoped(synthesize_transcripts(spark, sf_dir))
     ex = exploded_matches(out)
@@ -397,14 +399,19 @@ def q_conv_scoped_invariants(spark, sf_dir):
     from xponents_spark.pipeline import extract_conversation_scoped
     t = synthesize_transcripts(spark, sf_dir)
     keys = ["conv_id", "turn_idx", "span_start", "span_end"]
-    m1 = (exploded_matches(extract(t))
-          .filter(F.col("label").isin("place", "country"))
+    ex1 = exploded_matches(extract(t))
+    m1 = (ex1.filter(F.col("label").isin("place", "country"))
           .select(*keys, "place_id", "confidence", "cc"))
     m2 = (exploded_matches(extract_conversation_scoped(t))
           .filter(F.col("label").isin("place", "country"))
           .select(*keys, "place_id", "confidence"))
-    voted = (m1.filter((F.col("confidence") >= 65) & F.col("cc").isNotNull())
-               .select("conv_id").distinct())
+    # eligibility mirrors the vote: confident geotags OR reverse-geocoded
+    # coordinates (A3 coordinate-inferred scope)
+    voted = (ex1.filter(F.col("cc").isNotNull()
+                        & ((F.col("label").isin("place", "country")
+                            & (F.col("confidence") >= 65))
+                           | (F.col("label") == "coord")))
+             .select("conv_id").distinct())
     changed = (m2.exceptAll(m1.select(*keys, "place_id", "confidence"))
                  .select("conv_id", "turn_idx").distinct())
     i1 = (changed.join(voted, "conv_id", "left_anti")
@@ -542,7 +549,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "taxon_extract": q_taxons,
         "country_histogram": q_country_histogram,
         "conv_geography": q_conv_geography,
-        "conv_scoped_places": q_conv_scoped_places,   # rows-only (two-pass rescore)
+        "conv_scoped_places": q_conv_scoped_places,
         "match_label_histogram": q_label_histogram,
         "gazetteer_etl": q_gazetteer_etl,
         "pdf_text_recovery": q_pdf_roundtrip,
@@ -625,6 +632,7 @@ def oracle_sql() -> dict[str, str]:
             ", exp.taxon AS taxon, exp.catalog AS catalog, exp.cc AS cc"),
         "country_histogram": O.country_histogram_oracle(),
         "conv_geography": O.conv_geography_oracle(),
+        "conv_scoped_places": O.conv_scoped_oracle(),
         "match_label_histogram": O.label_histogram_oracle(),
         "gazetteer_etl": O.gazetteer_etl_oracle(),
         "pdf_text_recovery": "SELECT doc_id, text FROM documents",

@@ -21,6 +21,17 @@ def test_every_class_has_fixture_entry():
     assert set(EXPECTED) == set(range(NUM_PAYLOADS))
 
 
+def test_pass2_fixtures_not_drifted():
+    """Conversation-scope pass-2 fixtures: the pinned (class, preferred-cc)
+    outcomes must equal a live re-extraction (same drift gate as EXPECTED)."""
+    from xponents_spark.sources.payloads import (EXPECTED_PASS2,
+                                                 compute_expected_pass2,
+                                                 redo_classes, vote_rows)
+    assert compute_expected_pass2() == EXPECTED_PASS2
+    assert redo_classes() == [14]
+    assert (23, "GB") in set(vote_rows())   # coordinate-inferred vote
+
+
 def test_payload_matches_shift_with_base_text():
     base = "alpha beta gamma delta epsilon"
     off = len(base) + 1

@@ -1,6 +1,6 @@
 #!/usr/bin/env python
-"""The round-2 scaling protocol: N vs 4N at THREE levels, interleaved
-best-of-K to de-correlate ambient noise on this shared host.
+"""The scaling protocol: N vs 4N at THREE levels, interleaved best-of-K
+to de-correlate ambient noise on this shared host.
 
 Levels:
   A. local[8]  vs local[32]            — judge-named single-JVM proxy pair
@@ -16,7 +16,14 @@ Efficiency(engine) = Efficiency(raw) / Efficiency(host control)
   — what the ENGINE adds on top of what 32 independent processes already
     pay on this host; separate cluster nodes don't share one memory bus.
 
-Writes BENCH/scaling_r02.json and prints a summary line.
+Round-3 change (VERDICT r2 item 6): the host control runs INSIDE every
+trial, immediately after that trial's Spark pairs — each trial is one
+paired window, so the engine-relative number divides measurements taken
+minutes apart at most, not across separate phases of a jittery host.
+Per-trial triples (spark raw, host control, engine-relative) are reported
+alongside the cross-trial best.
+
+Writes BENCH/scaling_r03.json and prints a summary line.
 """
 
 from __future__ import annotations
@@ -67,7 +74,9 @@ def run_host_control() -> dict:
 
 def main():
     results: dict[str, list] = {m: [] for m, _ in SPARK_CONFIGS}
+    windows: list[dict] = []     # one paired window per trial
     for trial in range(TRIALS):
+        window: dict = {"trial": trial, "tps": {}}
         for master, cores in SPARK_CONFIGS:
             t0 = time.time()
             try:
@@ -83,20 +92,52 @@ def main():
                     continue
             r["trial"] = trial
             results[master].append(r)
+            window["tps"][master] = r["turns_per_sec"]
             print(f"trial {trial} {master}: {r['turns_per_sec']} tps "
                   f"(gc {r['stage_delta']['jvmGcTime']}ms, "
                   f"{round(time.time()-t0)}s total)", flush=True)
-    host = run_host_control()
-    print(f"host control efficiency: {host['efficiency']}", flush=True)
+        # paired-window control: the no-Spark host ceiling measured in the
+        # SAME window as this trial's Spark pairs
+        try:
+            host = run_host_control()
+        except Exception as e:
+            print(f"trial {trial} host control SKIPPED ({e!s:.120})",
+                  flush=True)
+            host = None
+        if host is not None:
+            window["host_efficiency"] = host["efficiency"]
+            t = window["tps"]
+            if "local[8]" in t and "local[32]" in t:
+                raw = t["local[32]"] / (4 * t["local[8]"])
+                window["eff_local_raw"] = round(raw, 3)
+                window["eff_local_engine"] = round(raw / host["efficiency"], 3)
+            if "local-cluster[1,8,3072]" in t and \
+                    "local-cluster[4,8,3072]" in t:
+                raw = (t["local-cluster[4,8,3072]"]
+                       / (4 * t["local-cluster[1,8,3072]"]))
+                window["eff_exec_raw"] = round(raw, 3)
+                window["eff_exec_engine"] = round(raw / host["efficiency"], 3)
+            print(f"trial {trial} window: host={host['efficiency']} "
+                  f"local_raw={window.get('eff_local_raw')} "
+                  f"local_engine={window.get('eff_local_engine')}",
+                  flush=True)
+        windows.append(window)
 
     best = {m: max(rs, key=lambda r: r["turns_per_sec"])
-            for m, rs in results.items()}
+            for m, rs in results.items() if rs}
     tps = {m: best[m]["turns_per_sec"] for m in best}
     eff_local = tps["local[32]"] / (4 * tps["local[8]"])
     eff_lc = (tps["local-cluster[4,8,3072]"]
               / (4 * tps["local-cluster[1,8,3072]"]))
+
+    def _med(key):
+        vals = sorted(w[key] for w in windows if key in w)
+        return vals[len(vals) // 2] if vals else None
+
     summary = {
-        "protocol": "interleaved best-of-%d, %s turns, fresh JVM per run" % (TRIALS, TURNS),
+        "protocol": ("paired-window best-of-%d, %s turns, fresh JVM per "
+                     "run, host control inside every trial window"
+                     % (TRIALS, TURNS)),
         "best_turns_per_sec": tps,
         "all_runs": {m: [r["turns_per_sec"] for r in rs]
                      for m, rs in results.items()},
@@ -104,15 +145,19 @@ def main():
         "host_cpu_best": {m: best[m]["host_cpu_shares"] for m in best},
         "efficiency_local8_to_local32": round(eff_local, 3),
         "efficiency_exec1_to_exec4": round(eff_lc, 3),
-        "host_control": host,
-        "efficiency_engine_local": round(eff_local / host["efficiency"], 3),
-        "efficiency_engine_exec": round(eff_lc / host["efficiency"], 3),
+        "paired_windows": windows,
+        "median_window_host_efficiency": _med("host_efficiency"),
+        "median_window_eff_local_raw": _med("eff_local_raw"),
+        "median_window_eff_local_engine": _med("eff_local_engine"),
+        "median_window_eff_exec_raw": _med("eff_exec_raw"),
+        "median_window_eff_exec_engine": _med("eff_exec_engine"),
     }
-    path = os.path.join(REPO, "BENCH", "scaling_r02.json")
+    path = os.path.join(REPO, "BENCH", "scaling_r03.json")
     with open(path, "w") as fh:
         json.dump(summary, fh, indent=2)
     print(json.dumps(summary["best_turns_per_sec"]))
-    print(json.dumps({k: summary[k] for k in summary if k.startswith("efficiency")}))
+    print(json.dumps({k: summary[k] for k in summary
+                      if k.startswith(("efficiency", "median"))}))
 
 
 if __name__ == "__main__":

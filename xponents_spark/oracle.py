@@ -100,6 +100,69 @@ GROUP BY t.conv_id, exp.cc
 """
 
 
+def conv_scoped_oracle() -> str:
+    """Full VALUES oracle for the two-pass conversation rescore (VERDICT r2
+    item 8).  Both passes are determined by the pinned fixtures:
+
+    * per-conversation dominant country = max-by-(count, cc) over the
+      vote-eligible fixture rows each conversation's payload classes carry
+      (confident place/country rows + reverse-geocoded coordinates);
+    * turns of a redo-eligible class in a conversation WITH a dominant
+      country re-extract — their expected rows come from EXPECTED_PASS2,
+      keyed (class, preferred cc); every other turn keeps its pass-1 rows.
+
+    Tie-break parity: Spark's ``max_by(cc, struct(n, cc))`` picks the
+    largest (n, cc) pair, i.e. highest count then lexicographically
+    largest cc — mirrored by ORDER BY n DESC, cc DESC."""
+    from .sources.payloads import EXPECTED_PASS2, redo_classes, vote_rows
+
+    votes_vals = ", ".join(f"({k}, {_sq(cc)})" for k, cc in vote_rows())
+    redo_in = ", ".join(str(k) for k in redo_classes())
+    p2 = []
+    for (k, cc), ms in sorted(EXPECTED_PASS2.items()):
+        for m in ms:
+            p2.append(f"({k}, {_sq(cc)}, {m['rel_start']}, {m['rel_end']}, "
+                      f"{_sq(m['matchtext'])}, {_sq(m['label'])}, "
+                      f"{_sq(m['cc'])}, {m['confidence']})")
+    fixture, _n = _fixture_values(("place", "country"), ("cc", "confidence"))
+    return f"""
+WITH {transcripts_oracle_cte()},
+votes AS (
+  SELECT t.conv_id, v.cc, count(*) AS n
+  FROM transcripts t JOIN (VALUES {votes_vals}) AS v(k, cc)
+       ON t.payload_k = v.k
+  GROUP BY 1, 2
+),
+pref AS (
+  SELECT conv_id, cc AS cc_pref FROM (
+    SELECT conv_id, cc,
+           row_number() OVER (PARTITION BY conv_id
+                              ORDER BY n DESC, cc DESC) AS rn
+    FROM votes) WHERE rn = 1
+),
+turns AS (
+  SELECT t.*, p.cc_pref FROM transcripts t LEFT JOIN pref p USING (conv_id)
+)
+SELECT t.conv_id, t.turn_idx,
+       CAST(t.base_len + 1 + exp.rel_start AS INTEGER) AS span_start,
+       CAST(t.base_len + 1 + exp.rel_end AS INTEGER)   AS span_end,
+       exp.matchtext, exp.label, exp.cc AS cc,
+       CAST(exp.confidence AS INTEGER) AS confidence
+FROM turns t JOIN {fixture} ON t.payload_k = exp.k
+WHERE NOT (t.payload_k IN ({redo_in}) AND t.cc_pref IS NOT NULL)
+UNION ALL
+SELECT t.conv_id, t.turn_idx,
+       CAST(t.base_len + 1 + p2.rel_start AS INTEGER) AS span_start,
+       CAST(t.base_len + 1 + p2.rel_end AS INTEGER)   AS span_end,
+       p2.matchtext, p2.label, p2.cc AS cc,
+       CAST(p2.confidence AS INTEGER) AS confidence
+FROM turns t
+JOIN (VALUES {', '.join(p2)})
+     AS p2(k, cc_pref, rel_start, rel_end, matchtext, label, cc, confidence)
+     ON t.payload_k = p2.k AND t.cc_pref = p2.cc_pref
+"""
+
+
 def transcripts_oracle() -> str:
     return f"""
 WITH {transcripts_oracle_cte()}

@@ -283,10 +283,16 @@ def extract_conversation_scoped(df: DataFrame,
                   gazetteer_parquet=gaz_path,
                   postal_parquet=postal_path).persist(StorageLevel.MEMORY_AND_DISK)
 
+    # votes: confident geotags PLUS reverse-geocoded coordinates — the
+    # reference's document scope includes coordinate-inferred location
+    # (A3, PlaceGeocoder.java:809-831); coordinates are high-certainty
+    # evidence (coord-proximity confidence class 90), so they vote
+    # unconditionally when their reverse geocode resolved a country
     geo = (ext.select("conv_id", F.explode("matches").alias("m"))
-              .filter(F.col("m.label").isin("place", "country")
-                      & (F.col("m.confidence") >= vote_confidence)
-                      & F.col("m.cc").isNotNull()))
+              .filter(F.col("m.cc").isNotNull()
+                      & ((F.col("m.label").isin("place", "country")
+                          & (F.col("m.confidence") >= vote_confidence))
+                         | (F.col("m.label") == "coord"))))
     votes = (geo.groupBy("conv_id", F.col("m.cc").alias("cc"))
                 .agg(F.count("*").alias("n")))
     pref = (votes.groupBy("conv_id")
