@@ -106,7 +106,8 @@ def q_places(spark, sf_dir):
     return (ex.filter(F.col("label").isin("place", "country"))
               .select(*_MATCH_BASE_COLS, "cc", "adm1", "adm1_name",
                       "feat_class", "feat_code", "place_id", "name",
-                      "alt_place_id", "alt_cc", "lat", "lon", "confidence"))
+                      "alt_place_id", "alt_cc", "alt_conf_delta",
+                      "lat", "lon", "confidence"))
 
 
 def q_postal(spark, sf_dir):
@@ -609,8 +610,8 @@ def oracle_sql() -> dict[str, str]:
         "place_extract": O.extraction_oracle(
             ("place", "country"),
             ("cc", "adm1", "adm1_name", "feat_class", "feat_code",
-             "place_id", "name", "alt_place_id", "alt_cc", "lat", "lon",
-             "confidence"),
+             "place_id", "name", "alt_place_id", "alt_cc", "alt_conf_delta",
+             "lat", "lon", "confidence"),
             ", exp.cc AS cc, exp.adm1 AS adm1, "
             "CAST(exp.adm1_name AS VARCHAR) AS adm1_name, "
             "exp.feat_class AS feat_class, "
@@ -618,6 +619,7 @@ def oracle_sql() -> dict[str, str]:
             "exp.name AS name, "
             "CAST(exp.alt_place_id AS VARCHAR) AS alt_place_id, "
             "CAST(exp.alt_cc AS VARCHAR) AS alt_cc, "
+            "CAST(exp.alt_conf_delta AS INTEGER) AS alt_conf_delta, "
             "exp.lat AS lat, exp.lon AS lon, "
             "CAST(exp.confidence AS INTEGER) AS confidence"),
         "postal_extract": O.extraction_oracle(

@@ -14,7 +14,12 @@ from xponents_spark.sources import payloads  # noqa: E402
 
 path = payloads.__file__
 src = open(path).read()
+END = "EXPECTED.update(_FROZEN)\n"
+suffix = ""
 if "\n\n_FROZEN" in src:
+    tail = src[src.index("\n\n_FROZEN"):]
+    # preserve everything after the frozen block (pass-2 fixtures etc.)
+    suffix = tail[tail.index(END) + len(END):]
     src = src[:src.index("\n\n_FROZEN")]
 
 exp = payloads.compute_expected()
@@ -25,7 +30,7 @@ for idx, rows in exp.items():
     for r in rows:
         buf.write(f"        {r!r},\n")
     buf.write("    ],\n")
-buf.write("}\nEXPECTED.update(_FROZEN)\n")
+buf.write("}\n" + END)
 
-open(path, "w").write(src + buf.getvalue())
+open(path, "w").write(src + buf.getvalue() + suffix)
 print(f"wrote {sum(len(v) for v in exp.values())} fixture rows to {path}")

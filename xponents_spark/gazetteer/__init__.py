@@ -136,9 +136,11 @@ def geocode(text: str, coords: list[tuple[float, float]] | None = None,
                 "adm1_name": data.ADM1_NAMES.get(p.hierarchical_path),
                 "feat_class": p.feat_class, "feat_code": p.feat_code,
                 "place_id": p.place_id, "name": p.name,
-                # K12 top-2: the runner-up the chooser rejected
+                # K12 top-2: the runner-up the chooser rejected, plus how
+                # far behind it would land if chosen (tie detection signal)
                 "alt_place_id": c.second.place_id if c.second else None,
                 "alt_cc": c.second.cc if c.second else None,
+                "alt_conf_delta": c.alt_conf_delta,
                 "method": ";".join(sorted(c.rules)) or None,
             })
     if "postal" in features:

@@ -100,6 +100,7 @@ class PlaceCandidate:
     chosen: Place | None = None
     second: Place | None = None
     confidence: int = -1
+    alt_conf_delta: int | None = None   # K12: chosen vs runner-up-as-chosen
 
     @property
     def textnorm(self) -> str:

@@ -408,11 +408,22 @@ def location_chooser_rule(cands: list[PlaceCandidate], scope: Scope) -> None:
 def _assess_confidence(c: PlaceCandidate, scope: Scope) -> None:
     """Deterministic confidence tiers per the documented recipe (SURVEY.md
     §2.7 K13; LocationChooserRule.java:297-602): absolute base + qualifiers,
-    clamped 0..100."""
+    clamped 0..100.
+
+    Also assesses the RUNNER-UP as-if-chosen and records the delta
+    (``alt_conf_delta``) — the K12 second-choice confidence signal
+    (PlaceCandidate.java:331-397 keeps the second choice scored; near-zero
+    delta = the tie case the reference's ambiguity qualifiers penalize)."""
     if not c.chosen:
         c.confidence = 0
         return
-    p = c.chosen
+    c.confidence = _confidence_of(c, scope, c.chosen, c.second)
+    if c.second is not None:
+        c.alt_conf_delta = c.confidence - _confidence_of(
+            c, scope, c.second, c.chosen)
+
+
+def _confidence_of(c: PlaceCandidate, scope: Scope, p, second) -> int:
     distinct_geos = len({q.place_id for q in c.places})
     distinct_ccs = len({q.cc for q in c.places})
 
@@ -451,12 +462,12 @@ def _assess_confidence(c: PlaceCandidate, scope: Scope) -> None:
         conf += 5
     if p.cc in scope.mentioned_countries:
         conf += 5
-    if c.second is not None:
-        s1, s2 = c.total_score(p), c.total_score(c.second)
+    if second is not None:
+        s1, s2 = c.total_score(p), c.total_score(second)
         if s2 > 0 and s1 / max(s2, 1e-9) > 1.2:
             conf += 5
     # K13 "preferred +5": the CHOSEN geo matched a caller preference
     if ((id(p), "LocationChooser.preferCountry") in c.scores
             or (id(p), "LocationChooser.preferLocation") in c.scores):
         conf += 5
-    c.confidence = max(0, min(100, conf))
+    return max(0, min(100, conf))

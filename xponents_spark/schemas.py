@@ -48,6 +48,9 @@ MATCH_STRUCT = T.StructType([
     # runner-up location for downstream disambiguation audits
     T.StructField("alt_place_id", T.StringType(), True),
     T.StructField("alt_cc", T.StringType(), True),
+    # confidence gap to the runner-up assessed as-if-chosen (0 = tie —
+    # the ambiguity case K13's distance qualifiers penalize)
+    T.StructField("alt_conf_delta", T.IntegerType(), True),
     T.StructField("method", T.StringType(), True),
     # temporal (Transforms.java:380-391)
     T.StructField("date_norm", T.StringType(), True),
