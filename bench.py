@@ -161,8 +161,10 @@ def bench_queries(spark) -> dict[str, float]:
         run = lambda: (fn(spark, SF_DIR).write
                        .mode("overwrite").format("noop").save())
         run()  # warm the query's codegen/Arrow paths once
-        # best-of-2 timed: this shared host shows 2-3x ambient jitter
-        out[name] = round(min(timed(run), timed(run)), 3)
+        # best-of-3 timed: this shared host shows 2-3x ambient jitter
+        # (BENCH_r02 recorded ~2x slowdowns even on pure-JVM queries like
+        # token_stats vs r01 — more samples, better floor)
+        out[name] = round(min(timed(run), timed(run), timed(run)), 3)
     return out
 
 
