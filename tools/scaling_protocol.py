@@ -4,7 +4,7 @@ to de-correlate ambient noise on this shared host.
 
 Levels:
   A. local[8]  vs local[32]            — judge-named single-JVM proxy pair
-  B. local-cluster[1,8,3072] vs local-cluster[4,8,3072]
+  B. local-cluster[1,8,12288] vs local-cluster[4,8,12288]
                                         — literal N vs 4N executor JVMs
                                           (the north-rule deployment shape)
   C. 8 vs 32 independent python processes running the extraction kernel
@@ -41,11 +41,14 @@ sys.path.insert(0, REPO)
 TRIALS = int(os.environ.get("PROTO_TRIALS", "3"))
 TURNS = os.environ.get("BENCH_TURNS", "400000")
 
+# executor heap = 12288 MB per 8-core executor = the same 1.5 GB/core
+# sizing the round-2 GC diagnosis established for local[N] (3 GB per
+# 8-core executor re-created exactly the GC starvation on the 4N side)
 SPARK_CONFIGS = [
     ("local[8]", 8),
     ("local[32]", 32),
-    ("local-cluster[1,8,3072]", 8),
-    ("local-cluster[4,8,3072]", 32),
+    ("local-cluster[1,8,12288]", 8),
+    ("local-cluster[4,8,12288]", 32),
 ]
 
 
@@ -111,10 +114,10 @@ def main():
                 raw = t["local[32]"] / (4 * t["local[8]"])
                 window["eff_local_raw"] = round(raw, 3)
                 window["eff_local_engine"] = round(raw / host["efficiency"], 3)
-            if "local-cluster[1,8,3072]" in t and \
-                    "local-cluster[4,8,3072]" in t:
-                raw = (t["local-cluster[4,8,3072]"]
-                       / (4 * t["local-cluster[1,8,3072]"]))
+            if "local-cluster[1,8,12288]" in t and \
+                    "local-cluster[4,8,12288]" in t:
+                raw = (t["local-cluster[4,8,12288]"]
+                       / (4 * t["local-cluster[1,8,12288]"]))
                 window["eff_exec_raw"] = round(raw, 3)
                 window["eff_exec_engine"] = round(raw / host["efficiency"], 3)
             print(f"trial {trial} window: host={host['efficiency']} "
@@ -127,8 +130,8 @@ def main():
             for m, rs in results.items() if rs}
     tps = {m: best[m]["turns_per_sec"] for m in best}
     eff_local = tps["local[32]"] / (4 * tps["local[8]"])
-    eff_lc = (tps["local-cluster[4,8,3072]"]
-              / (4 * tps["local-cluster[1,8,3072]"]))
+    eff_lc = (tps["local-cluster[4,8,12288]"]
+              / (4 * tps["local-cluster[1,8,12288]"]))
 
     def _med(key):
         vals = sorted(w[key] for w in windows if key in w)
