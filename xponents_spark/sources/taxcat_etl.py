@@ -39,9 +39,24 @@ _ORG_SUFFIX = ("Inc", "Ltd", "GmbH", "Corp", "Group", "LLC", "SA", "AG",
                "PLC", "Institute")
 
 
+_SYL = ("an", "bel", "cor", "dan", "el", "far", "gor", "hal", "in", "jor",
+        "kar", "lan", "mor", "nev", "or", "pet", "quin", "ros", "sto",
+        "tar", "ul", "ver", "wil", "yan", "zeb", "mir", "sol", "thor")
+
+
 def _pick(arr: tuple[str, ...], h: F.Column) -> F.Column:
     a = F.array(*[F.lit(x) for x in arr])
     return F.element_at(a, (F.pmod(h, F.lit(len(arr))) + 1).cast("int"))
+
+
+def _surname(h1: F.Column, h2: F.Column, h3: F.Column) -> F.Column:
+    """Syllable-composed surname: 28^2..28^3 distinct forms — the catalog
+    must reach JRC scale (~10^5 distinct phrases), which a fixed name list
+    cannot."""
+    return F.initcap(F.concat(
+        _pick(_SYL, h1), _pick(_SYL, h2),
+        F.when(F.pmod(h3, F.lit(2)) == 0, _pick(_SYL, h3))
+         .otherwise(F.lit(""))))
 
 
 def synthesize_taxcat_raw(spark: SparkSession, n_rows: int = 120_000,
@@ -54,15 +69,20 @@ def synthesize_taxcat_raw(spark: SparkSession, n_rows: int = 120_000,
     kind_sel = F.pmod(h(0), F.lit(10))
 
     first = F.initcap(_pick(_FIRST, h(1)))
-    last = F.initcap(_pick(_LAST, h(2)))
+    # ~half common-list surnames (collision-heavy like real catalogs),
+    # ~half syllable-composed (distinct-phrase volume at JRC scale)
+    last = F.when(F.pmod(h(9), F.lit(2)) == 0, F.initcap(_pick(_LAST, h(2)))) \
+            .otherwise(_surname(h(10), h(11), h(12)))
     mid = F.upper(F.substring(_pick(_FIRST, h(3)), 1, 1))
     person = F.when(F.pmod(h(4), F.lit(4)) == 0,
                     F.concat(first, F.lit(" "), mid, F.lit(". "), last)) \
               .otherwise(F.concat(first, F.lit(" "), last))
 
-    org = F.concat(F.initcap(_pick(_ORG_STEM, h(5))), F.lit(" "),
-                   F.initcap(_pick(_ORG_NOUN, h(6))), F.lit(" "),
-                   _pick(_ORG_SUFFIX, h(7)))
+    org = F.concat(
+        F.when(F.pmod(h(13), F.lit(2)) == 0, F.initcap(_pick(_ORG_STEM, h(5))))
+         .otherwise(_surname(h(14), h(15), h(16))), F.lit(" "),
+        F.initcap(_pick(_ORG_NOUN, h(6))), F.lit(" "),
+        _pick(_ORG_SUFFIX, h(7)))
 
     # ~60% person, ~40% org; a row per entity name like JRCNames' one row
     # per (entity, variant)
