@@ -261,6 +261,14 @@ def q_fingerprint(spark, sf_dir):
     return fingerprint(_docs(spark, sf_dir))
 
 
+def q_repetition(spark, sf_dir):
+    """Gopher-family within-document repetition signals (Rae et al. 2021
+    repetition filters): duplicate lines, top 2-gram coverage, duplicate
+    5-gram coverage — relational (explode -> groupBy) so it scales."""
+    from xponents_spark.operators.textstats import repetition_stats
+    return repetition_stats(_docs(spark, sf_dir))
+
+
 def _queries_from(spark, sf_dir, n=10):
     rows = (_emb(spark, sf_dir).filter(F.col("vec_id") < n)
             .select("vec_id", "embedding").collect())
@@ -561,6 +569,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "quality_score": q_quality,
         "lang_id": q_lang_id,
         "fingerprint": q_fingerprint,
+        "repetition_stats": q_repetition,
         "event_hourly_windows": q_event_hourly,
         "characterize": q_characterize,
         "ngram_jaccard_pairs": q_ngram_jaccard,
@@ -645,6 +654,7 @@ def oracle_sql() -> dict[str, str]:
         "quality_score": O.QUALITY_ORACLE,
         "lang_id": O.lang_id_oracle(),
         "fingerprint": O.FINGERPRINT_ORACLE,
+        "repetition_stats": O.REPETITION_ORACLE,
         "ngram_jaccard_pairs": O.NGRAM_JACCARD_ORACLE,
         "ann_cosine_topk": O.ANN_TOPK_ORACLE,
         "cosine_pairs": O.COSINE_PAIRS_ORACLE,

@@ -2,6 +2,7 @@
 reference's example-based strategy (SURVEY.md §5.7 notes it has none)."""
 
 import math
+import os
 import re
 
 from hypothesis import given, settings
@@ -133,3 +134,90 @@ def test_lang_id_script_shortcuts(spark):
            for r in lang_id(spark.createDataFrame(rows)).collect()}
     assert got == {1: "zh", 2: "ja", 3: "ko", 4: "ar", 5: "ru",
                    6: "en", 7: "de", 8: "und"}
+
+
+# --- mmap gazetteer index parity fuzz (round 3) ------------------------------
+
+_WORDS = ["alpha", "beta", "gamma", "delta", "nova", "porta", "vista",
+          "köln", "são", "mar", "bad", "el", "san", "north", "a1", "x"]
+
+
+def _build_mmap_from_entries(tmpdir, names):
+    """Tiny tagger parquet (pyarrow, no Spark) + mmap artifact from raw
+    names — the exact phrase normalization build_tagger_parquet uses."""
+    import json
+    import os
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from xponents_spark.gazetteer.matcher import (NORMALIZATION_VERSION,
+                                                  tokens_with_offsets)
+
+    rows = []
+    for i, name in enumerate(names):
+        phrase = " ".join(t for t, _s, _e in tokens_with_offsets(name) if t)
+        if not phrase:
+            continue
+        rows.append({"place_id": f"P{i}", "name": name, "name_type": "N",
+                     "feat_class": "P", "feat_code": "PPL", "cc": "XX",
+                     "adm1": "", "lat": 10.0 + i, "lon": 20.0 + i,
+                     "id_bias": i % 7, "pop": 1000 * i, "phrase": phrase})
+    if not rows:
+        return None
+    pq_dir = os.path.join(tmpdir, "tagger.parquet")
+    os.makedirs(pq_dir, exist_ok=True)
+    pq.write_table(pa.Table.from_pylist(rows),
+                   os.path.join(pq_dir, "part-0.parquet"))
+    with open(os.path.join(pq_dir, "_normalization.json"), "w") as fh:
+        json.dump({"normalization_version": NORMALIZATION_VERSION}, fh)
+    out = os.path.join(tmpdir, "tagger.mmap")
+    from xponents_spark.gazetteer.mmapstore import build_mmap_artifact
+    build_mmap_artifact(pq_dir, out)
+    return pq_dir, out
+
+
+@settings(max_examples=25, deadline=None)
+@given(st.data())
+def test_mmap_scan_equals_phrase_index(data):
+    """Random dictionaries x random texts: MmapGazetteerIndex.scan must
+    equal PhraseIndex.scan exactly (spans, matchtext, place_id sets) —
+    including multi-token phrases, phrase-prefix relationships, unicode
+    names, and dictionary misses."""
+    import shutil
+    import tempfile
+
+    from xponents_spark.gazetteer import mmapstore
+    from xponents_spark.gazetteer.matcher import Place, PhraseIndex
+
+    names = data.draw(st.lists(
+        st.lists(st.sampled_from(_WORDS), min_size=1, max_size=3)
+        .map(" ".join), min_size=1, max_size=12, unique=True))
+    text_words = data.draw(st.lists(
+        st.sampled_from(_WORDS + ["zzz", ",", "42"]),
+        min_size=0, max_size=25))
+    text = " ".join(text_words)
+
+    tmpdir = tempfile.mkdtemp(prefix="mmfuzz_")
+    try:
+        built = _build_mmap_from_entries(tmpdir, names)
+        if built is None:
+            return
+        pq_dir, mm_dir = built
+        import pyarrow.parquet as pq_mod
+        tbl = pq_mod.read_table(os.path.join(pq_dir))
+        cols = ["place_id", "name", "name_type", "feat_class", "feat_code",
+                "cc", "adm1", "lat", "lon", "id_bias", "pop"]
+        mem = PhraseIndex([
+            (r["name"], Place(*[r[c] for c in cols]))
+            for r in tbl.to_pylist()])
+        mm = mmapstore.MmapGazetteerIndex(mm_dir)
+        a = [(s, e, m, sorted(p.place_id for p in pl))
+             for s, e, m, pl in mem.scan(text)]
+        b = [(s, e, m, sorted(p.place_id for p in pl))
+             for s, e, m, pl in mm.scan(text)]
+        assert a == b, (names, text)
+    finally:
+        mmapstore._FILES.pop(os.path.join(tmpdir, "tagger.mmap"), None)
+        shutil.rmtree(tmpdir, ignore_errors=True)
+

@@ -456,6 +456,38 @@ def test_rtf_surrogate_pairs_roundtrip():
     got.encode("utf-8")   # no lone surrogates
 
 
+def test_repetition_stats_planted(spark):
+    """Gopher-family repetition signals on planted structure: exact line
+    duplication, dominant 2-gram, duplicated 5-gram, plus the degenerate
+    'w w w' clamp and empty-doc NULL guard."""
+    from xponents_spark.operators.textstats import repetition_stats
+
+    docs = spark.createDataFrame([
+        (1, "a b c\na b c\nunique line"),       # one dup line of 3
+        (2, "the cat sat on the mat ok then the cat sat on the mat again"),
+        (3, "w w w w w w w w w w"),             # degenerate overlap
+        (4, ""),                                  # empty
+        (5, "all distinct words here now"),
+    ], "doc_id long, text string")
+    got = {r["doc_id"]: r.asDict()
+           for r in repetition_stats(docs).collect()}
+    assert got[1]["n_lines"] == 3
+    assert abs(got[1]["dup_line_frac"] - 1 / 3) < 1e-9
+    # one repeated 5-char line / 23 chars
+    assert abs(got[1]["dup_line_char_frac"] - 5 / 23) < 1e-9
+    # doc 2: 'the cat' occurs twice -> top-2gram chars = 2*7
+    assert abs(got[2]["top_2gram_char_frac"]
+               - 14 / len("the cat sat on the mat ok then the cat sat on "
+                          "the mat again")) < 1e-9
+    # 'the cat sat on the' (and shifted variants) repeat -> dup 5-grams > 0
+    assert got[2]["dup_5gram_char_frac"] > 0
+    assert got[3]["top_2gram_char_frac"] == 1.0     # clamped
+    assert got[3]["dup_5gram_char_frac"] == 1.0     # clamped
+    assert got[4]["dup_line_char_frac"] is None     # empty doc -> NULL
+    assert got[5]["dup_line_frac"] == 0.0
+    assert got[5]["dup_5gram_char_frac"] == 0.0
+
+
 def test_quality_score_empty_doc_parity(spark):
     """Empty documents: Spark and DuckDB must both yield NULL ratios (the
     nullif guard — recent DuckDB defaults x/0 to IEEE NaN, which would

@@ -127,3 +127,106 @@ def fingerprint(df: DataFrame, text_col: str = "text",
         F.md5(F.col(text_col)).alias("text_md5"),
         F.md5(F.concat_ws(" ", F.slice(toks, 1, prefix_tokens))).alias("prefix_md5"),
     )
+
+
+def repetition_stats(df: DataFrame, text_col: str = "text",
+                     id_col: str = "doc_id") -> DataFrame:
+    """Within-document repetition signals in the Gopher family (Rae et al.
+    2021, §A1.1 repetition filters — published quality heuristics for
+    training-data curation):
+
+    * ``n_lines``               — newline-delimited line count;
+    * ``dup_line_frac``         — repeated line occurrences / lines
+                                  (occurrences beyond each line's first);
+    * ``dup_line_char_frac``    — characters in those repeated occurrences
+                                  / length(text);
+    * ``top_2gram_char_frac``   — characters covered by ALL occurrences of
+                                  the most frequent word 2-gram
+                                  / length(text) (ties: lexicographically
+                                  largest gram — deterministic);
+    * ``dup_5gram_char_frac``   — characters in repeated occurrences of
+                                  all duplicated word 5-grams
+                                  / length(text).
+
+    Both gram fractions clamp at 1.0: the count x gram-length numerator
+    over-counts overlapping repeats (degenerate 'w w w ...' text), and the
+    signal is interpreted as a character fraction.
+
+    Implemented RELATIONALLY (explode -> groupBy(id, gram) -> per-doc agg)
+    rather than with in-row O(len^2) higher-order functions: per-doc array
+    self-filters blow up on long documents, while the exchange here is on
+    (doc_id, gram) with map-side partial aggregation — the 100 TB shape.
+    Exact integer/char arithmetic; empty docs yield NULL fractions (nullif
+    guard, same contract as quality_score).
+    """
+    text = F.col(text_col)
+    n_chars = F.length(text)
+    base = df.select(
+        F.col(id_col), n_chars.alias("n_chars"),
+        F.split(text, "\n").alias("lines"),
+        _tokens(text_col).alias("w"))
+
+    def _per_group(rows, val_col, out_prefix):
+        """(id, group) counts -> per-doc totals + duplicate-occurrence
+        sums (count-1 per distinct value beyond its first occurrence)."""
+        g = rows.groupBy(id_col, val_col).agg(
+            F.count("*").alias("cnt"))
+        return g.groupBy(id_col).agg(
+            F.sum("cnt").alias(f"{out_prefix}_total"),
+            F.sum(F.when(F.col("cnt") > 1,
+                         (F.col("cnt") - 1)).otherwise(0))
+             .alias(f"{out_prefix}_dup"),
+            F.sum(F.when(F.col("cnt") > 1,
+                         (F.col("cnt") - 1) * F.length(val_col)).otherwise(0))
+             .alias(f"{out_prefix}_dup_chars"))
+
+    lines = base.select(id_col, F.explode("lines").alias("line"))
+    line_agg = _per_group(lines, "line", "line")
+
+    g2 = base.select(
+        id_col,
+        # sequence(1, 0) DESCENDS in Spark, so short docs need the CASE
+        # guard (slice with start 0 then errors)
+        F.explode(F.expr(
+            "CASE WHEN size(w) >= 2 THEN transform(sequence(1, size(w) - 1), "
+            "i -> concat_ws(' ', slice(w, i, 2))) "
+            "ELSE array() END")).alias("gram"))
+    # top 2-gram by (count, gram): max(struct) is deterministic under ties
+    top2 = (g2.groupBy(id_col, "gram").agg(F.count("*").alias("cnt"))
+              .groupBy(id_col)
+              .agg(F.max(F.struct(F.col("cnt"), F.col("gram"))).alias("top"))
+              .select(id_col,
+                      (F.col("top.cnt") * F.length("top.gram"))
+                      .alias("top2_chars")))
+
+    g5 = base.select(
+        id_col,
+        F.explode(F.expr(
+            "CASE WHEN size(w) >= 5 THEN transform(sequence(1, size(w) - 4), "
+            "i -> concat_ws(' ', slice(w, i, 5))) "
+            "ELSE array() END")).alias("gram"))
+    g5_agg = _per_group(g5, "gram", "g5")
+
+    nc = F.nullif(F.col("n_chars").cast("double"), F.lit(0.0))
+    return (base.select(id_col, "n_chars")
+            .join(line_agg, id_col, "left")
+            .join(top2, id_col, "left")
+            .join(g5_agg, id_col, "left")
+            .select(
+                F.col(id_col),
+                F.coalesce("line_total", F.lit(0)).cast("int")
+                 .alias("n_lines"),
+                (F.coalesce("line_dup", F.lit(0)).cast("double")
+                 / F.nullif(F.col("line_total").cast("double"), F.lit(0.0)))
+                .alias("dup_line_frac"),
+                (F.coalesce("line_dup_chars", F.lit(0)).cast("double") / nc)
+                .alias("dup_line_char_frac"),
+                # count x gram-length over-counts OVERLAPPING repeats
+                # (e.g. 'w w w ...'), so the raw estimate can exceed 1 —
+                # clamp: the signal reads as "fraction of characters"
+                F.least(
+                    F.coalesce("top2_chars", F.lit(0)).cast("double") / nc,
+                    F.lit(1.0)).alias("top_2gram_char_frac"),
+                F.least(
+                    F.coalesce("g5_dup_chars", F.lit(0)).cast("double") / nc,
+                    F.lit(1.0)).alias("dup_5gram_char_frac")))

@@ -245,6 +245,60 @@ def lang_id_oracle() -> str:
     return f"SELECT doc_id, {case} AS lang_pred FROM documents"
 
 
+# parity notes: DuckDB array slicing w[i:j] is 1-based inclusive (w[i:i+1]
+# = a 2-gram); line split is a literal newline on both engines; nullif +
+# least(1.0) clamps mirror the Spark side exactly
+REPETITION_ORACLE = r"""
+WITH base AS (
+  SELECT doc_id, length(text) AS n_chars,
+         string_split(text, chr(10)) AS ls,
+         regexp_split_to_array(trim(text), '[ \t\n\v\f\r]+') AS w
+  FROM documents),
+lns AS (SELECT doc_id, unnest(ls) AS line FROM base),
+line_cnt AS (SELECT doc_id, line, count(*) AS cnt FROM lns GROUP BY 1, 2),
+line_agg AS (
+  SELECT doc_id, sum(cnt) AS line_total,
+         sum(CASE WHEN cnt > 1 THEN cnt - 1 ELSE 0 END) AS line_dup,
+         sum(CASE WHEN cnt > 1 THEN (cnt - 1) * length(line) ELSE 0 END)
+           AS line_dup_chars
+  FROM line_cnt GROUP BY 1),
+g2 AS (SELECT doc_id, array_to_string(w[i:i+1], ' ') AS gram
+       FROM base,
+            LATERAL (SELECT unnest(generate_series(1, len(w) - 1)) AS i) t
+       WHERE len(w) >= 2),
+top2 AS (SELECT doc_id, cnt * length(gram) AS top2_chars
+         FROM (SELECT doc_id, gram, count(*) AS cnt,
+                      row_number() OVER (PARTITION BY doc_id
+                                         ORDER BY count(*) DESC, gram DESC)
+                        AS rn
+               FROM g2 GROUP BY doc_id, gram)
+         WHERE rn = 1),
+g5 AS (SELECT doc_id, array_to_string(w[i:i+4], ' ') AS gram
+       FROM base,
+            LATERAL (SELECT unnest(generate_series(1, len(w) - 4)) AS i) t
+       WHERE len(w) >= 5),
+g5_agg AS (
+  SELECT doc_id,
+         sum(CASE WHEN cnt > 1 THEN (cnt - 1) * length(gram) ELSE 0 END)
+           AS g5_dup_chars
+  FROM (SELECT doc_id, gram, count(*) AS cnt FROM g5 GROUP BY 1, 2)
+  GROUP BY 1)
+SELECT b.doc_id,
+       CAST(coalesce(la.line_total, 0) AS INTEGER) AS n_lines,
+       CAST(coalesce(la.line_dup, 0) AS DOUBLE)
+         / nullif(CAST(la.line_total AS DOUBLE), 0) AS dup_line_frac,
+       CAST(coalesce(la.line_dup_chars, 0) AS DOUBLE)
+         / nullif(CAST(b.n_chars AS DOUBLE), 0) AS dup_line_char_frac,
+       least(CAST(coalesce(t2.top2_chars, 0) AS DOUBLE)
+         / nullif(CAST(b.n_chars AS DOUBLE), 0), 1.0) AS top_2gram_char_frac,
+       least(CAST(coalesce(g5a.g5_dup_chars, 0) AS DOUBLE)
+         / nullif(CAST(b.n_chars AS DOUBLE), 0), 1.0) AS dup_5gram_char_frac
+FROM base b
+LEFT JOIN line_agg la USING (doc_id)
+LEFT JOIN top2 t2 USING (doc_id)
+LEFT JOIN g5_agg g5a USING (doc_id)
+"""
+
 FINGERPRINT_ORACLE = r"""
 SELECT doc_id, md5(text) AS text_md5,
        md5(array_to_string(list_slice(regexp_split_to_array(trim(text), '[ \t\n\v\f\r]+'), 1, 8), ' ')) AS prefix_md5
