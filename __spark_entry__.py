@@ -261,6 +261,14 @@ def q_fingerprint(spark, sf_dir):
     return fingerprint(_docs(spark, sf_dir))
 
 
+def q_duplicated_spans(spark, sf_dir):
+    """ExactSubstr-style duplicated-substring spans (Lee et al. 2022):
+    maximal per-doc token spans covered by any 8-token substring occurring
+    >= 2 times in the corpus."""
+    from xponents_spark.operators.dedup import duplicated_spans
+    return duplicated_spans(_docs(spark, sf_dir), k=8)
+
+
 def q_repetition(spark, sf_dir):
     """Gopher-family within-document repetition signals (Rae et al. 2021
     repetition filters): duplicate lines, top 2-gram coverage, duplicate
@@ -570,6 +578,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "lang_id": q_lang_id,
         "fingerprint": q_fingerprint,
         "repetition_stats": q_repetition,
+        "duplicated_spans": q_duplicated_spans,
         "event_hourly_windows": q_event_hourly,
         "characterize": q_characterize,
         "ngram_jaccard_pairs": q_ngram_jaccard,
@@ -655,6 +664,7 @@ def oracle_sql() -> dict[str, str]:
         "lang_id": O.lang_id_oracle(),
         "fingerprint": O.FINGERPRINT_ORACLE,
         "repetition_stats": O.REPETITION_ORACLE,
+        "duplicated_spans": O.duplicated_spans_oracle(8),
         "ngram_jaccard_pairs": O.NGRAM_JACCARD_ORACLE,
         "ann_cosine_topk": O.ANN_TOPK_ORACLE,
         "cosine_pairs": O.COSINE_PAIRS_ORACLE,

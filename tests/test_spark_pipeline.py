@@ -456,6 +456,32 @@ def test_rtf_surrogate_pairs_roundtrip():
     got.encode("utf-8")   # no lone surrogates
 
 
+def test_duplicated_spans_planted(spark):
+    """ExactSubstr spans: a shared 10-token passage across two docs is
+    found in BOTH with exact token offsets; overlapping duplicated
+    shingles merge to one maximal span; clean docs yield nothing."""
+    from xponents_spark.operators.dedup import duplicated_spans
+
+    shared = "the quick brown fox jumps over the lazy sleeping dog"  # 10 toks
+    docs = spark.createDataFrame([
+        (1, "intro words here " + shared + " trailing unique alpha"),
+        (2, shared + " totally different ending text follows now"),
+        (3, "completely unrelated document with no repeats at all"),
+        (4, "self repeat " + shared + " middle bit " + shared),
+    ], "doc_id long, text string")
+    got = {(r["doc_id"], r["span_start"], r["span_end"])
+           for r in duplicated_spans(docs, k=8).collect()}
+    # doc 1: shared passage at tokens 3..13
+    assert (1, 3, 13) in got
+    # doc 2: at tokens 0..10
+    assert (2, 0, 10) in got
+    # doc 3: clean
+    assert not any(d == 3 for d, _s, _e in got)
+    # doc 4: two separate spans (2..12 and 14..24), not merged
+    assert (4, 2, 12) in got and (4, 14, 24) in got
+    assert len(got) == 4
+
+
 def test_repetition_stats_planted(spark):
     """Gopher-family repetition signals on planted structure: exact line
     duplication, dominant 2-gram, duplicated 5-gram, plus the degenerate

@@ -406,3 +406,67 @@ def near_dup_components(pairs: DataFrame, docs: DataFrame,
         F.col("src").alias(id_col),
         F.col("label").alias("group_id"),
         (F.col("src") == F.col("label")).alias("keep"))
+
+
+def duplicated_spans(df: DataFrame, k: int = 8,
+                     text_col: str = "text",
+                     id_col: str = "doc_id") -> DataFrame:
+    """Exact duplicated-substring detection (the Lee et al. 2022
+    "Deduplicating Training Data" ExactSubstr operator): find, per
+    document, the maximal token spans covered by any ``k``-token substring
+    that occurs at least twice in the CORPUS (other documents or repeats
+    within the same one).  Downstream curation drops or trims these spans.
+
+    Returns ``(doc_id, span_start, span_end, span_tokens)`` with 0-based
+    token offsets, ``span_end`` exclusive.
+
+    Shape (the 100 TB design):
+      1. explode k-token shingles with positions — rows = tokens per doc;
+      2. groupBy(shingle) count, keep count >= 2 (map-side partial
+         aggregation; the exchange carries one row per DISTINCT shingle);
+      3. join duplicated shingles back to positions (shuffle on the
+         shingle key; AQE handles hot-shingle skew);
+      4. per-doc gaps-and-islands interval merge: running max of covered
+         end over a (doc, start)-ordered window -> island ids -> min/max
+         per island.  One window + one aggregate, both partitioned by doc.
+
+    Exact by construction: the group key is the shingle STRING (no hash
+    collisions); at extreme scale swap in a 128-bit hash key to slim the
+    exchange (collision probability negligible) — the plan is unchanged.
+    """
+    from pyspark.sql import Window
+
+    toks = F.split(F.trim(F.col(text_col)), r"\s+")
+    sh = (df.select(F.col(id_col), toks.alias("w"))
+            .filter(F.size("w") >= k)
+            .select(
+                id_col,
+                F.posexplode(F.expr(
+                    f"transform(sequence(1, size(w) - {k - 1}), "
+                    f"i -> concat_ws(' ', slice(w, i, {k})))"))
+                 .alias("pos", "gram")))
+    dup = (sh.groupBy("gram").agg(F.count("*").alias("cnt"))
+             .filter(F.col("cnt") >= 2)
+             .select("gram"))
+    cov = (sh.join(dup, "gram")
+             .select(id_col, F.col("pos").alias("s"),
+                     (F.col("pos") + k).alias("e")))
+
+    w_ord = Window.partitionBy(id_col).orderBy("s")
+    prev_max_e = F.max("e").over(
+        w_ord.rowsBetween(Window.unboundedPreceding, -1))
+    islands = cov.withColumn(
+        "new_island",
+        F.when(F.col("s") > F.coalesce(prev_max_e, F.lit(-1)), 1)
+         .otherwise(0))
+    islands = islands.withColumn(
+        "island", F.sum("new_island").over(
+            w_ord.rowsBetween(Window.unboundedPreceding, 0)))
+    return (islands.groupBy(id_col, "island")
+            .agg(F.min("s").alias("span_start"),
+                 F.max("e").alias("span_end"))
+            .select(id_col,
+                    F.col("span_start").cast("int"),
+                    F.col("span_end").cast("int"),
+                    (F.col("span_end") - F.col("span_start")).cast("int")
+                    .alias("span_tokens")))

@@ -328,6 +328,38 @@ JOIN sizes sb ON sb.doc_id = doc_b
 WHERE CAST(n_inter AS DOUBLE) / (sa.n_sh + sb.n_sh - n_inter) >= 0.5
 """
 
+def duplicated_spans_oracle(k: int = 8) -> str:
+    """Mirror of operators.dedup.duplicated_spans: duplicated k-gram
+    coverage merged into maximal per-doc spans (gaps-and-islands)."""
+    return f"""
+WITH base AS (
+  SELECT doc_id, regexp_split_to_array(trim(text), '[ \\t\\n\\v\\f\\r]+') AS w
+  FROM documents),
+sh AS (
+  SELECT doc_id, i - 1 AS pos, array_to_string(w[i:i+{k - 1}], ' ') AS gram
+  FROM base,
+       LATERAL (SELECT unnest(generate_series(1, len(w) - {k - 1})) AS i) t
+  WHERE len(w) >= {k}),
+dup AS (SELECT gram FROM sh GROUP BY gram HAVING count(*) >= 2),
+cov AS (SELECT doc_id, pos AS s, pos + {k} AS e FROM sh JOIN dup USING (gram)),
+isl AS (
+  SELECT doc_id, s, e,
+         CASE WHEN s > coalesce(max(e) OVER (PARTITION BY doc_id ORDER BY s
+              ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), -1)
+              THEN 1 ELSE 0 END AS new_island
+  FROM cov),
+isl2 AS (
+  SELECT doc_id, s, e,
+         sum(new_island) OVER (PARTITION BY doc_id ORDER BY s
+           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS island
+  FROM isl)
+SELECT doc_id, CAST(min(s) AS INTEGER) AS span_start,
+       CAST(max(e) AS INTEGER) AS span_end,
+       CAST(max(e) - min(s) AS INTEGER) AS span_tokens
+FROM isl2 GROUP BY doc_id, island
+"""
+
+
 EVENT_HOURLY_ORACLE = """
 SELECT date_trunc('hour', ts) AS win_start,
        event_type,
