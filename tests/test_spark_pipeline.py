@@ -181,20 +181,61 @@ def test_multimodal_plumbing(spark):
     from xponents_spark.operators.multimodal import (
         extract_media_features, make_fake_media, sample_frames)
     media = make_fake_media(spark, 16)
-    feats = extract_media_features(media).collect()
+    feats = extract_media_features(media, decoder="fake").collect()
     assert len(feats) == 16
     assert all(len(r["features"]) == 16 for r in feats)
     # deterministic across runs
-    again = extract_media_features(media).collect()
-    assert sorted(r["media_id"] for r in feats) == sorted(r["media_id"] for r in again)
+    again = extract_media_features(media, decoder="fake").collect()
     f1 = {r["media_id"]: r["features"] for r in feats}
     f2 = {r["media_id"]: r["features"] for r in again}
     assert f1 == f2
     frames = sample_frames(media.filter("meta.duration_ms IS NOT NULL")).collect()
-    assert len(frames) == 8 * 3   # 8 videos x 3 sampled frames
+    assert len(frames) == 4 * 1 + 4 * 3   # 4 wavs x 1 + 4 videos x 3
+    # real decode works on codec-free mimes, raises on compressed ones
+    real = extract_media_features(
+        media.filter("meta.mime IN ('image/x-portable-pixmap', 'audio/wav')"),
+        decoder="real").collect()
+    assert len(real) == 8 and all(len(r["features"]) == 16 for r in real)
     import pytest as _pytest
     with _pytest.raises(Exception):
-        extract_media_features(media, decoder="real").collect()
+        extract_media_features(media.filter("meta.mime = 'image/png'"),
+                               decoder="real").collect()
+
+
+def test_multimodal_real_kernels(spark):
+    """The codec-free decode/resize/feature kernels operate on REAL pixels
+    and samples: PPM roundtrip is exact, block resize of a constant image
+    preserves color, a sine WAV's RMS matches amplitude/sqrt(2)."""
+    import numpy as np
+
+    from xponents_spark.operators.multimodal import (audio_features,
+                                                     decode_ppm, decode_wav,
+                                                     make_ppm, make_wav,
+                                                     resize_block,
+                                                     resize_images,
+                                                     make_fake_media)
+
+    img = decode_ppm(make_ppm(16, 8, seed=3))
+    assert img.shape == (8, 16, 3)
+    # constant-color image: any block resize keeps the color
+    const = np.full((8, 8, 3), 200, dtype=np.uint8)
+    assert (resize_block(const, 4, 4) == 200).all()
+    # PPM comment handling
+    assert decode_ppm(b"P6\n# a comment\n2 1\n255\n" + bytes(6)).shape == (1, 2, 3)
+
+    samples, rate = decode_wav(make_wav(500, freq_hz=440, amplitude=0.5))
+    assert rate == 8000 and len(samples) == 4000
+    rms = float(np.sqrt(np.mean(samples ** 2)))
+    assert abs(rms - 0.5 / np.sqrt(2)) < 0.01
+    f = audio_features(samples, rate)
+    assert len(f) == 16 and abs(f[0] - rms) < 1e-9
+
+    # Spark resize stage: PPM in -> smaller PPM out, decodable again
+    media = make_fake_media(spark, 8)
+    out = resize_images(media, 4, 4).collect()
+    ppm_rows = [r for r in out if r["payload"] is not None]
+    assert ppm_rows and all(
+        decode_ppm(bytes(r["payload"])).shape == (4, 4, 3) for r in ppm_rows)
 
 
 def test_minhash_finds_near_duplicates(spark):

@@ -1,17 +1,25 @@
-"""Multimodal column plumbing: opaque binary payloads + typed metadata.
+"""Multimodal columns: opaque binary payloads + typed metadata.
 
 Image/audio/video cells are ``binary`` columns with a metadata struct; the
 decode/resize/frame-sample kernels run as Arrow-batched ``mapInPandas``
-stages.  The actual codecs are NOT in this container, so the decode step is
-STUBBED: ``decoder='real'`` raises NotImplementedError at the call site
-(clearly marked), while ``decoder='fake'`` produces a deterministic
-byte-hash-seeded feature vector so the Spark-side plumbing — schema,
-partitioning, UDF signature, Arrow batch shape — is real and tested.
+stages.
+
+Round-3 upgrade: decode is REAL for the codec-free formats this container
+can handle — binary PPM (P6) images parse with numpy alone and PCM WAV
+audio parses with the stdlib ``wave`` module — so ``decoder='real'``
+genuinely decodes pixels/samples, block-average resizes images, and
+computes DSP features (RMS, zero-crossing rate, FFT band energies) for
+audio.  Compressed formats (PNG/JPEG/MP4/H.264) still raise
+NotImplementedError by design: their codecs are not in this container, and
+that slot is where PIL/ffmpeg plug in.  ``decoder='fake'`` remains the
+deterministic byte-hash stand-in for plumbing tests over arbitrary mimes.
 """
 
 from __future__ import annotations
 
 import hashlib
+import io
+import math
 
 import numpy as np
 import pandas as pd
@@ -33,10 +41,135 @@ MEDIA_SCHEMA = T.StructType([
 
 _FEATURE_DIM = 16
 
+_REAL_MIMES = ("image/x-portable-pixmap", "audio/wav", "audio/x-wav")
+
+
+# --- real codec-free decoders -----------------------------------------------
+
+def make_ppm(width: int, height: int, seed: int = 0) -> bytes:
+    """Deterministic binary PPM (P6) test image: a seeded RGB gradient."""
+    y, x = np.mgrid[0:height, 0:width]
+    r = ((x * 7 + seed) % 256).astype(np.uint8)
+    g = ((y * 11 + seed * 3) % 256).astype(np.uint8)
+    b = (((x + y) * 5 + seed * 7) % 256).astype(np.uint8)
+    img = np.dstack([r, g, b])
+    return b"P6\n%d %d\n255\n" % (width, height) + img.tobytes()
+
+
+def decode_ppm(payload: bytes) -> np.ndarray:
+    """Binary PPM (P6) -> uint8 array (h, w, 3).  Pure numpy; handles
+    comments and arbitrary whitespace per the netpbm spec."""
+    if not payload or not payload.startswith(b"P6"):
+        raise ValueError("not a binary PPM (P6) payload")
+    # header = magic, width, height, maxval — tokens separated by
+    # whitespace, '#' comments run to end of line
+    tokens: list[bytes] = []
+    i = 2
+    while len(tokens) < 3 and i < len(payload):
+        c = payload[i:i + 1]
+        if c == b"#":
+            i = payload.index(b"\n", i) + 1
+        elif c.isspace():
+            i += 1
+        else:
+            j = i
+            while j < len(payload) and not payload[j:j + 1].isspace():
+                j += 1
+            tokens.append(payload[i:j])
+            i = j
+    w, h, maxval = (int(t) for t in tokens)
+    if maxval > 255:
+        raise ValueError("16-bit PPM not supported")
+    i += 1   # single whitespace after maxval
+    img = np.frombuffer(payload, dtype=np.uint8, count=w * h * 3, offset=i)
+    return img.reshape(h, w, 3)
+
+
+def resize_block(img: np.ndarray, out_w: int, out_h: int) -> np.ndarray:
+    """Block-average resize (area interpolation) — the standard pyramid
+    step; pure numpy, exact for integer shrink factors, index-sampled
+    otherwise."""
+    h, w, c = img.shape
+    if h % out_h == 0 and w % out_w == 0:
+        return (img.reshape(out_h, h // out_h, out_w, w // out_w, c)
+                .mean(axis=(1, 3)).astype(np.uint8))
+    ys = (np.arange(out_h) * h // out_h).clip(0, h - 1)
+    xs = (np.arange(out_w) * w // out_w).clip(0, w - 1)
+    return img[ys][:, xs]
+
+
+def make_wav(duration_ms: int, freq_hz: float = 440.0,
+             rate: int = 8000, amplitude: float = 0.5) -> bytes:
+    """Deterministic PCM16 mono WAV: a sine tone."""
+    import wave
+    n = int(rate * duration_ms / 1000)
+    t = np.arange(n) / rate
+    samples = (np.sin(2 * math.pi * freq_hz * t)
+               * amplitude * 32767).astype(np.int16)
+    buf = io.BytesIO()
+    with wave.open(buf, "wb") as wf:
+        wf.setnchannels(1)
+        wf.setsampwidth(2)
+        wf.setframerate(rate)
+        wf.writeframes(samples.tobytes())
+    return buf.getvalue()
+
+
+def decode_wav(payload: bytes) -> tuple[np.ndarray, int]:
+    """PCM WAV -> (float64 samples in [-1, 1] mono-mixed, sample rate).
+    Stdlib ``wave`` — no external codecs."""
+    import wave
+    with wave.open(io.BytesIO(payload), "rb") as wf:
+        rate = wf.getframerate()
+        nch = wf.getnchannels()
+        width = wf.getsampwidth()
+        raw = wf.readframes(wf.getnframes())
+    if width == 2:
+        arr = np.frombuffer(raw, dtype=np.int16).astype(np.float64) / 32768.0
+    elif width == 1:
+        arr = (np.frombuffer(raw, dtype=np.uint8).astype(np.float64) - 128) / 128.0
+    else:
+        raise ValueError(f"unsupported WAV sample width {width}")
+    if nch > 1:
+        arr = arr.reshape(-1, nch).mean(axis=1)
+    return arr, rate
+
+
+def image_features(img: np.ndarray, dim: int = _FEATURE_DIM) -> list[float]:
+    """Real image features: mean RGB (3) + grayscale intensity over a
+    block-averaged grid, padded/truncated to ``dim``.  Deterministic."""
+    mean_rgb = img.reshape(-1, 3).mean(axis=0) / 255.0
+    side = max(1, int(math.isqrt(max(dim - 3, 1))))
+    small = resize_block(img, side, side).mean(axis=2).ravel() / 255.0
+    feats = np.concatenate([mean_rgb, small])
+    if len(feats) < dim:
+        feats = np.pad(feats, (0, dim - len(feats)))
+    return feats[:dim].astype(np.float64).tolist()
+
+
+def audio_features(samples: np.ndarray, rate: int,
+                   dim: int = _FEATURE_DIM) -> list[float]:
+    """Real audio features: RMS, zero-crossing rate, then FFT band
+    energies (log-spaced power bands), padded/truncated to ``dim``."""
+    if not len(samples):
+        return [0.0] * dim
+    rms = float(np.sqrt(np.mean(samples ** 2)))
+    zcr = float(np.mean(np.abs(np.diff(np.signbit(samples).astype(np.int8)))))
+    spec = np.abs(np.fft.rfft(samples)) ** 2
+    n_bands = max(dim - 2, 1)
+    edges = np.unique(np.geomspace(1, len(spec), n_bands + 1).astype(int))
+    total = spec.sum() or 1.0
+    bands = [float(spec[a:b].sum() / total)
+             for a, b in zip(edges[:-1], edges[1:])]
+    feats = np.asarray([rms, zcr] + bands)
+    if len(feats) < dim:
+        feats = np.pad(feats, (0, dim - len(feats)))
+    return feats[:dim].astype(np.float64).tolist()
+
 
 def _fake_decode(payload: bytes, dim: int = _FEATURE_DIM) -> list[float]:
-    """Deterministic stand-in for a real decoder: features derive from a
-    sha256 of the payload (stable across executors/runs)."""
+    """Deterministic stand-in for compressed-format decoders: features
+    derive from a sha256 of the payload (stable across executors/runs)."""
     if payload is None:
         return [0.0] * dim
     h = hashlib.sha256(payload).digest()
@@ -44,13 +177,25 @@ def _fake_decode(payload: bytes, dim: int = _FEATURE_DIM) -> list[float]:
     return (arr.astype(np.float64) / np.iinfo(np.uint32).max).tolist()
 
 
-def extract_media_features(df: DataFrame, decoder: str = "fake",
+def _real_decode(payload: bytes, mime: str, dim: int) -> list[float]:
+    if mime == "image/x-portable-pixmap":
+        return image_features(decode_ppm(payload), dim)
+    if mime in ("audio/wav", "audio/x-wav"):
+        return audio_features(*decode_wav(payload), dim=dim)
+    raise NotImplementedError(
+        f"decode for {mime!r} requires PIL/ffmpeg — not in this container; "
+        f"codec-free formats ({', '.join(_REAL_MIMES)}) decode for real, "
+        f"or use decoder='fake' for plumbing tests")
+
+
+def extract_media_features(df: DataFrame, decoder: str = "real",
                            dim: int = _FEATURE_DIM) -> DataFrame:
     """binary payload -> feature vector (array<double>), one Arrow stage.
 
-    ``decoder='real'`` is the production slot for PIL/ffmpeg-backed decode —
-    not available in this environment (NotImplementedError by design).
-    """
+    ``decoder='real'``: PPM images and PCM WAV audio decode for real
+    (numpy/stdlib); compressed mimes raise NotImplementedError — that slot
+    is where PIL/ffmpeg plug in on a real cluster.  ``decoder='fake'``:
+    deterministic hash features for any mime (plumbing tests)."""
     out_schema = T.StructType([
         T.StructField("media_id", T.LongType(), False),
         T.StructField("mime", T.StringType(), True),
@@ -59,16 +204,47 @@ def extract_media_features(df: DataFrame, decoder: str = "fake",
 
     def run(batches):
         for pdf in batches:
-            if decoder == "real":
-                raise NotImplementedError(
-                    "real image/audio decode requires PIL/ffmpeg — not in "
-                    "this container; use decoder='fake' for plumbing tests")
-            feats = [_fake_decode(p, dim) for p in pdf["payload"]]
+            mimes = [m["mime"] if m is not None else None for m in pdf["meta"]]
+            if decoder == "fake":
+                feats = [_fake_decode(p, dim) for p in pdf["payload"]]
+            else:
+                feats = [_real_decode(p, m, dim)
+                         for p, m in zip(pdf["payload"], mimes)]
             yield pd.DataFrame({
                 "media_id": pdf["media_id"],
-                "mime": [m["mime"] if m is not None else None for m in pdf["meta"]],
+                "mime": mimes,
                 "features": feats,
             })
+
+    return df.mapInPandas(run, schema=out_schema)
+
+
+def resize_images(df: DataFrame, out_w: int, out_h: int) -> DataFrame:
+    """PPM payloads -> block-average-resized PPM payloads (real pixels in,
+    real pixels out), one Arrow stage.  Non-PPM mimes pass through NULL."""
+    out_schema = T.StructType([
+        T.StructField("media_id", T.LongType(), False),
+        T.StructField("payload", T.BinaryType(), True),
+        T.StructField("width", T.IntegerType(), False),
+        T.StructField("height", T.IntegerType(), False),
+    ])
+
+    def run(batches):
+        for pdf in batches:
+            outs = []
+            for p, m in zip(pdf["payload"],
+                            [m["mime"] if m is not None else None
+                             for m in pdf["meta"]]):
+                if m == "image/x-portable-pixmap" and p is not None:
+                    img = resize_block(decode_ppm(p), out_w, out_h)
+                    outs.append(b"P6\n%d %d\n255\n" % (out_w, out_h)
+                                + img.tobytes())
+                else:
+                    outs.append(None)
+            yield pd.DataFrame({"media_id": pdf["media_id"],
+                                "payload": outs,
+                                "width": [out_w] * len(outs),
+                                "height": [out_h] * len(outs)})
 
     return df.mapInPandas(run, schema=out_schema)
 
@@ -76,8 +252,10 @@ def extract_media_features(df: DataFrame, decoder: str = "fake",
 def sample_frames(df: DataFrame, every_ms: int = 1000,
                   decoder: str = "fake") -> DataFrame:
     """Video payload -> one row per sampled frame timestamp.  Frame count
-    derives from meta.duration_ms; frame features from the fake decoder
-    (seeded by payload + frame index)."""
+    derives from meta.duration_ms.  Real video decode needs ffmpeg (not in
+    this container), so frame features come from the fake decoder (seeded
+    by payload + frame index); the sampling schedule, schema, and batch
+    shape are the real contract."""
     out_schema = T.StructType([
         T.StructField("media_id", T.LongType(), False),
         T.StructField("frame_ms", T.IntegerType(), False),
@@ -87,26 +265,45 @@ def sample_frames(df: DataFrame, every_ms: int = 1000,
     def run(batches):
         for pdf in batches:
             if decoder == "real":
-                raise NotImplementedError("real frame decode not available here")
+                raise NotImplementedError(
+                    "real frame decode requires ffmpeg — not in this "
+                    "container")
             ids, ts, feats = [], [], []
-            for mid, payload, meta in zip(pdf["media_id"], pdf["payload"], pdf["meta"]):
+            for mid, payload, meta in zip(pdf["media_id"], pdf["payload"],
+                                          pdf["meta"]):
                 dur = (meta or {}).get("duration_ms") or 0
                 for t in range(0, max(dur, 1), every_ms):
                     ids.append(mid)
                     ts.append(t)
-                    feats.append(_fake_decode((payload or b"") + str(t).encode()))
-            yield pd.DataFrame({"media_id": ids, "frame_ms": ts, "features": feats})
+                    feats.append(_fake_decode((payload or b"")
+                                              + str(t).encode()))
+            yield pd.DataFrame({"media_id": ids, "frame_ms": ts,
+                                "features": feats})
 
     return df.mapInPandas(run, schema=out_schema)
 
 
 def make_fake_media(spark, n: int = 32) -> DataFrame:
-    """Deterministic fake media table for plumbing tests."""
+    """Deterministic media table: half REAL decodable payloads (PPM
+    images, WAV tones), half opaque compressed-format stand-ins."""
     rows = []
     for i in range(n):
-        payload = bytes([(i * 37 + j) % 251 for j in range(64)])
-        rows.append((i, payload,
-                     {"mime": "image/png" if i % 2 == 0 else "video/mp4",
-                      "width": 64, "height": 64,
-                      "duration_ms": 3000 if i % 2 else None}))
+        kind = i % 4
+        if kind == 0:
+            payload = make_ppm(16, 16, seed=i)
+            meta = {"mime": "image/x-portable-pixmap", "width": 16,
+                    "height": 16, "duration_ms": None}
+        elif kind == 1:
+            payload = make_wav(250, freq_hz=220.0 + 55 * i)
+            meta = {"mime": "audio/wav", "width": None, "height": None,
+                    "duration_ms": 250}
+        elif kind == 2:
+            payload = bytes([(i * 37 + j) % 251 for j in range(64)])
+            meta = {"mime": "image/png", "width": 64, "height": 64,
+                    "duration_ms": None}
+        else:
+            payload = bytes([(i * 41 + j) % 249 for j in range(64)])
+            meta = {"mime": "video/mp4", "width": 64, "height": 64,
+                    "duration_ms": 3000}
+        rows.append((i, payload, meta))
     return spark.createDataFrame(rows, MEDIA_SCHEMA)
