@@ -153,6 +153,7 @@ def bench_queries(spark) -> dict[str, float]:
              "main_content", "match_label_histogram", "exact_dedup",
              "minhash_near_dups", "simhash_near_dups", "ann_cosine_topk",
              "token_stats", "lang_id", "quality_score", "fingerprint",
+             "repetition_stats", "duplicated_spans",
              "event_hourly_windows", "characterize"]
     qs = entry.queries()
     out = {}
