@@ -261,6 +261,13 @@ def q_fingerprint(spark, sf_dir):
     return fingerprint(_docs(spark, sf_dir))
 
 
+def q_gopher_filter(spark, sf_dir):
+    """Composed Gopher-family curation gate: keep/drop + '|'-joined
+    reasons from token/quality/repetition signals."""
+    from xponents_spark.operators.textstats import gopher_quality_filter
+    return gopher_quality_filter(_docs(spark, sf_dir))
+
+
 def q_duplicated_spans(spark, sf_dir):
     """ExactSubstr-style duplicated-substring spans (Lee et al. 2022):
     maximal per-doc token spans covered by any 8-token substring occurring
@@ -579,6 +586,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "fingerprint": q_fingerprint,
         "repetition_stats": q_repetition,
         "duplicated_spans": q_duplicated_spans,
+        "gopher_quality_filter": q_gopher_filter,
         "event_hourly_windows": q_event_hourly,
         "characterize": q_characterize,
         "ngram_jaccard_pairs": q_ngram_jaccard,
@@ -665,6 +673,7 @@ def oracle_sql() -> dict[str, str]:
         "fingerprint": O.FINGERPRINT_ORACLE,
         "repetition_stats": O.REPETITION_ORACLE,
         "duplicated_spans": O.duplicated_spans_oracle(8),
+        "gopher_quality_filter": O.gopher_filter_oracle(),
         "ngram_jaccard_pairs": O.NGRAM_JACCARD_ORACLE,
         "ann_cosine_topk": O.ANN_TOPK_ORACLE,
         "cosine_pairs": O.COSINE_PAIRS_ORACLE,

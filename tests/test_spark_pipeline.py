@@ -497,6 +497,32 @@ def test_rtf_surrogate_pairs_roundtrip():
     got.encode("utf-8")   # no lone surrogates
 
 
+def test_gopher_quality_filter(spark):
+    """Composed curation gate: a clean long doc keeps; planted failure
+    modes each produce their reason string."""
+    from xponents_spark.operators.textstats import gopher_quality_filter
+
+    clean = ("the quick brown fox jumps over the lazy dog and then walks "
+             "into town to buy some fresh bread for the whole family "
+             "while a gentle morning rain falls over the quiet streets "
+             "and people open their shops for another ordinary day of "
+             "honest trade and conversation among friendly neighbours")
+    docs = spark.createDataFrame([
+        (1, clean),
+        (2, "too short"),
+        (3, " ".join(["spam spam spam ham"] * 30)),     # repetition-heavy
+        (4, " ".join(["!!!", "###", "$$$"] * 40)),      # punct, no stopwords
+    ], "doc_id long, text string")
+    got = {r["doc_id"]: r.asDict()
+           for r in gopher_quality_filter(docs).collect()}
+    assert got[1]["keep"] and got[1]["reasons"] == ""
+    assert not got[2]["keep"] and "too-few-words" in got[2]["reasons"]
+    assert not got[3]["keep"] and ("top-2gram" in got[3]["reasons"]
+                                   or "dup-5grams" in got[3]["reasons"])
+    assert not got[4]["keep"] and "punct-heavy" in got[4]["reasons"]
+    assert "no-stopwords" in got[4]["reasons"]
+
+
 def test_duplicated_spans_planted(spark):
     """ExactSubstr spans: a shared 10-token passage across two docs is
     found in BOTH with exact token offsets; overlapping duplicated

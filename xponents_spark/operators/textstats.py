@@ -230,3 +230,63 @@ def repetition_stats(df: DataFrame, text_col: str = "text",
                 F.least(
                     F.coalesce("g5_dup_chars", F.lit(0)).cast("double") / nc,
                     F.lit(1.0)).alias("dup_5gram_char_frac")))
+
+
+# Gopher-family gate thresholds (Rae et al. 2021 §A1.1 quality heuristics;
+# constants documented here, tunable per corpus)
+GOPHER_THRESHOLDS = {
+    "min_words": 50,
+    "max_words": 100_000,
+    "min_mean_word_len": 3.0,
+    "max_mean_word_len": 10.0,
+    "max_punct_ratio": 0.25,
+    "min_stopword_ratio": 0.01,
+    "max_dup_line_frac": 0.30,
+    "max_top2gram_char_frac": 0.20,
+    "max_dup5gram_char_frac": 0.15,
+}
+
+
+def gopher_quality_filter(df: DataFrame, text_col: str = "text",
+                          id_col: str = "doc_id",
+                          thresholds: dict | None = None) -> DataFrame:
+    """The curation gate a training-data pipeline actually runs: compose
+    token/quality/repetition signals into a keep/drop decision with
+    '|'-joined reasons (scalar — canonicalization-safe).
+
+    Joins the three signal operators on ``doc_id`` (each a narrow
+    aggregation; the joins co-partition on the id) — at 100 TB this is
+    three map-side-combined aggregations plus id-partitioned joins, no
+    additional wide operation over the text itself.
+    """
+    t = thresholds or GOPHER_THRESHOLDS
+    ts = token_stats(df, text_col, id_col).select(
+        id_col, "n_tokens", "token_chars")
+    qs = quality_score(df, text_col, id_col).select(
+        id_col, "punct_ratio", "stopword_ratio")
+    rs = repetition_stats(df, text_col, id_col).select(
+        id_col, "dup_line_frac", "top_2gram_char_frac",
+        "dup_5gram_char_frac")
+    j = ts.join(qs, id_col).join(rs, id_col)
+
+    mean_wl = (F.col("token_chars").cast("double")
+               / F.nullif(F.col("n_tokens").cast("double"), F.lit(0.0)))
+    checks = [
+        (F.col("n_tokens") < t["min_words"], "too-few-words"),
+        (F.col("n_tokens") > t["max_words"], "too-many-words"),
+        (mean_wl < t["min_mean_word_len"], "short-words"),
+        (mean_wl > t["max_mean_word_len"], "long-words"),
+        (F.col("punct_ratio") > t["max_punct_ratio"], "punct-heavy"),
+        (F.col("stopword_ratio") < t["min_stopword_ratio"], "no-stopwords"),
+        (F.col("dup_line_frac") > t["max_dup_line_frac"], "dup-lines"),
+        (F.col("top_2gram_char_frac") > t["max_top2gram_char_frac"],
+         "top-2gram"),
+        (F.col("dup_5gram_char_frac") > t["max_dup5gram_char_frac"],
+         "dup-5grams"),
+    ]
+    reasons = F.concat_ws("|", *[
+        F.when(cond, F.lit(name)) for cond, name in checks])
+    return j.select(
+        F.col(id_col),
+        (reasons == "").alias("keep"),
+        reasons.alias("reasons"))

@@ -360,6 +360,44 @@ FROM isl2 GROUP BY doc_id, island
 """
 
 
+def gopher_filter_oracle() -> str:
+    """Composition of the token/quality/repetition oracles with the same
+    thresholds and reason strings as operators.textstats
+    .gopher_quality_filter (concat_ws skips NULL CASE arms identically in
+    both engines)."""
+    from .operators.textstats import GOPHER_THRESHOLDS as T
+    return f"""
+WITH ts AS ({TOKEN_STATS_ORACLE}),
+qs AS ({QUALITY_ORACLE}),
+rs AS ({REPETITION_ORACLE})
+SELECT ts.doc_id,
+       reasons = '' AS keep, reasons
+FROM (
+  SELECT ts.doc_id,
+         concat_ws('|',
+           CASE WHEN ts.n_tokens < {T["min_words"]} THEN 'too-few-words' END,
+           CASE WHEN ts.n_tokens > {T["max_words"]} THEN 'too-many-words' END,
+           CASE WHEN CAST(ts.token_chars AS DOUBLE)
+                     / nullif(CAST(ts.n_tokens AS DOUBLE), 0)
+                     < {T["min_mean_word_len"]} THEN 'short-words' END,
+           CASE WHEN CAST(ts.token_chars AS DOUBLE)
+                     / nullif(CAST(ts.n_tokens AS DOUBLE), 0)
+                     > {T["max_mean_word_len"]} THEN 'long-words' END,
+           CASE WHEN qs.punct_ratio > {T["max_punct_ratio"]}
+                THEN 'punct-heavy' END,
+           CASE WHEN qs.stopword_ratio < {T["min_stopword_ratio"]}
+                THEN 'no-stopwords' END,
+           CASE WHEN rs.dup_line_frac > {T["max_dup_line_frac"]}
+                THEN 'dup-lines' END,
+           CASE WHEN rs.top_2gram_char_frac > {T["max_top2gram_char_frac"]}
+                THEN 'top-2gram' END,
+           CASE WHEN rs.dup_5gram_char_frac > {T["max_dup5gram_char_frac"]}
+                THEN 'dup-5grams' END) AS reasons
+  FROM ts JOIN qs ON ts.doc_id = qs.doc_id
+          JOIN rs ON ts.doc_id = rs.doc_id) ts
+"""
+
+
 EVENT_HOURLY_ORACLE = """
 SELECT date_trunc('hour', ts) AS win_start,
        event_type,
