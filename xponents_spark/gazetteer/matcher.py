@@ -262,6 +262,26 @@ class PhraseIndex:
         return _longest_dominant_right(raw)
 
 
+# Candidate cap per phrase (the hard analog of the reference's O6
+# pare-down: >100 geos -> A/P only, GeocodeRule.java:249-270 /
+# GazetteerMatcher.java:578-605).  Real gazetteers top out ~3k places per
+# name ("San Antonio"); a pathological synthetic (or adversarial) name
+# shared by 10^5 places would otherwise make SCORING iterate the whole
+# list per match occurrence.  Kept candidates are the top by id_bias —
+# the most plausible geographies, which is what the chooser would rank
+# first anyway.
+CANDIDATE_CAP = 500
+
+
+def _cap_places(places: list) -> list:
+    if len(places) <= CANDIDATE_CAP:
+        return places
+    # stable sort on bias only: ties keep source order, which is the SAME
+    # underlying artifact order in the parquet and mmap paths — the three
+    # index kinds cap to the same candidate set
+    return sorted(places, key=lambda p: -p.id_bias)[:CANDIDATE_CAP]
+
+
 def _longest_dominant_right(matches):
     """Solr tagger overlap policy: longer span dominates; equal length
     prefers the rightmost (GazetteerMatcher.java:156-161 semantics).
@@ -326,6 +346,10 @@ def gaz_index():
         else:
             rows = _GAZ_ROWS if _GAZ_ROWS is not None else data.GAZETTEER_ROWS
             _GAZ_INDEX = PhraseIndex([(r[1], Place(*r)) for r in rows])
+            # O6 candidate cap on the in-memory path (see CANDIDATE_CAP)
+            for key, places in _GAZ_INDEX.index.items():
+                if len(places) > CANDIDATE_CAP:
+                    _GAZ_INDEX.index[key] = _cap_places(places)
     return _GAZ_INDEX
 
 

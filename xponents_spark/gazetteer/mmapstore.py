@@ -293,8 +293,21 @@ class MmapGazetteerIndex:
     def _places(self, k: int) -> list[Place]:
         hit = self._memo.get(k)
         if hit is None:
+            from .matcher import CANDIDATE_CAP
             b0, b1 = int(self.f.row_bounds[k]), int(self.f.row_bounds[k + 1])
-            hit = [self.f.place(r) for r in range(b0, b1)]
+            if b1 - b0 > CANDIDATE_CAP:
+                # O6 candidate cap — selected from the mmap'd id_bias
+                # array alone, so a pathological 10^5-row phrase never
+                # hydrates beyond the cap (stable argsort: bias ties keep
+                # artifact order, matching _cap_places on the other paths)
+                bias = np.asarray(self.f.id_bias[b0:b1])
+                keep = np.sort(np.argsort(-bias, kind="stable")
+                               [:CANDIDATE_CAP])
+                rows = [b0 + int(i) for i in keep]
+                hit = sorted((self.f.place(r) for r in rows),
+                             key=lambda p: -p.id_bias)
+            else:
+                hit = [self.f.place(r) for r in range(b0, b1)]
             if len(self._memo) > 200_000:    # bound worker memory growth
                 self._memo.clear()
             self._memo[k] = hit

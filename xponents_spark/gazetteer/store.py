@@ -90,9 +90,24 @@ class ParquetGazetteerIndex:
     def _places(self, phrase: str) -> list[Place]:
         hit = self._memo.get(phrase)
         if hit is None:
+            from .matcher import CANDIDATE_CAP
             start, cnt = self.loc[phrase]
-            rows = self._tbl.slice(start, cnt).to_pylist()
-            hit = [Place(*[r[c] for c in _COLS]) for r in rows]
+            sl = self._tbl.slice(start, cnt)
+            if cnt > CANDIDATE_CAP:
+                # O6 candidate cap (matcher.CANDIDATE_CAP): select top-bias
+                # rows from the Arrow column BEFORE hydration, so a
+                # pathological 10^5-row phrase never materializes in full;
+                # stable argsort keeps artifact order on bias ties (same
+                # capped set as the mmap/in-memory paths)
+                bias = sl.column("id_bias").to_numpy(zero_copy_only=False)
+                keep = np.sort(np.argsort(-bias, kind="stable")
+                               [:CANDIDATE_CAP])
+                rows = sl.take(keep).to_pylist()
+                hit = sorted((Place(*[r[c] for c in _COLS]) for r in rows),
+                             key=lambda p: -p.id_bias)
+            else:
+                hit = [Place(*[r[c] for c in _COLS])
+                       for r in sl.to_pylist()]
             if len(self._memo) > 200_000:   # bound worker memory growth
                 self._memo.clear()
             self._memo[phrase] = hit
