@@ -234,6 +234,43 @@ def q_docx_roundtrip(spark, sf_dir):
                                "payload", "text").select("doc_id", "text")
 
 
+def _binary_roundtrip(spark, sf_dir, make_fn):
+    """Shared S1 roundtrip harness: render each document to a binary
+    payload, recover the text layer, compare to the source (identity
+    oracle)."""
+    import pandas as pd
+    from pyspark.sql import types as T
+
+    from xponents_spark.textract import convert_binary_docs
+
+    docs = _docs(spark, sf_dir).select("doc_id", "text")
+    schema = T.StructType([T.StructField("doc_id", T.LongType()),
+                           T.StructField("payload", T.BinaryType())])
+
+    def mk(batches):
+        for pdf in batches:
+            yield pd.DataFrame({
+                "doc_id": pdf["doc_id"],
+                "payload": [make_fn(t) for t in pdf["text"].tolist()]})
+
+    return convert_binary_docs(docs.mapInPandas(mk, schema=schema),
+                               "payload", "text").select("doc_id", "text")
+
+
+def q_doc_roundtrip(spark, sf_dir):
+    """S1 legacy .doc path (round 3: no Tika — CFB container + [MS-DOC]
+    FIB/CLX/piece-table readers in pure stdlib): text -> Word97 binary ->
+    recovered text must equal the source."""
+    from xponents_spark.textract.office import make_simple_doc
+    return _binary_roundtrip(spark, sf_dir, make_simple_doc)
+
+
+def q_xls_roundtrip(spark, sf_dir):
+    """S1 legacy .xls path (BIFF8 record walk, SST shared strings)."""
+    from xponents_spark.textract.office import make_simple_xls
+    return _binary_roundtrip(spark, sf_dir, make_simple_xls)
+
+
 def q_exact_dedup(spark, sf_dir):
     return exact_dedup(_docs(spark, sf_dir))
 
@@ -578,6 +615,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "gazetteer_etl": q_gazetteer_etl,
         "pdf_text_recovery": q_pdf_roundtrip,
         "docx_text_recovery": q_docx_roundtrip,
+        "doc_text_recovery": q_doc_roundtrip,
+        "xls_text_recovery": q_xls_roundtrip,
         "exact_dedup": q_exact_dedup,
         "prefix_dedup": q_prefix_dedup,
         "token_stats": q_token_stats,
@@ -665,6 +704,8 @@ def oracle_sql() -> dict[str, str]:
         "gazetteer_etl": O.gazetteer_etl_oracle(),
         "pdf_text_recovery": "SELECT doc_id, text FROM documents",
         "docx_text_recovery": "SELECT doc_id, text FROM documents",
+        "doc_text_recovery": "SELECT doc_id, text FROM documents",
+        "xls_text_recovery": "SELECT doc_id, text FROM documents",
         "exact_dedup": O.EXACT_DEDUP_ORACLE,
         "prefix_dedup": O.PREFIX_DEDUP_ORACLE,
         "token_stats": O.TOKEN_STATS_ORACLE,

@@ -79,6 +79,71 @@ def test_pdf_hex_and_utf16_strings():
     assert extract_pdf_text(doc) == "Berlin\ncafé"
 
 
+def test_doc_binary_roundtrip():
+    """Legacy Word .doc (round 3: CFB + FIB/CLX piece table, no Tika):
+    writer/reader identity incl. unicode, newlines, tabs."""
+    from xponents_spark.textract import convert_document, doc_kind
+    from xponents_spark.textract.office import (extract_doc_text,
+                                                make_simple_doc)
+    t = "grid 38SMB4611036560 on 2024-03-15\nsecond café 東京\tcol"
+    doc = make_simple_doc(t)
+    assert doc_kind(doc) == "doc"
+    assert extract_doc_text(doc) == t
+    assert convert_document(doc) == t.replace("\n", " ").replace("\t", " ")
+
+
+def test_doc_compressed_piece():
+    """The cp1252 (fCompressed) piece branch, hand-built: a PCD with bit
+    30 set stores single-byte text at fc/2."""
+    import struct
+
+    from xponents_spark.textract.cfb import write_cfb
+    from xponents_spark.textract.office import extract_doc_text
+
+    body = b"compressed caf\xe9 text\r"
+    fib = bytearray(1536)
+    struct.pack_into("<H", fib, 0, 0xA5EC)
+    struct.pack_into("<H", fib, 2, 0x00C1)
+    struct.pack_into("<H", fib, 0x000A, 0x0200)
+    fc_text = 2048
+    n_cp = len(body)
+    plc = struct.pack("<2I", 0, n_cp) + struct.pack(
+        "<HIH", 0, (fc_text * 2) | 0x40000000, 0)
+    clx = b"\x02" + struct.pack("<I", len(plc)) + plc
+    struct.pack_into("<I", fib, 0x01A2, 0)
+    struct.pack_into("<I", fib, 0x01A6, len(clx))
+    wd = bytes(fib) + b"\x00" * (fc_text - len(fib)) + body
+    payload = write_cfb({"WordDocument": wd, "1Table": clx})
+    assert extract_doc_text(payload) == "compressed café text"
+
+
+def test_xls_binary_roundtrip_and_variants():
+    """BIFF8 recovery: SST roundtrip, compressed (latin-1) strings, rich
+    formatting runs skipped, inline LABEL records collected."""
+    import struct
+
+    from xponents_spark.textract.cfb import write_cfb
+    from xponents_spark.textract.office import (extract_xls_text,
+                                                make_simple_xls)
+    t = "alpha line\nbeta café\nthird 東京"
+    assert extract_xls_text(make_simple_xls(t)) == t
+
+    def rec(op, body):
+        return struct.pack("<HH", op, len(body)) + body
+
+    # compressed string + rich-run string + inline LABEL
+    s1 = struct.pack("<HB", 5, 0x00) + b"plain"
+    s2 = (struct.pack("<HB", 4, 0x09) + struct.pack("<H", 2)
+          + "rich".encode("utf-16-le") + b"\x00" * 8)   # 2 runs skipped
+    sst = rec(0x00FC, struct.pack("<2i", 2, 2) + s1 + s2)
+    label = rec(0x0204, struct.pack("<HHH", 0, 0, 0)
+                + struct.pack("<HB", 6, 0x00) + b"inline")
+    book = rec(0x0809, struct.pack("<HHHHII", 0x0600, 5, 0, 0, 0, 0)) \
+        + sst + label + rec(0x000A, b"")
+    payload = write_cfb({"Workbook": book})
+    assert extract_xls_text(payload) == "plain\nrich\ninline"
+
+
 def test_pdf_uncompressed_stream_and_non_pdf():
     from xponents_spark.textract import convert_document
     from xponents_spark.textract.pdf import extract_pdf_text

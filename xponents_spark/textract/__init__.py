@@ -116,8 +116,9 @@ def convert_document(payload: bytes) -> str:
     recovery (:mod:`.pdf`); DOCX/ODT/RTF through the office text recovery
     (:mod:`.office` — the Tika-class formats, pure stdlib); anything else
     charset-decodes and, when HTML-ish, scrubs boilerplate."""
-    from .office import (extract_docx_text, extract_odt_text,
-                         extract_rtf_text, is_rtf, zip_kind)
+    from .office import (extract_doc_text, extract_docx_text,
+                         extract_odt_text, extract_rtf_text, extract_xls_text,
+                         is_doc, is_rtf, is_xls, zip_kind)
     from .pdf import extract_pdf_text, is_pdf
     if payload is None:
         return ""
@@ -130,13 +131,19 @@ def convert_document(payload: bytes) -> str:
         return squeeze_whitespace(extract_odt_text(payload))
     if is_rtf(payload):
         return squeeze_whitespace(extract_rtf_text(payload))
+    # legacy binary Office (CFB containers) — round-3: parsed directly,
+    # no Tika (textract/cfb.py + the [MS-DOC]/BIFF8 readers)
+    if is_doc(payload):
+        return squeeze_whitespace(extract_doc_text(payload))
+    if is_xls(payload):
+        return squeeze_whitespace(extract_xls_text(payload))
     return extract_main_content(decode_bytes(payload))
 
 
 def doc_kind(payload: bytes) -> str:
-    """Payload sniffing: pdf / docx / odt / rtf / html / text (the
-    ConvertedDocument mime analog)."""
-    from .office import is_rtf, zip_kind
+    """Payload sniffing: pdf / docx / odt / rtf / doc / xls / html / text
+    (the ConvertedDocument mime analog)."""
+    from .office import is_doc, is_rtf, is_xls, zip_kind
     from .pdf import is_pdf
     if payload is None:
         return "empty"
@@ -147,6 +154,10 @@ def doc_kind(payload: bytes) -> str:
         return zk
     if is_rtf(payload):
         return "rtf"
+    if is_doc(payload):
+        return "doc"
+    if is_xls(payload):
+        return "xls"
     if is_htmlish(decode_bytes(payload[:4096])):
         return "html"
     return "text"

@@ -228,3 +228,200 @@ def make_simple_rtf(text: str) -> bytes:
         body.pop()      # no trailing paragraph break
     return ("{\\rtf1\\ansi{\\fonttbl{\\f0 Helvetica;}}"
             + "".join(body) + "}").encode("windows-1252", errors="replace")
+
+
+# --- legacy binary Office: Word .doc ([MS-DOC]) ------------------------------
+#
+# The reference covers .doc/.xls via Tika (BasicGeoTemporalProcessing.java:
+# 135-157).  Here the published binary formats parse directly: the CFB
+# container (textract/cfb.py) plus the Word FIB -> CLX -> piece-table text
+# reconstruction and the BIFF8 record walk below.  Scope: the standard
+# Word97+ piece-table path (compressed cp1252 and UTF-16 pieces, field
+# marks stripped); not covered: encrypted documents, fast-saved revision
+# chains beyond what the piece table expresses.
+
+_DOC_TRANSLATE = {0x0D: "\n", 0x0B: "\n", 0x07: "\t",
+                  0x13: None, 0x14: None, 0x15: None, 0x01: None,
+                  0x0C: "\n"}
+
+
+def is_doc(payload: bytes) -> bool:
+    from .cfb import is_cfb
+    if not is_cfb(payload):
+        return False
+    try:
+        from .cfb import CfbReader
+        return "WordDocument" in CfbReader(payload).stream_names()
+    except Exception:
+        return False
+
+
+def extract_doc_text(payload: bytes) -> str:
+    """Word .doc text: FIB (fcClx/lcbClx at 0x01A2/0x01A6 for nFib 0x00C1)
+    -> CLX in the 0Table/1Table stream -> PlcPcd pieces -> decode each
+    piece (FcCompressed bit 30: set = cp1252 at fc/2, clear = UTF-16LE at
+    fc)."""
+    import struct
+
+    from .cfb import CfbReader
+    r = CfbReader(payload)
+    wd = r.read_stream("WordDocument")
+    (ident,) = struct.unpack_from("<H", wd, 0)
+    if ident != 0xA5EC:
+        raise ValueError("not a Word binary document (bad FIB ident)")
+    (flags,) = struct.unpack_from("<H", wd, 0x000A)
+    tbl_name = "1Table" if flags & 0x0200 else "0Table"
+    (fc_clx,) = struct.unpack_from("<I", wd, 0x01A2)
+    (lcb_clx,) = struct.unpack_from("<I", wd, 0x01A6)
+    tbl = r.read_stream(tbl_name)
+    clx = tbl[fc_clx:fc_clx + lcb_clx]
+
+    # skip Prc blocks (0x01 + cbGrpprl(2) + data) to the Pcdt (0x02)
+    i = 0
+    while i < len(clx) and clx[i] == 0x01:
+        (cb,) = struct.unpack_from("<h", clx, i + 1)
+        i += 3 + cb
+    if i >= len(clx) or clx[i] != 0x02:
+        raise ValueError("CLX has no piece table")
+    (lcb,) = struct.unpack_from("<I", clx, i + 1)
+    plc = clx[i + 5:i + 5 + lcb]
+    n = (lcb - 4) // 12
+    cps = struct.unpack_from(f"<{n + 1}I", plc, 0)
+    out: list[str] = []
+    for k in range(n):
+        pcd_off = 4 * (n + 1) + 8 * k
+        (fc_raw,) = struct.unpack_from("<I", plc, pcd_off + 2)
+        count = cps[k + 1] - cps[k]
+        if fc_raw & 0x40000000:          # fCompressed -> cp1252
+            off = (fc_raw & 0x3FFFFFFF) // 2
+            out.append(wd[off:off + count].decode("cp1252",
+                                                  errors="replace"))
+        else:
+            off = fc_raw & 0x3FFFFFFF
+            out.append(wd[off:off + 2 * count].decode("utf-16-le",
+                                                      errors="replace"))
+    text = "".join(out)
+    text = "".join(_DOC_TRANSLATE.get(ord(c), c) for c in text
+                   if _DOC_TRANSLATE.get(ord(c), c) is not None)
+    return text.rstrip("\n")    # final paragraph mark
+
+
+def make_simple_doc(text: str) -> bytes:
+    """Minimal conformant Word97 .doc: FIB + one UTF-16 piece, CLX in
+    1Table.  Deterministic bytes; parses with extract_doc_text AND follows
+    the real layout (piece table, FcCompressed encoding)."""
+    import struct
+
+    from .cfb import write_cfb
+    body = text.replace("\n", "\r") + "\r"
+    raw = body.encode("utf-16-le")
+    fib = bytearray(1536)
+    struct.pack_into("<H", fib, 0, 0xA5EC)
+    struct.pack_into("<H", fib, 2, 0x00C1)          # nFib Word97
+    struct.pack_into("<H", fib, 0x000A, 0x0200)     # fWhichTblStm -> 1Table
+    struct.pack_into("<I", fib, 0x004C, len(body))  # ccpText
+    fc_text = 2048
+    wd = bytes(fib) + b"\x00" * (fc_text - len(fib)) + raw
+
+    n_cp = len(body)
+    plc = struct.pack("<2I", 0, n_cp) + struct.pack(
+        "<HIH", 0, fc_text, 0)                      # PCD: uncompressed
+    clx = b"\x02" + struct.pack("<I", len(plc)) + plc
+    struct.pack_into("<I", fib, 0x01A2, 0)          # fcClx
+    struct.pack_into("<I", fib, 0x01A6, len(clx))   # lcbClx
+    wd = bytes(fib) + b"\x00" * (fc_text - len(fib)) + raw
+    return write_cfb({"WordDocument": wd, "1Table": clx})
+
+
+# --- legacy binary Office: Excel .xls (BIFF8) --------------------------------
+
+def is_xls(payload: bytes) -> bool:
+    from .cfb import CfbReader, is_cfb
+    if not is_cfb(payload):
+        return False
+    try:
+        names = CfbReader(payload).stream_names()
+        return "Workbook" in names or "Book" in names
+    except Exception:
+        return False
+
+
+def _biff_string(buf: bytes, off: int) -> tuple[str, int]:
+    """XLUnicodeRichExtendedString at ``off`` -> (text, bytes consumed)."""
+    import struct
+    (cch,) = struct.unpack_from("<H", buf, off)
+    flags = buf[off + 2]
+    p = off + 3
+    c_run = 0
+    cb_ext = 0
+    if flags & 0x08:                  # fRichSt
+        (c_run,) = struct.unpack_from("<H", buf, p)
+        p += 2
+    if flags & 0x04:                  # fExtSt
+        (cb_ext,) = struct.unpack_from("<i", buf, p)
+        p += 4
+    if flags & 0x01:                  # fHighByte -> UTF-16LE
+        s = buf[p:p + 2 * cch].decode("utf-16-le", errors="replace")
+        p += 2 * cch
+    else:                             # compressed: latin-1 low bytes
+        s = buf[p:p + cch].decode("latin-1")
+        p += cch
+    p += 4 * c_run + cb_ext
+    return s, p - off
+
+
+def extract_xls_text(payload: bytes) -> str:
+    """BIFF8 text recovery: walk the Workbook stream's (opcode, length)
+    records, collect SST shared strings and inline LABEL strings, one
+    line per string (text content in SST order — the text-recovery
+    contract, not a cell-grid reconstruction).  Continue-record splits of
+    giant SSTs are out of scope (documented)."""
+    import struct
+
+    from .cfb import CfbReader
+    r = CfbReader(payload)
+    name = "Workbook" if "Workbook" in r.stream_names() else "Book"
+    buf = r.read_stream(name)
+    out: list[str] = []
+    i = 0
+    while i + 4 <= len(buf):
+        opcode, ln = struct.unpack_from("<HH", buf, i)
+        i += 4
+        rec = buf[i:i + ln]
+        i += ln
+        if opcode == 0x00FC and ln >= 8:          # SST
+            (_total, unique) = struct.unpack_from("<2i", rec, 0)
+            p = 8
+            for _ in range(unique):
+                if p + 3 > len(rec):
+                    break             # Continue-split SST: stop honestly
+                s, used = _biff_string(rec, p)
+                out.append(s)
+                p += used
+        elif opcode == 0x0204 and ln >= 9:        # LABEL (inline string)
+            s, _used = _biff_string(rec, 6)
+            out.append(s)
+        elif opcode == 0x000A and not ln:          # EOF record
+            continue                               # (globals then sheets)
+    return "\n".join(out)
+
+
+def make_simple_xls(text: str) -> bytes:
+    """Minimal BIFF8 workbook: BOF + SST (one shared string per input
+    line, UTF-16) + EOF in a CFB 'Workbook' stream."""
+    import struct
+
+    from .cfb import write_cfb
+    lines = text.split("\n")
+
+    def rec(opcode: int, body: bytes) -> bytes:
+        return struct.pack("<HH", opcode, len(body)) + body
+
+    bof = rec(0x0809, struct.pack("<HHHHII", 0x0600, 0x0005, 0, 0, 0, 0))
+    sst_body = struct.pack("<2i", len(lines), len(lines))
+    for ln in lines:
+        raw = ln.encode("utf-16-le")
+        sst_body += struct.pack("<HB", len(ln), 0x01) + raw
+    sst = rec(0x00FC, sst_body)
+    eof = rec(0x000A, b"")
+    return write_cfb({"Workbook": bof + sst + eof})
