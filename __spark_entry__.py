@@ -298,6 +298,12 @@ def q_fingerprint(spark, sf_dir):
     return fingerprint(_docs(spark, sf_dir))
 
 
+def q_remove_spans(spark, sf_dir):
+    """ExactSubstr removal half: duplicated spans cut from each doc."""
+    from xponents_spark.operators.dedup import remove_duplicated_spans
+    return remove_duplicated_spans(_docs(spark, sf_dir), k=8)
+
+
 def q_gopher_filter(spark, sf_dir):
     """Composed Gopher-family curation gate: keep/drop + '|'-joined
     reasons from token/quality/repetition signals."""
@@ -625,6 +631,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "fingerprint": q_fingerprint,
         "repetition_stats": q_repetition,
         "duplicated_spans": q_duplicated_spans,
+        "remove_duplicated_spans": q_remove_spans,
         "gopher_quality_filter": q_gopher_filter,
         "event_hourly_windows": q_event_hourly,
         "characterize": q_characterize,
@@ -714,6 +721,7 @@ def oracle_sql() -> dict[str, str]:
         "fingerprint": O.FINGERPRINT_ORACLE,
         "repetition_stats": O.REPETITION_ORACLE,
         "duplicated_spans": O.duplicated_spans_oracle(8),
+        "remove_duplicated_spans": O.remove_spans_oracle(8),
         "gopher_quality_filter": O.gopher_filter_oracle(),
         "ngram_jaccard_pairs": O.NGRAM_JACCARD_ORACLE,
         "ann_cosine_topk": O.ANN_TOPK_ORACLE,

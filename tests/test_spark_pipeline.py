@@ -497,6 +497,27 @@ def test_rtf_surrogate_pairs_roundtrip():
     got.encode("utf-8")   # no lone surrogates
 
 
+def test_remove_duplicated_spans(spark):
+    """Removal half of ExactSubstr: covered tokens drop, the rest re-join;
+    clean docs pass through unchanged."""
+    from xponents_spark.operators.dedup import remove_duplicated_spans
+
+    shared = "the quick brown fox jumps over the lazy sleeping dog"
+    docs = spark.createDataFrame([
+        (1, "intro words here " + shared + " trailing unique alpha"),
+        (2, shared + " totally different ending text follows now"),
+        (3, "completely unrelated document with no repeats at all"),
+    ], "doc_id long, text string")
+    got = {r["doc_id"]: r.asDict()
+           for r in remove_duplicated_spans(docs, k=8).collect()}
+    assert got[1]["clean_text"] == "intro words here trailing unique alpha"
+    assert got[1]["n_tokens_removed"] == 10
+    assert got[2]["clean_text"] == ("totally different ending text "
+                                    "follows now")
+    assert got[3]["clean_text"] == docs.collect()[2]["text"]
+    assert got[3]["n_tokens_removed"] == 0
+
+
 def test_gopher_quality_filter(spark):
     """Composed curation gate: a clean long doc keeps; planted failure
     modes each produce their reason string."""

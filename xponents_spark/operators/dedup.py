@@ -470,3 +470,39 @@ def duplicated_spans(df: DataFrame, k: int = 8,
                     F.col("span_end").cast("int"),
                     (F.col("span_end") - F.col("span_start")).cast("int")
                     .alias("span_tokens")))
+
+
+def remove_duplicated_spans(df: DataFrame, k: int = 8,
+                            text_col: str = "text",
+                            id_col: str = "doc_id") -> DataFrame:
+    """The removal half of the ExactSubstr pass: cut every duplicated span
+    found by :func:`duplicated_spans` out of each document, returning
+    ``(doc_id, clean_text, n_tokens, n_tokens_removed)``.
+
+    The rewrite is pure JVM: spans collect to one small array per affected
+    doc (broadcast-size per row), and a higher-order ``transform(..,
+    (x, i) -> ..)`` + ``exists`` filter drops covered token positions —
+    no Python in the path, no extra shuffle beyond duplicated_spans' own.
+    """
+    spans = (duplicated_spans(df, k, text_col, id_col)
+             .groupBy(id_col)
+             .agg(F.collect_list(F.struct("span_start", "span_end"))
+                  .alias("_spans")))
+    j = df.select(id_col, text_col).join(spans, id_col, "left")
+    w = F.split(F.trim(F.col(text_col)), r"\s+")
+    kept = F.expr(
+        "filter(transform(_w, (x, i) -> struct(x AS t, i AS i)), "
+        "p -> _spans IS NULL OR NOT exists(_spans, "
+        "s -> p.i >= s.span_start AND p.i < s.span_end))")
+    return (j.withColumn("_w", w)
+             .select(
+                 F.col(id_col),
+                 F.concat_ws(" ", F.expr(
+                     "transform(filter(transform(_w, (x, i) -> "
+                     "struct(x AS t, i AS i)), "
+                     "p -> _spans IS NULL OR NOT exists(_spans, "
+                     "s -> p.i >= s.span_start AND p.i < s.span_end)), "
+                     "p -> p.t)")).alias("clean_text"),
+                 F.size("_w").cast("int").alias("n_tokens"),
+                 (F.size("_w") - F.size(kept)).cast("int")
+                 .alias("n_tokens_removed")))

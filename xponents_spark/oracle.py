@@ -360,6 +360,34 @@ FROM isl2 GROUP BY doc_id, island
 """
 
 
+def remove_spans_oracle(k: int = 8) -> str:
+    """Mirror of dedup.remove_duplicated_spans: tokens at positions covered
+    by any duplicated span drop; the remainder re-joins with single
+    spaces."""
+    return f"""
+WITH sp AS ({duplicated_spans_oracle(k)}),
+docs_w AS (
+  SELECT doc_id,
+         regexp_split_to_array(trim(text), '[ \\t\\n\\v\\f\\r]+') AS w
+  FROM documents),
+toks AS (
+  SELECT doc_id, i, w[i] AS t
+  FROM docs_w, LATERAL (SELECT unnest(generate_series(1, len(w))) AS i) u),
+keep AS (
+  SELECT tk.doc_id, tk.i, tk.t FROM toks tk
+  WHERE NOT EXISTS (SELECT 1 FROM sp
+                    WHERE sp.doc_id = tk.doc_id
+                      AND tk.i - 1 >= sp.span_start
+                      AND tk.i - 1 < sp.span_end))
+SELECT d.doc_id,
+       coalesce(string_agg(kp.t, ' ' ORDER BY kp.i), '') AS clean_text,
+       CAST(len(d.w) AS INTEGER) AS n_tokens,
+       CAST(len(d.w) - count(kp.i) AS INTEGER) AS n_tokens_removed
+FROM docs_w d LEFT JOIN keep kp USING (doc_id)
+GROUP BY d.doc_id, len(d.w)
+"""
+
+
 def gopher_filter_oracle() -> str:
     """Composition of the token/quality/repetition oracles with the same
     thresholds and reason strings as operators.textstats
