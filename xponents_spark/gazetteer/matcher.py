@@ -483,7 +483,7 @@ def _tax_index_from_parquet(path: str) -> PhraseIndex:
     if ver != NORMALIZATION_VERSION:
         raise ValueError(f"taxcat parquet {path} normalized with version "
                          f"{ver}, engine expects {NORMALIZATION_VERSION}")
-    tbl = pq.read_table(path, columns=["phrase", "name", "kind",
+    tbl = pq.read_table(path, columns=["phrase", "kind",
                                        "canonical", "cc", "valid"])
     idx = PhraseIndex([])
     index, first_max = idx.index, idx.first_max

@@ -70,6 +70,7 @@ from .matcher import (Place, TagLimitExceeded, _longest_dominant_right,
 _STR_COLS = ["place_id", "name", "name_type", "feat_class", "feat_code",
              "cc", "adm1"]
 _SEP = "\x1f"
+_NULL = "\x00"     # NULL sentinel in rows.bin (distinct from '')
 _FORMAT = "xponents-mmap-1"
 _CELL_DEG = 0.5
 _CELL_MUL = 1_000_003
@@ -141,9 +142,12 @@ def build_mmap_artifact(tagger_parquet: str, out_dir: str) -> dict:
     roff = [0]
     with open(os.path.join(out_dir, "rows.bin"), "wb") as fh:
         for i in range(n_rows):
+            # NULL and '' must stay distinct (the parquet path preserves
+            # both — review finding): NULs encode SQL NULL, they cannot
+            # appear in real field text
             rec = _SEP.join(
-                (cols[c][i] or "").replace(_SEP, " ") for c in _STR_COLS
-            ).encode("utf-8")
+                _NULL if (v := cols[c][i]) is None else v.replace(_SEP, " ")
+                for c in _STR_COLS).encode("utf-8")
             fh.write(rec)
             roff.append(roff[-1] + len(rec))
     np.save(os.path.join(out_dir, "row_off.npy"),
@@ -235,8 +239,10 @@ class _MmapFiles:
         self.grid_rows = load("grid_rows.npy")
 
     def place(self, row: int) -> Place:
-        rec = self.rbuf[int(self.roff[row]):int(self.roff[row + 1])] \
-            .decode("utf-8").split(_SEP)
+        rec = [None if f == _NULL else f
+               for f in self.rbuf[int(self.roff[row]):
+                                  int(self.roff[row + 1])]
+               .decode("utf-8").split(_SEP)]
         lat = float(self.lat[row])
         lon = float(self.lon[row])
         return Place(*rec,

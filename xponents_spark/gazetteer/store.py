@@ -203,16 +203,24 @@ class CompactSpatialIndex:
         out = []
         seen: set[str] = set()
         # tagger parquet has one row PER NAME; dedup to one entry per
-        # place_id like spatial.SpatialIndex does at build time.  One
-        # batched take() materializes all in-radius candidates at once
-        # instead of a per-row slice().to_pylist() in the loop.
+        # place_id like spatial.SpatialIndex does at build time.  Batched
+        # take() over GROWING prefixes of the sorted order: dense metros
+        # can have thousands of in-radius name rows, but limit=5 unique
+        # places usually resolve within the first few dozen (review
+        # finding: a single full take() lost the early-exit bound).
         order = np.argsort(d, kind="stable")
-        rows = self._tbl.take(idx[order]).to_pylist()
-        for k, row in zip(order, rows):
-            if row["place_id"] in seen:
-                continue
-            seen.add(row["place_id"])
-            out.append((float(d[k]), Place(*[row[c] for c in _COLS])))
-            if len(out) >= limit:
-                break
+        pos = 0
+        chunk = max(limit * 4, 16)
+        while pos < len(order) and len(out) < limit:
+            sel = order[pos:pos + chunk]
+            rows = self._tbl.take(idx[sel]).to_pylist()
+            for k, row in zip(sel, rows):
+                if row["place_id"] in seen:
+                    continue
+                seen.add(row["place_id"])
+                out.append((float(d[k]), Place(*[row[c] for c in _COLS])))
+                if len(out) >= limit:
+                    break
+            pos += chunk
+            chunk *= 4
         return out

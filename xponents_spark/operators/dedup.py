@@ -490,19 +490,18 @@ def remove_duplicated_spans(df: DataFrame, k: int = 8,
                   .alias("_spans")))
     j = df.select(id_col, text_col).join(spans, id_col, "left")
     w = F.split(F.trim(F.col(text_col)), r"\s+")
+    # ONE keep-filter expression; clean_text and the removed count both
+    # derive from the same _kept column (no hand-synced duplicates)
     kept = F.expr(
         "filter(transform(_w, (x, i) -> struct(x AS t, i AS i)), "
         "p -> _spans IS NULL OR NOT exists(_spans, "
         "s -> p.i >= s.span_start AND p.i < s.span_end))")
     return (j.withColumn("_w", w)
+             .withColumn("_kept", kept)
              .select(
                  F.col(id_col),
-                 F.concat_ws(" ", F.expr(
-                     "transform(filter(transform(_w, (x, i) -> "
-                     "struct(x AS t, i AS i)), "
-                     "p -> _spans IS NULL OR NOT exists(_spans, "
-                     "s -> p.i >= s.span_start AND p.i < s.span_end)), "
-                     "p -> p.t)")).alias("clean_text"),
+                 F.concat_ws(" ", F.expr("transform(_kept, p -> p.t)"))
+                 .alias("clean_text"),
                  F.size("_w").cast("int").alias("n_tokens"),
-                 (F.size("_w") - F.size(kept)).cast("int")
+                 (F.size("_w") - F.size("_kept")).cast("int")
                  .alias("n_tokens_removed")))

@@ -82,7 +82,13 @@ def decode_ppm(payload: bytes) -> np.ndarray:
         raise ValueError("16-bit PPM not supported")
     i += 1   # single whitespace after maxval
     img = np.frombuffer(payload, dtype=np.uint8, count=w * h * 3, offset=i)
-    return img.reshape(h, w, 3)
+    img = img.reshape(h, w, 3)
+    if maxval != 255:
+        # netpbm allows any maxval <= 255: scale to full range (review
+        # finding: raw small-maxval samples read as wrongly-dark pixels)
+        img = (img.astype(np.float32) * (255.0 / maxval)) \
+            .round().clip(0, 255).astype(np.uint8)
+    return img
 
 
 def resize_block(img: np.ndarray, out_w: int, out_h: int) -> np.ndarray:

@@ -116,6 +116,14 @@ def conv_scoped_oracle() -> str:
     largest cc — mirrored by ORDER BY n DESC, cc DESC."""
     from .sources.payloads import EXPECTED_PASS2, redo_classes, vote_rows
 
+    if not vote_rows() or not redo_classes():
+        # no votes or nothing redo-eligible -> pass 2 is the identity;
+        # guard the VALUES/IN list construction from emitting invalid SQL
+        # on a future fixture regeneration (review finding)
+        return extraction_oracle(
+            ("place", "country"), ("cc", "confidence"),
+            ", exp.cc AS cc, CAST(exp.confidence AS INTEGER) AS confidence")
+
     votes_vals = ", ".join(f"({k}, {_sq(cc)})" for k, cc in vote_rows())
     redo_in = ", ".join(str(k) for k in redo_classes())
     p2 = []

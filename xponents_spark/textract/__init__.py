@@ -132,11 +132,20 @@ def convert_document(payload: bytes) -> str:
     if is_rtf(payload):
         return squeeze_whitespace(extract_rtf_text(payload))
     # legacy binary Office (CFB containers) — round-3: parsed directly,
-    # no Tika (textract/cfb.py + the [MS-DOC]/BIFF8 readers)
-    if is_doc(payload):
-        return squeeze_whitespace(extract_doc_text(payload))
-    if is_xls(payload):
-        return squeeze_whitespace(extract_xls_text(payload))
+    # no Tika (textract/cfb.py + the [MS-DOC]/BIFF8 readers).  ONE
+    # container parse serves detection and extraction (review finding:
+    # is_doc/is_xls each rebuilt the full reader)
+    from .cfb import CfbReader, is_cfb
+    if is_cfb(payload):
+        try:
+            r = CfbReader(payload)
+            names = set(r.stream_names())
+        except Exception:
+            names = set()
+        if "WordDocument" in names:
+            return squeeze_whitespace(extract_doc_text(payload, reader=r))
+        if "Workbook" in names or "Book" in names:
+            return squeeze_whitespace(extract_xls_text(payload, reader=r))
     return extract_main_content(decode_bytes(payload))
 
 

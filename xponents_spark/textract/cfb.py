@@ -164,6 +164,13 @@ def write_cfb(streams: dict[str, bytes]) -> bytes:
     n_fat = 1
     while (total_data + n_fat + 127) // 128 > n_fat:
         n_fat += 1
+    if n_fat > 109:
+        # the header DIFAT holds 109 FAT sector numbers; this writer does
+        # not emit DIFAT chain sectors — fail loudly instead of writing a
+        # silently-truncated container (review finding)
+        raise ValueError(
+            f"write_cfb supports up to ~7 MB of streams (109 FAT sectors); "
+            f"needed {n_fat}")
 
     fat: list[int] = []
     for i in range(n_fat):

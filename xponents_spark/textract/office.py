@@ -256,15 +256,16 @@ def is_doc(payload: bytes) -> bool:
         return False
 
 
-def extract_doc_text(payload: bytes) -> str:
+def extract_doc_text(payload: bytes, reader=None) -> str:
     """Word .doc text: FIB (fcClx/lcbClx at 0x01A2/0x01A6 for nFib 0x00C1)
     -> CLX in the 0Table/1Table stream -> PlcPcd pieces -> decode each
     piece (FcCompressed bit 30: set = cp1252 at fc/2, clear = UTF-16LE at
-    fc)."""
+    fc).  Pass an existing ``CfbReader`` to avoid re-parsing the
+    container."""
     import struct
 
     from .cfb import CfbReader
-    r = CfbReader(payload)
+    r = reader if reader is not None else CfbReader(payload)
     wd = r.read_stream("WordDocument")
     (ident,) = struct.unpack_from("<H", wd, 0)
     if ident != 0xA5EC:
@@ -315,15 +316,16 @@ def make_simple_doc(text: str) -> bytes:
     from .cfb import write_cfb
     body = text.replace("\n", "\r") + "\r"
     raw = body.encode("utf-16-le")
+    # CP counts are UTF-16 CODE UNITS, not Python code points — an astral
+    # char is two CPs (review finding; extract reads 2*count bytes)
+    n_cp = len(raw) // 2
     fib = bytearray(1536)
     struct.pack_into("<H", fib, 0, 0xA5EC)
     struct.pack_into("<H", fib, 2, 0x00C1)          # nFib Word97
     struct.pack_into("<H", fib, 0x000A, 0x0200)     # fWhichTblStm -> 1Table
-    struct.pack_into("<I", fib, 0x004C, len(body))  # ccpText
+    struct.pack_into("<I", fib, 0x004C, n_cp)       # ccpText
     fc_text = 2048
     wd = bytes(fib) + b"\x00" * (fc_text - len(fib)) + raw
-
-    n_cp = len(body)
     plc = struct.pack("<2I", 0, n_cp) + struct.pack(
         "<HIH", 0, fc_text, 0)                      # PCD: uncompressed
     clx = b"\x02" + struct.pack("<I", len(plc)) + plc
@@ -370,7 +372,7 @@ def _biff_string(buf: bytes, off: int) -> tuple[str, int]:
     return s, p - off
 
 
-def extract_xls_text(payload: bytes) -> str:
+def extract_xls_text(payload: bytes, reader=None) -> str:
     """BIFF8 text recovery: walk the Workbook stream's (opcode, length)
     records, collect SST shared strings and inline LABEL strings, one
     line per string (text content in SST order — the text-recovery
@@ -379,7 +381,7 @@ def extract_xls_text(payload: bytes) -> str:
     import struct
 
     from .cfb import CfbReader
-    r = CfbReader(payload)
+    r = reader if reader is not None else CfbReader(payload)
     name = "Workbook" if "Workbook" in r.stream_names() else "Book"
     buf = r.read_stream(name)
     out: list[str] = []
@@ -421,7 +423,8 @@ def make_simple_xls(text: str) -> bytes:
     sst_body = struct.pack("<2i", len(lines), len(lines))
     for ln in lines:
         raw = ln.encode("utf-16-le")
-        sst_body += struct.pack("<HB", len(ln), 0x01) + raw
+        # cch is UTF-16 code units (astral chars = 2), not code points
+        sst_body += struct.pack("<HB", len(raw) // 2, 0x01) + raw
     sst = rec(0x00FC, sst_body)
     eof = rec(0x000A, b"")
     return write_cfb({"Workbook": bof + sst + eof})
