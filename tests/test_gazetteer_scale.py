@@ -191,6 +191,33 @@ def test_taxcat_parquet_matches_embedded(spark, tmp_path_factory):
         matcher.set_taxcat_parquet(None)
 
 
+def test_postal_mmap_path(spark, tmp_path_factory):
+    """Keyed mmap postal table: same tags as the parquet-dict path for the
+    same rows, O(1) private heap (the 4M-tuple reference-scale answer)."""
+    from xponents_spark.gazetteer import postal
+    from xponents_spark.sources.gazetteer_synth import synthesize_postal_raw
+
+    base = tmp_path_factory.mktemp("postal_mm")
+    pq_path = str(base / "postal.parquet")
+    mm_path = str(base / "postal.kvmmap")
+    synthesize_postal_raw(spark, n_rows=5_000, partitions=4) \
+        .write.mode("overwrite").parquet(pq_path)
+    meta = postal.build_postal_mmap(pq_path, mm_path)
+    assert meta["n_rows"] == spark.read.parquet(pq_path).count()
+
+    row = spark.read.parquet(pq_path).first()
+    probe = f"parcel code {row['code']} sent"
+    try:
+        postal.set_postal_parquet(pq_path)
+        via_parquet = postal.tag_postals(probe, [], {row["cc"]})
+        postal.set_postal_parquet(mm_path)
+        assert postal._BY_CODE is None   # lazy
+        via_mmap = postal.tag_postals(probe, [], {row["cc"]})
+        assert via_mmap == via_parquet and via_mmap
+    finally:
+        postal.set_postal_parquet(None)
+
+
 def test_normalization_version_fingerprint(spark, tmp_path_factory):
     """A tagger parquet built under different normalization semantics is
     refused at load time instead of silently not matching."""

@@ -430,3 +430,109 @@ class MmapSpatialIndex:
             if len(out) >= limit:
                 break
         return out
+
+
+# --- generic keyed mmap table (postal-class side tables) ---------------------
+
+_KV_FORMAT = "xponents-kvmmap-1"
+
+
+def build_keyed_mmap(out_dir: str, keys: list[str],
+                     rows: list[tuple]) -> dict:
+    """Compile (key, value-row) pairs into a sorted mmap lookup table —
+    the shared-memory path for side tables like the reference's 4M
+    COUNTRY+CODE postal tuples (PostalGeocoder.java:25-33), which would
+    otherwise cost ~1 GB of dict heap PER WORKER.  Values are stringly
+    (None round-trips via the NUL sentinel); callers re-type on read."""
+    import builtins
+    order = sorted(range(len(keys)), key=lambda i: keys[i])
+    os.makedirs(out_dir, exist_ok=True)
+    kblob_parts: list[bytes] = []
+    koff = [0]
+    bounds = [0]
+    prev = None
+    n_keys = 0
+    roff = [0]
+    with open(os.path.join(out_dir, "rows.bin"), "wb") as fh:
+        for pos, i in enumerate(order):
+            k = keys[i]
+            if k != prev:
+                if prev is not None:
+                    bounds.append(pos)
+                b = k.encode("utf-8")
+                kblob_parts.append(b)
+                koff.append(koff[-1] + len(b))
+                prev = k
+                n_keys += 1
+            rec = _SEP.join(
+                _NULL if v is None else builtins.str(v).replace(_SEP, " ")
+                for v in rows[i]).encode("utf-8")
+            fh.write(rec)
+            roff.append(roff[-1] + len(rec))
+    bounds.append(len(order))
+    with open(os.path.join(out_dir, "keys.bin"), "wb") as fh:
+        fh.write(b"".join(kblob_parts))
+    np.save(os.path.join(out_dir, "key_off.npy"),
+            np.asarray(koff, dtype=np.uint64))
+    np.save(os.path.join(out_dir, "row_bounds.npy"),
+            np.asarray(bounds, dtype=np.uint64))
+    np.save(os.path.join(out_dir, "row_off.npy"),
+            np.asarray(roff, dtype=np.uint64))
+    meta = {"format": _KV_FORMAT, "n_keys": int(n_keys),
+            "n_rows": len(order)}
+    with open(os.path.join(out_dir, "meta.json"), "w") as fh:
+        json.dump(meta, fh)
+    return meta
+
+
+def is_kv_mmap(path: str) -> bool:
+    return os.path.isdir(path) and \
+        os.path.exists(os.path.join(path, "keys.bin"))
+
+
+class MmapKeyedTable:
+    """Sorted-key binary-search lookup over the keyed mmap artifact; page
+    cache shared across workers, O(1) private heap + a bounded memo."""
+
+    def __init__(self, path: str):
+        with open(os.path.join(path, "meta.json")) as fh:
+            meta = json.load(fh)
+        if meta.get("format") != _KV_FORMAT:
+            raise ValueError(f"{path}: not a keyed mmap artifact")
+        self.n = meta["n_keys"]
+        self._kf = open(os.path.join(path, "keys.bin"), "rb")
+        self.kbuf = mmap.mmap(self._kf.fileno(), 0, access=mmap.ACCESS_READ)
+        self.koff = np.load(os.path.join(path, "key_off.npy"), mmap_mode="r")
+        self.bounds = np.load(os.path.join(path, "row_bounds.npy"),
+                              mmap_mode="r")
+        self._rf = open(os.path.join(path, "rows.bin"), "rb")
+        self.rbuf = mmap.mmap(self._rf.fileno(), 0, access=mmap.ACCESS_READ)
+        self.roff = np.load(os.path.join(path, "row_off.npy"), mmap_mode="r")
+        self._memo: dict[str, list[tuple]] = {}
+
+    def _key_at(self, k: int) -> bytes:
+        return self.kbuf[int(self.koff[k]):int(self.koff[k + 1])]
+
+    def get(self, key: str) -> list[tuple]:
+        hit = self._memo.get(key)
+        if hit is not None:
+            return hit
+        kb = key.encode("utf-8")
+        lo, hi = 0, self.n
+        while lo < hi:
+            mid = (lo + hi) >> 1
+            if self._key_at(mid) < kb:
+                lo = mid + 1
+            else:
+                hi = mid
+        out: list[tuple] = []
+        if lo < self.n and self._key_at(lo) == kb:
+            b0, b1 = int(self.bounds[lo]), int(self.bounds[lo + 1])
+            for r in range(b0, b1):
+                rec = self.rbuf[int(self.roff[r]):int(self.roff[r + 1])] \
+                    .decode("utf-8").split(_SEP)
+                out.append(tuple(None if f == _NULL else f for f in rec))
+        if len(self._memo) > 100_000:
+            self._memo.clear()
+        self._memo[key] = out
+        return out

@@ -67,15 +67,52 @@ def set_postal_parquet(path: str | None) -> None:
     _BY_CODE = _build_code_map(POSTAL_ROWS) if path is None else None
 
 
-def _codes() -> dict[str, list[tuple]]:
+class _MmapCodes:
+    """dict-like .get() over the keyed mmap artifact (shared page cache,
+    O(1) private heap — the 4M-tuple postal table costs ~1 GB of dict
+    heap PER WORKER on the parquet path)."""
+
+    def __init__(self, path: str):
+        from .mmapstore import MmapKeyedTable
+        self._t = MmapKeyedTable(path)
+
+    def get(self, key: str):
+        rows = self._t.get(key)
+        return [(cc, adm1, code, name,
+                 None if lat is None else float(lat),
+                 None if lon is None else float(lon))
+                for cc, adm1, code, name, lat, lon in rows] or None
+
+
+def build_postal_mmap(postal_parquet: str, out_dir: str) -> dict:
+    """Compile a postal parquet (cc, adm1, code, name, lat, lon) into the
+    keyed mmap artifact; keys are the normalized code (spaces stripped,
+    uppercased — the same key tag_postals probes with)."""
+    import pyarrow.parquet as pq
+
+    from .mmapstore import build_keyed_mmap
+    tbl = pq.read_table(postal_parquet, columns=["cc", "adm1", "code",
+                                                 "name", "lat", "lon"])
+    cols = [tbl.column(c).to_pylist() for c in ("cc", "adm1", "code",
+                                                "name", "lat", "lon")]
+    rows = list(zip(*cols))
+    keys = [(r[2] or "").replace(" ", "").upper() for r in rows]
+    return build_keyed_mmap(out_dir, keys, rows)
+
+
+def _codes():
     global _BY_CODE
     if _BY_CODE is None:
-        import pyarrow.parquet as pq
-        tbl = pq.read_table(_POSTAL_PATH, columns=["cc", "adm1", "code",
-                                                   "name", "lat", "lon"])
-        cols = [tbl.column(c).to_pylist() for c in ("cc", "adm1", "code",
-                                                    "name", "lat", "lon")]
-        _BY_CODE = _build_code_map(zip(*cols))
+        from .mmapstore import is_kv_mmap
+        if is_kv_mmap(_POSTAL_PATH):
+            _BY_CODE = _MmapCodes(_POSTAL_PATH)
+        else:
+            import pyarrow.parquet as pq
+            tbl = pq.read_table(_POSTAL_PATH, columns=["cc", "adm1", "code",
+                                                       "name", "lat", "lon"])
+            cols = [tbl.column(c).to_pylist() for c in ("cc", "adm1", "code",
+                                                        "name", "lat", "lon")]
+            _BY_CODE = _build_code_map(zip(*cols))
     return _BY_CODE
 
 # candidate postal tokens: alnum with optional internal space/dash, len>=4
