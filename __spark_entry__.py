@@ -276,10 +276,8 @@ def q_exact_dedup(spark, sf_dir):
 
 
 def q_prefix_dedup(spark, sf_dir):
-    docs = _docs(spark, sf_dir)
-    key = F.md5(F.concat_ws(" ", F.slice(F.split(F.col("text"), " "), 1, 8)))
-    return (docs.groupBy(key.alias("prefix_md5"))
-                .agg(F.count("*").alias("n_docs"), F.min("doc_id").alias("keep_doc")))
+    from xponents_spark.operators import prefix_dedup
+    return prefix_dedup(_docs(spark, sf_dir))
 
 
 def q_token_stats(spark, sf_dir):
@@ -309,6 +307,16 @@ def q_gopher_filter(spark, sf_dir):
     reasons from token/quality/repetition signals."""
     from xponents_spark.operators.textstats import gopher_quality_filter
     return gopher_quality_filter(_docs(spark, sf_dir))
+
+
+def q_gopher_filter_single_pass(spark, sf_dir):
+    """The same Gopher gate computed in ONE narrow projection (zero
+    shuffle, zero joins — the 100 TB shape); driver-gated against the SAME
+    SQL oracle as the relational version, so the two implementations are
+    value-pinned to each other through the gate."""
+    from xponents_spark.operators.textstats import \
+        gopher_quality_filter_single_pass
+    return gopher_quality_filter_single_pass(_docs(spark, sf_dir))
 
 
 def q_duplicated_spans(spark, sf_dir):
@@ -633,6 +641,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "duplicated_spans": q_duplicated_spans,
         "remove_duplicated_spans": q_remove_spans,
         "gopher_quality_filter": q_gopher_filter,
+        "gopher_filter_single_pass": q_gopher_filter_single_pass,
         "event_hourly_windows": q_event_hourly,
         "characterize": q_characterize,
         "ngram_jaccard_pairs": q_ngram_jaccard,
@@ -723,6 +732,7 @@ def oracle_sql() -> dict[str, str]:
         "duplicated_spans": O.duplicated_spans_oracle(8),
         "remove_duplicated_spans": O.remove_spans_oracle(8),
         "gopher_quality_filter": O.gopher_filter_oracle(),
+        "gopher_filter_single_pass": O.gopher_filter_oracle(),
         "ngram_jaccard_pairs": O.NGRAM_JACCARD_ORACLE,
         "ann_cosine_topk": O.ANN_TOPK_ORACLE,
         "cosine_pairs": O.COSINE_PAIRS_ORACLE,

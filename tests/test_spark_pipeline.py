@@ -674,3 +674,68 @@ def test_near_dup_components_raises_on_exhaustion(spark):
                                   ["doc_a", "doc_b"])
     with pytest.raises(ComponentsNotConverged):
         near_dup_components(pairs, docs, max_iter=2)
+
+
+def test_gopher_single_pass_matches_relational(spark, sf_dir):
+    """The zero-shuffle single-projection gate is row-identical to the
+    relational three-frame gate on real documents + planted edge cases
+    (empty doc, whitespace-only, newline-final, degenerate repeats)."""
+    from xponents_spark.operators.textstats import (
+        gopher_quality_filter, gopher_quality_filter_single_pass)
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    edge = spark.createDataFrame([
+        (100001, ""), (100002, "   "), (100003, "line\nline\nline\nother"),
+        (100004, " ".join(["w"] * 80)), (100005, "ends with newline\n"),
+    ], "doc_id long, text string")
+    both = docs.select("doc_id", "text").unionByName(edge)
+    a = gopher_quality_filter(both).orderBy("doc_id").collect()
+    b = gopher_quality_filter_single_pass(both).orderBy("doc_id").collect()
+    assert a == b
+
+
+def test_prefix_dedup_operator(spark):
+    from xponents_spark.operators import prefix_dedup
+    docs = spark.createDataFrame([
+        (1, "a b c d e f g h tail-one"),
+        (2, "a b c d e f g h tail-two"),
+        (3, "different head entirely x y z w v u"),
+    ], "doc_id long, text string")
+    rows = prefix_dedup(docs).collect()
+    by_n = sorted((r["n_docs"], r["keep_doc"]) for r in rows)
+    assert by_n == [(1, 3), (2, 1)]
+
+
+def test_keyed_mmap_roundtrips_types(tmp_path):
+    """Per-column type tags: int/float/bool columns come back typed, not
+    stringified (ADVICE r3 — only lat/lon were re-typed before)."""
+    from xponents_spark.gazetteer.mmapstore import (MmapKeyedTable,
+                                                    build_keyed_mmap)
+    rows = [("US", 42, 1.5, True, None), ("US", 7, -2.25, False, "x")]
+    build_keyed_mmap(str(tmp_path / "kv"), ["k1", "k1"], rows)
+    t = MmapKeyedTable(str(tmp_path / "kv"))
+    got = sorted(t.get("k1"))
+    assert got == sorted(rows)
+    assert t.get("nope") == []
+
+
+def test_ppm_crlf_and_truncation():
+    from xponents_spark.operators.multimodal import decode_ppm, make_ppm
+    import numpy as np
+    import pytest as _pytest
+    good = make_ppm(4, 3, seed=1)
+    img = decode_ppm(good)
+    # off-spec \r\n delimiter after maxval (some Windows writers)
+    crlf = good.replace(b"255\n", b"255\r\n", 1)
+    assert np.array_equal(decode_ppm(crlf), img)
+    with _pytest.raises(ValueError, match="truncated"):
+        decode_ppm(good[:-5])
+
+
+def test_doc_roundtrip_newline_final():
+    """A document whose text ends with \\n must round-trip exactly (only
+    Word's single final paragraph mark is stripped)."""
+    from xponents_spark.textract.office import (extract_doc_text,
+                                                make_simple_doc)
+    for text in ("a\n", "line one\nline two\n\n", "plain"):
+        assert extract_doc_text(make_simple_doc(text)) == text

@@ -442,8 +442,12 @@ def build_keyed_mmap(out_dir: str, keys: list[str],
     """Compile (key, value-row) pairs into a sorted mmap lookup table —
     the shared-memory path for side tables like the reference's 4M
     COUNTRY+CODE postal tuples (PostalGeocoder.java:25-33), which would
-    otherwise cost ~1 GB of dict heap PER WORKER.  Values are stringly
-    (None round-trips via the NUL sentinel); callers re-type on read."""
+    otherwise cost ~1 GB of dict heap PER WORKER.  Values serialize as
+    strings; a per-column type tag in meta.json (inferred from the first
+    non-None value per column) re-types every column on read, so int/float
+    columns round-trip typed exactly like the parquet dict path (review
+    finding: the old strings-plus-lat/lon contract silently stringified
+    any later-added numeric column)."""
     import builtins
     order = sorted(range(len(keys)), key=lambda i: keys[i])
     os.makedirs(out_dir, exist_ok=True)
@@ -478,8 +482,22 @@ def build_keyed_mmap(out_dir: str, keys: list[str],
             np.asarray(bounds, dtype=np.uint64))
     np.save(os.path.join(out_dir, "row_off.npy"),
             np.asarray(roff, dtype=np.uint64))
+    # per-column type tags: bool before int (bool is an int subclass)
+    n_cols = len(rows[0]) if rows else 0
+    types = []
+    for c in range(n_cols):
+        tag = "str"
+        for r in rows:
+            v = r[c]
+            if v is None:
+                continue
+            tag = ("bool" if isinstance(v, bool)
+                   else "int" if isinstance(v, int)
+                   else "float" if isinstance(v, float) else "str")
+            break
+        types.append(tag)
     meta = {"format": _KV_FORMAT, "n_keys": int(n_keys),
-            "n_rows": len(order)}
+            "n_rows": len(order), "types": types}
     with open(os.path.join(out_dir, "meta.json"), "w") as fh:
         json.dump(meta, fh)
     return meta
@@ -508,6 +526,9 @@ class MmapKeyedTable:
         self._rf = open(os.path.join(path, "rows.bin"), "rb")
         self.rbuf = mmap.mmap(self._rf.fileno(), 0, access=mmap.ACCESS_READ)
         self.roff = np.load(os.path.join(path, "row_off.npy"), mmap_mode="r")
+        _CONV = {"str": str, "int": int, "float": float,
+                 "bool": lambda s: s == "True"}
+        self._conv = [_CONV.get(t, str) for t in meta.get("types", [])]
         self._memo: dict[str, list[tuple]] = {}
 
     def _key_at(self, k: int) -> bytes:
@@ -527,11 +548,17 @@ class MmapKeyedTable:
                 hi = mid
         out: list[tuple] = []
         if lo < self.n and self._key_at(lo) == kb:
+            conv = self._conv
             b0, b1 = int(self.bounds[lo]), int(self.bounds[lo + 1])
             for r in range(b0, b1):
                 rec = self.rbuf[int(self.roff[r]):int(self.roff[r + 1])] \
                     .decode("utf-8").split(_SEP)
-                out.append(tuple(None if f == _NULL else f for f in rec))
+                if conv:
+                    out.append(tuple(
+                        None if f == _NULL else c(f)
+                        for c, f in zip(conv, rec)))
+                else:    # pre-typed-meta artifact: stringly fallback
+                    out.append(tuple(None if f == _NULL else f for f in rec))
         if len(self._memo) > 100_000:
             self._memo.clear()
         self._memo[key] = out

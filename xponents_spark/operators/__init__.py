@@ -6,6 +6,6 @@ implemented Spark-first: JVM-side expressions where possible, Arrow-batched
 pandas UDFs where vector math is needed, never row-at-a-time Python UDFs.
 """
 
-from .textstats import token_stats, quality_score, lang_id, fingerprint  # noqa: F401
-from .dedup import exact_dedup, minhash_signatures, minhash_near_dups, ngram_jaccard_pairs, simhash_near_dups  # noqa: F401
+from .textstats import token_stats, quality_score, lang_id, fingerprint, gopher_quality_filter, gopher_quality_filter_single_pass  # noqa: F401
+from .dedup import exact_dedup, prefix_dedup, minhash_signatures, minhash_near_dups, ngram_jaccard_pairs, simhash_near_dups  # noqa: F401
 from .similarity import cosine_topk_bruteforce, cosine_topk_lsh  # noqa: F401

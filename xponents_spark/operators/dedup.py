@@ -48,6 +48,21 @@ def exact_dedup(df: DataFrame, text_col: str = "text",
             )
 
 
+def prefix_dedup(df: DataFrame, text_col: str = "text",
+                 id_col: str = "doc_id", prefix_tokens: int = 8) -> DataFrame:
+    """Groups of docs sharing the same leading-token prefix (md5 of the
+    first ``prefix_tokens`` whitespace tokens): the cheap near-head dedup
+    key — catches boilerplate-prefixed families exact_dedup misses.  Same
+    one-cheap-shuffle shape as exact_dedup (map-side combine on the hash).
+    Promoted from the driver gate into the operator surface so users can
+    import it (VERDICT r3 item 7)."""
+    key = F.md5(F.concat_ws(
+        " ", F.slice(F.split(F.col(text_col), " "), 1, prefix_tokens)))
+    return (df.groupBy(key.alias("prefix_md5"))
+              .agg(F.count("*").alias("n_docs"),
+                   F.min(id_col).alias("keep_doc")))
+
+
 def _hash_tokens(tokens: list[str]) -> np.ndarray:
     """Deterministic 32-bit token hashes (CRC-32, one C call per token).
 

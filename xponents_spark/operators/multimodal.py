@@ -80,7 +80,13 @@ def decode_ppm(payload: bytes) -> np.ndarray:
     w, h, maxval = (int(t) for t in tokens)
     if maxval > 255:
         raise ValueError("16-bit PPM not supported")
-    i += 1   # single whitespace after maxval
+    i += 1   # single whitespace after maxval (the netpbm spec)
+    if len(payload) - i == w * h * 3 + 1 and payload[i - 1:i + 1] == b"\r\n":
+        i += 1   # \r\n delimiter from some Windows writers (off-spec)
+    if len(payload) - i < w * h * 3:
+        raise ValueError(
+            f"PPM payload truncated: header says {w}x{h} "
+            f"({w * h * 3} bytes), {len(payload) - i} present")
     img = np.frombuffer(payload, dtype=np.uint8, count=w * h * 3, offset=i)
     img = img.reshape(h, w, 3)
     if maxval != 255:
@@ -194,28 +200,34 @@ def _real_decode(payload: bytes, mime: str, dim: int) -> list[float]:
         f"or use decoder='fake' for plumbing tests")
 
 
-def extract_media_features(df: DataFrame, decoder: str = "real",
+def extract_media_features(df: DataFrame, decoder: str = "auto",
                            dim: int = _FEATURE_DIM) -> DataFrame:
     """binary payload -> feature vector (array<double>), one Arrow stage.
 
-    ``decoder='real'``: PPM images and PCM WAV audio decode for real
-    (numpy/stdlib); compressed mimes raise NotImplementedError — that slot
-    is where PIL/ffmpeg plug in on a real cluster.  ``decoder='fake'``:
-    deterministic hash features for any mime (plumbing tests)."""
+    ``decoder='auto'`` (default): mimes with a real decoder in this
+    container (PPM/BMP/GIF images, PCM WAV audio) decode for real; other
+    mimes fall back to deterministic hash features — the stage is TOTAL
+    over arbitrary media tables (review finding: a strict default raised
+    NotImplementedError mid-Arrow-stage on the first PNG).
+    ``decoder='real'``: strict — unsupported mimes raise, the opt-in for
+    pipelines that must not silently hash-feature a codec gap.
+    ``decoder='fake'``: hash features for every mime (plumbing tests)."""
     out_schema = T.StructType([
         T.StructField("media_id", T.LongType(), False),
         T.StructField("mime", T.StringType(), True),
         T.StructField("features", T.ArrayType(T.DoubleType()), False),
     ])
 
+    def one(payload, mime):
+        if decoder == "fake" or (decoder == "auto"
+                                 and mime not in _REAL_MIMES):
+            return _fake_decode(payload, dim)
+        return _real_decode(payload, mime, dim)
+
     def run(batches):
         for pdf in batches:
             mimes = [m["mime"] if m is not None else None for m in pdf["meta"]]
-            if decoder == "fake":
-                feats = [_fake_decode(p, dim) for p in pdf["payload"]]
-            else:
-                feats = [_real_decode(p, m, dim)
-                         for p, m in zip(pdf["payload"], mimes)]
+            feats = [one(p, m) for p, m in zip(pdf["payload"], mimes)]
             yield pd.DataFrame({
                 "media_id": pdf["media_id"],
                 "mime": mimes,

@@ -214,11 +214,19 @@ def train_ivf_centroids(df: DataFrame, n_centroids: int = 16,
                         id_col: str = "vec_id",
                         vec_col: str = "embedding") -> np.ndarray:
     """Deterministic spherical k-means coarse quantizer.  The training
-    sample is a bounded, deterministic slice collected to the driver (the
-    centroid matrix is what broadcasts — k x dim, tiny); assignment and
-    search stay distributed."""
-    rows = (df.select(id_col, vec_col).orderBy(id_col).limit(sample)
+    sample is a bounded deterministic HASH-MOD slice — ``pmod(xxhash64(id),
+    p) = 0`` with p sized from one metadata-cheap count() — so no ordering
+    or top-k state ships through the driver (review finding: the old
+    orderBy().limit() ran TakeOrderedAndProject over the whole corpus for
+    zero statistical benefit).  Only the ~``sample`` matching rows collect;
+    the centroid matrix is what broadcasts — k x dim, tiny.  Assignment
+    and search stay distributed."""
+    n = df.count()
+    p = max(1, n // max(sample, 1))
+    rows = (df.select(id_col, vec_col)
+              .filter(F.pmod(F.xxhash64(F.col(id_col)), F.lit(p)) == 0)
               .collect())
+    rows.sort(key=lambda r: r[id_col])   # stable k-means init order
     x = _unit(np.array([r[vec_col] for r in rows], dtype=np.float64))
     rng = np.random.RandomState(seed)
     cent = x[rng.choice(len(x), size=min(n_centroids, len(x)), replace=False)]

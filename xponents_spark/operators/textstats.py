@@ -290,3 +290,107 @@ def gopher_quality_filter(df: DataFrame, text_col: str = "text",
         F.col(id_col),
         (reasons == "").alias("keep"),
         reasons.alias("reasons"))
+
+
+def _run_length_top(arr_sql: str) -> str:
+    """SQL: max (count, gram) run over a SORTED string array — count of the
+    most frequent element with ties to the lexicographically largest (the
+    same semantics as the relational ``max(struct(cnt, gram))``).  One
+    O(n log n) array_sort + one O(n) aggregate walk, all JVM-side."""
+    return (
+        "aggregate(array_sort({a}), "
+        "named_struct('prev', '', 'run', 0, 'bc', 0, 'bg', ''), "
+        "(acc, x) -> named_struct("
+        "  'prev', x, "
+        "  'run', IF(x = acc.prev, acc.run + 1, 1), "
+        "  'bc', IF(IF(x = acc.prev, acc.run + 1, 1) >= acc.bc, "
+        "           IF(x = acc.prev, acc.run + 1, 1), acc.bc), "
+        "  'bg', IF(IF(x = acc.prev, acc.run + 1, 1) >= acc.bc, x, acc.bg)), "
+        "acc -> named_struct('cnt', acc.bc, 'gram', acc.bg))"
+    ).format(a=arr_sql)
+
+
+def _dup_chars(arr_sql: str) -> str:
+    """SQL: characters in repeated occurrences (each occurrence beyond an
+    element's first) of a string array — sorted walk, no shuffle."""
+    return (
+        "aggregate(array_sort({a}), "
+        "named_struct('prev', '', 'first', true, 'dup', CAST(0 AS BIGINT)), "
+        "(acc, x) -> named_struct("
+        "  'prev', x, 'first', false, "
+        "  'dup', acc.dup + IF(NOT acc.first AND x = acc.prev, "
+        "                      CAST(length(x) AS BIGINT), CAST(0 AS BIGINT))), "
+        "acc -> acc.dup)"
+    ).format(a=arr_sql)
+
+
+def gopher_quality_filter_single_pass(
+        df: DataFrame, text_col: str = "text", id_col: str = "doc_id",
+        thresholds: dict | None = None) -> DataFrame:
+    """The same Gopher-family gate as :func:`gopher_quality_filter`, computed
+    in ONE narrow projection — zero shuffle, zero joins.
+
+    The three-frame version exchanges (doc_id, gram) rows; but every signal
+    here is a within-document statistic, so nothing actually requires a
+    shuffle.  The repetition signals become in-row array expressions:
+    ``dup_line_frac`` via ``array_distinct``, the gram signals via an
+    O(n log n) ``array_sort`` + O(n) ``aggregate`` run-length walk (NOT the
+    O(n²) per-element self-filter the relational docstring warns about).
+    At 100 TB this is a map-only stage that pipelines into the scan.
+
+    Output is row-for-row identical to the relational gate (pytest-pinned
+    and driver-gated against the same SQL oracle).
+    """
+    t = thresholds or GOPHER_THRESHOLDS
+    text = F.col(text_col)
+    w = f"split(trim({text_col}), '\\\\s+')"
+    g2_sql = (f"CASE WHEN size({w}) >= 2 THEN transform(sequence(1, size({w}) - 1), "
+              f"i -> concat_ws(' ', slice({w}, i, 2))) ELSE array() END")
+    g5_sql = (f"CASE WHEN size({w}) >= 5 THEN transform(sequence(1, size({w}) - 4), "
+              f"i -> concat_ws(' ', slice({w}, i, 5))) ELSE array() END")
+    lines_sql = f"split({text_col}, '\n')"
+
+    toks = _tokens(text_col)
+    n_tok = F.size(toks)
+    n_chars = F.length(text)
+    token_chars = F.expr(
+        f"aggregate(transform({w}, x -> length(x)), "
+        "CAST(0 AS BIGINT), (acc, x) -> acc + x)")
+    stop_arr = ", ".join(f"'{s}'" for s in _STOPWORDS)
+    n_stop = F.expr(f"size(filter({w}, x -> x IN ({stop_arr})))")
+    n_punct = n_chars - F.length(
+        F.regexp_replace(text, r"[!-/:-@\[-`{-~]", ""))
+    n_chars_nz = F.nullif(n_chars, F.lit(0))
+    n_tok_nz = F.nullif(n_tok, F.lit(0))
+    nc = F.nullif(n_chars.cast("double"), F.lit(0.0))
+
+    punct_ratio = n_punct.cast("double") / n_chars_nz
+    stopword_ratio = n_stop.cast("double") / n_tok_nz
+    mean_wl = token_chars.cast("double") / n_tok_nz.cast("double")
+    dup_line_frac = (
+        (F.expr(f"size({lines_sql})")
+         - F.expr(f"size(array_distinct({lines_sql}))")).cast("double")
+        / F.nullif(F.expr(f"size({lines_sql})").cast("double"), F.lit(0.0)))
+    top2 = F.expr(_run_length_top(g2_sql))
+    top2_frac = F.least(
+        (top2["cnt"] * F.length(top2["gram"])).cast("double") / nc, F.lit(1.0))
+    dup5_frac = F.least(
+        F.expr(_dup_chars(g5_sql)).cast("double") / nc, F.lit(1.0))
+
+    checks = [
+        (n_tok < t["min_words"], "too-few-words"),
+        (n_tok > t["max_words"], "too-many-words"),
+        (mean_wl < t["min_mean_word_len"], "short-words"),
+        (mean_wl > t["max_mean_word_len"], "long-words"),
+        (punct_ratio > t["max_punct_ratio"], "punct-heavy"),
+        (stopword_ratio < t["min_stopword_ratio"], "no-stopwords"),
+        (dup_line_frac > t["max_dup_line_frac"], "dup-lines"),
+        (top2_frac > t["max_top2gram_char_frac"], "top-2gram"),
+        (dup5_frac > t["max_dup5gram_char_frac"], "dup-5grams"),
+    ]
+    reasons = F.concat_ws("|", *[
+        F.when(cond, F.lit(name)) for cond, name in checks])
+    return df.select(
+        F.col(id_col),
+        (reasons == "").alias("keep"),
+        reasons.alias("reasons"))

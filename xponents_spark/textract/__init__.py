@@ -116,21 +116,32 @@ def convert_document(payload: bytes) -> str:
     recovery (:mod:`.pdf`); DOCX/ODT/RTF through the office text recovery
     (:mod:`.office` — the Tika-class formats, pure stdlib); anything else
     charset-decodes and, when HTML-ish, scrubs boilerplate."""
+    return convert_document_kind(payload)[0]
+
+
+def convert_document_kind(payload: bytes) -> tuple[str, str]:
+    """(extracted text, sniffed kind) in ONE dispatch — the Spark batch
+    stage needs both columns, and format detection (CFB DIFAT/FAT/dir
+    parse in particular) must run once per payload, not once per output
+    column."""
     from .office import (extract_doc_text, extract_docx_text,
                          extract_odt_text, extract_rtf_text, extract_xls_text,
-                         is_doc, is_rtf, is_xls, zip_kind)
+                         is_rtf, zip_kind)
     from .pdf import extract_pdf_text, is_pdf
     if payload is None:
-        return ""
+        return "", "empty"
     if is_pdf(payload):
-        return squeeze_whitespace(extract_pdf_text(payload))
+        return squeeze_whitespace(extract_pdf_text(payload)), "pdf"
     zk = zip_kind(payload)
     if zk == "docx":
-        return squeeze_whitespace(extract_docx_text(payload))
+        return squeeze_whitespace(extract_docx_text(payload)), "docx"
     if zk == "odt":
-        return squeeze_whitespace(extract_odt_text(payload))
+        return squeeze_whitespace(extract_odt_text(payload)), "odt"
+    if zk:
+        # other zip container: fall through to charset decode of the bytes
+        return extract_main_content(decode_bytes(payload)), zk
     if is_rtf(payload):
-        return squeeze_whitespace(extract_rtf_text(payload))
+        return squeeze_whitespace(extract_rtf_text(payload)), "rtf"
     # legacy binary Office (CFB containers) — round-3: parsed directly,
     # no Tika (textract/cfb.py + the [MS-DOC]/BIFF8 readers).  ONE
     # container parse serves detection and extraction (review finding:
@@ -143,16 +154,19 @@ def convert_document(payload: bytes) -> str:
         except Exception:
             names = set()
         if "WordDocument" in names:
-            return squeeze_whitespace(extract_doc_text(payload, reader=r))
+            return squeeze_whitespace(extract_doc_text(payload, reader=r)), "doc"
         if "Workbook" in names or "Book" in names:
-            return squeeze_whitespace(extract_xls_text(payload, reader=r))
-    return extract_main_content(decode_bytes(payload))
+            return squeeze_whitespace(extract_xls_text(payload, reader=r)), "xls"
+    text = decode_bytes(payload)
+    if is_htmlish(text[:4096]):
+        return extract_main_content(text), "html"
+    return extract_main_content(text), "text"
 
 
 def doc_kind(payload: bytes) -> str:
     """Payload sniffing: pdf / docx / odt / rtf / doc / xls / html / text
     (the ConvertedDocument mime analog)."""
-    from .office import is_doc, is_rtf, is_xls, zip_kind
+    from .office import is_rtf, zip_kind
     from .pdf import is_pdf
     if payload is None:
         return "empty"
@@ -163,10 +177,18 @@ def doc_kind(payload: bytes) -> str:
         return zk
     if is_rtf(payload):
         return "rtf"
-    if is_doc(payload):
-        return "doc"
-    if is_xls(payload):
-        return "xls"
+    # ONE container parse decides doc vs xls (mirrors convert_document;
+    # is_doc + is_xls would each rebuild the full DIFAT/FAT/dir reader)
+    from .cfb import CfbReader, is_cfb
+    if is_cfb(payload):
+        try:
+            names = set(CfbReader(payload).stream_names())
+        except Exception:
+            names = set()
+        if "WordDocument" in names:
+            return "doc"
+        if "Workbook" in names or "Book" in names:
+            return "xls"
     if is_htmlish(decode_bytes(payload[:4096])):
         return "html"
     return "text"
@@ -193,8 +215,9 @@ def convert_binary_docs(df, payload_col: str = "payload",
         for pdf in batches:
             payloads = pdf[payload_col].tolist()
             out = pdf[names].copy()
-            out[out_col] = [convert_document(p) for p in payloads]
-            out["doc_kind"] = [doc_kind(p) for p in payloads]
+            pairs = [convert_document_kind(p) for p in payloads]
+            out[out_col] = [t for t, _ in pairs]
+            out["doc_kind"] = [k for _, k in pairs]
             out["n_bytes"] = [len(p) if p is not None else 0 for p in payloads]
             yield out
 

@@ -304,7 +304,10 @@ def extract_doc_text(payload: bytes, reader=None) -> str:
     text = "".join(out)
     text = "".join(_DOC_TRANSLATE.get(ord(c), c) for c in text
                    if _DOC_TRANSLATE.get(ord(c), c) is not None)
-    return text.rstrip("\n")    # final paragraph mark
+    # strip exactly ONE final paragraph mark (Word appends a single \r to
+    # every document body); rstrip would also eat newlines that belong to
+    # the text, breaking the roundtrip identity for newline-final inputs
+    return text[:-1] if text.endswith("\n") else text
 
 
 def make_simple_doc(text: str) -> bytes:
