@@ -739,3 +739,33 @@ def test_doc_roundtrip_newline_final():
                                                 make_simple_doc)
     for text in ("a\n", "line one\nline two\n\n", "plain"):
         assert extract_doc_text(make_simple_doc(text)) == text
+
+
+def test_conv_scoped_two_pass_resumes_from_checkpoint(spark, sf_dir,
+                                                      tmp_path, monkeypatch):
+    """Pass 1 of the conversation-scoped rescore is a resumable checkpoint
+    table: a second invocation over the same work_dir must (a) produce the
+    identical result and (b) never re-run pass-1 extraction (all bucket
+    manifests committed), and the returned plan must contain no
+    InMemoryRelation (VERDICT r3 item 2)."""
+    from xponents_spark.pipeline import extract_conversation_scoped
+    from xponents_spark.sources import synthesize_transcripts
+
+    t = synthesize_transcripts(spark, sf_dir)
+    wd = str(tmp_path / "convscope")
+    out1 = extract_conversation_scoped(t, work_dir=wd)
+    plan = out1._jdf.queryExecution().executedPlan().toString()
+    assert "InMemoryRelation" not in plan and "InMemoryTableScan" not in plan
+    rows1 = sorted(map(tuple, out1.select("conv_id", "turn_idx").collect()))
+
+    # resume: every bucket manifest is committed, so pass-1 extract must
+    # not be invoked again — make it explode if it is
+    import xponents_spark.plans.checkpoints as cp
+
+    def boom(*a, **k):
+        raise AssertionError("pass-1 extract re-ran on resume")
+
+    monkeypatch.setattr(cp, "extract", boom)
+    out2 = extract_conversation_scoped(t, work_dir=wd)
+    rows2 = sorted(map(tuple, out2.select("conv_id", "turn_idx").collect()))
+    assert rows1 == rows2

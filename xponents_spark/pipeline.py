@@ -252,36 +252,56 @@ def extract_conversation_scoped(df: DataFrame,
                                 min_confidence: int = 60,
                                 vote_confidence: int = 65,
                                 gazetteer_parquet: str | None = None,
-                                postal_parquet: str | None = None) -> DataFrame:
+                                postal_parquet: str | None = None,
+                                work_dir: str | None = None,
+                                buckets: int = 4) -> DataFrame:
     """Two-pass conversation-scope extraction: the reference's document-scope
     country inference (relevantCountries, PlaceGeocoder.java:400-411; chooser
     country bias, LocationChooserRule.java:186-295) lifted to conversation
     scope — something the one-document-at-a-time reference cannot do.
 
-    Pass 1: per-turn extraction (map-only).  Then one narrow shuffle
-    computes each conversation's dominant country from its CONFIDENT geo
-    matches, and ONLY turns that carry a low-confidence place match
-    re-extract with that country as preferred geography (K11 +0.5 bias) —
-    the second Arrow pass touches just the ambiguous slice, and the
-    conv->country map rides a broadcast join.
+    Pass 1: per-turn extraction (map-only), written to ``work_dir`` as a
+    RESUMABLE checkpointed table (``plans.run_resumable`` — per-bucket
+    manifests with lineage + metrics), then read back for its three
+    consumers: the country vote, the redo slice, and the kept anti-join.
+    One narrow shuffle computes each conversation's dominant country from
+    its CONFIDENT geo matches, and ONLY turns that carry a low-confidence
+    place match re-extract with that country as preferred geography (K11
+    +0.5 bias) — the second Arrow pass touches just the ambiguous slice,
+    and the conv->country map rides a broadcast join.
+
+    The write-then-read-twice shape replaces round-3's
+    ``persist(MEMORY_AND_DISK)``: at 100 TB a persist held the WHOLE pass-1
+    corpus live inside the returned plan, while the checkpoint table (a)
+    spills to storage whose bandwidth scales with the cluster, (b) makes
+    pass 1 resumable mid-corpus via the existing manifests, and (c) leaves
+    the returned plan free of InMemoryRelation.  Calling this function
+    RUNS pass 1 eagerly (it is a checkpoint, not a lazy view); the caller
+    owns ``work_dir``'s lifecycle — pass the same dir to resume, delete it
+    to reclaim space.  ``work_dir=None`` uses a fresh temp dir.
     """
+    import os as _os
+    import tempfile as _tempfile
+
     from pyspark.sql import functions as F
 
+    from .plans.checkpoints import read_resumable_output, run_resumable
+
     feats = tuple(features)
-    # pass-1 extraction feeds three consumers (country votes, the redo
-    # slice, and the kept anti-join) — persist it so the expensive Arrow
-    # stage runs once, not once per downstream action.  MEMORY_AND_DISK:
-    # at cluster scale the extracted columns spill rather than recompute.
-    # Lifetime note: the persist stays live inside the returned plan; a
-    # caller that fully materializes the result (write/collect) can release
-    # it with spark.catalog.clearCache() or by unpersisting this stage.
-    import os as _os
-    from pyspark import StorageLevel
     gaz_path = gazetteer_parquet or _os.environ.get("XPONENTS_GAZETTEER_PARQUET")
     postal_path = postal_parquet or _os.environ.get("XPONENTS_POSTAL_PARQUET")
-    ext = extract(df, feats, text_col,
-                  gazetteer_parquet=gaz_path,
-                  postal_parquet=postal_path).persist(StorageLevel.MEMORY_AND_DISK)
+    if work_dir is None:
+        work_dir = _tempfile.mkdtemp(prefix="convscope_pass1_")
+    run_resumable(
+        df, work_dir, buckets=buckets, features=feats,
+        input_desc="conversation-scoped pass 1",
+        # computed inputs (synthesized transcripts) are the common caller;
+        # they own input identity, and a count() would re-run the synth
+        verify_input=False,
+        extract_kwargs={"text_col": text_col,
+                        "gazetteer_parquet": gaz_path,
+                        "postal_parquet": postal_path})
+    ext = read_resumable_output(df.sparkSession, work_dir)
 
     # votes: confident geotags PLUS reverse-geocoded coordinates — the
     # reference's document scope includes coordinate-inferred location

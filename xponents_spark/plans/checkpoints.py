@@ -56,12 +56,17 @@ def _read_committed(path: str) -> dict | None:
 def run_resumable(df: DataFrame, out_dir: str, buckets: int = 16,
                   features: Iterable[str] = DEFAULT_FEATURES,
                   input_desc: str = "", bucket_col: str | None = None,
-                  verify_input: bool = True) -> list[dict]:
+                  verify_input: bool = True,
+                  extract_kwargs: dict | None = None) -> list[dict]:
     """Extract ``df`` in ``buckets`` resumable units; returns manifests.
 
     ``bucket_col``: name of an existing physical bucket partition column
     (values 0..buckets-1).  When given, stage-0 bucketize is skipped and the
     per-bucket filter prunes directly at the source scan.
+
+    ``extract_kwargs``: extra keyword args forwarded to ``extract`` per
+    bucket (gazetteer/postal/taxcat paths, feature params) — the job-param
+    plumbing the conversation-scope pass rides on.
 
     ``verify_input``: on resume over a committed stage-0 bucketize, compare
     ``df.count()`` against the row count recorded in input_manifest.json
@@ -126,7 +131,8 @@ def run_resumable(df: DataFrame, out_dir: str, buckets: int = 16,
         t0 = time.time()
         part = src.filter(F.col(bucket_col) == b).drop(bucket_col)
         obs = Observation(f"bucket_{b}")
-        result = extract(part, features=features).observe(
+        result = extract(part, features=features,
+                         **(extract_kwargs or {})).observe(
             obs,
             F.count(F.lit(1)).alias("rows"),
             F.sum(F.size("matches")).alias("matches"))
