@@ -138,6 +138,50 @@ def bench_extraction_disk(spark, turns_per_doc: int) -> float:
         shutil.rmtree(out_dir, ignore_errors=True)
 
 
+def bench_extraction_prebucketed(spark, turns_per_doc: int) -> dict:
+    """The zero-shuffle flagship path: input materialized ONCE (untimed) as
+    a conv_id-bucketed parquet table (plans.write_bucketed — the stand-in
+    for the north rule's Iceberg bucket(conv_id) layout), then the timed
+    job is scan -> MapInPandas -> sortWithinPartitions -> write with ZERO
+    Exchange (plan shape pinned by test_prebucketed_plan_has_no_exchange).
+    Both variants read the SAME bucketed parquet source (apples-to-apples:
+    the headline path benches from a .cache()d synth, so it is not the
+    right control) — the delta is the measured cost of the salting
+    exchange itself."""
+    from xponents_spark.pipeline import extract
+    from xponents_spark.plans import (prepare_input, read_bucketed,
+                                      salted_repartition, write_bucketed)
+    from xponents_spark.sources import synthesize_transcripts
+
+    par = spark.sparkContext.defaultParallelism
+    in_dir = _out_dir()
+    out_dir = _out_dir()
+    try:
+        t = synthesize_transcripts(spark, SF_DIR, turns_per_doc=turns_per_doc)
+        write_bucketed(t, in_dir, buckets=max(par * 2, 8))     # untimed ETL
+        src, meta = read_bucketed(spark, in_dir)
+        n = src.count()
+
+        def run(df):
+            (extract(df).select(*OUT_COLS)
+             .sortWithinPartitions("conv_id", "turn_idx")
+             .write.mode("overwrite").parquet(out_dir))
+
+        zero = lambda: run(prepare_input(src, meta))          # noqa: E731
+        salted = lambda: run(salted_repartition(src, max(par * 2, 8)))  # noqa: E731
+        zero(); zero()                                        # warm
+        best0 = min(timed(zero), timed(zero), timed(zero))
+        salted()                                              # warm
+        best_s = min(timed(salted), timed(salted), timed(salted))
+        return {"sec": round(best0, 3),
+                "turns_per_sec": round(n / best0, 1),
+                "salted_same_source_sec": round(best_s, 3),
+                "exchange_cost_sec": round(best_s - best0, 3)}
+    finally:
+        shutil.rmtree(in_dir, ignore_errors=True)
+        shutil.rmtree(out_dir, ignore_errors=True)
+
+
 def timed(fn) -> float:
     t0 = time.time()
     fn()
@@ -185,6 +229,7 @@ def main():
     result["extract_write_sec"] = round(dt, 3)
     result["extract_write_disk_sec"] = round(
         bench_extraction_disk(spark, tpd), 3)
+    result["prebucketed"] = bench_extraction_prebucketed(spark, tpd)
     result["queries"] = bench_queries(spark)
 
     if os.environ.get("BENCH_SCALING"):

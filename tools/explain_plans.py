@@ -34,6 +34,21 @@ def main():
     ext = extract(salted_repartition(t, 8))
     sections.append(("flagship: synthesize -> salt -> extract", formatted(ext)))
 
+    # the zero-shuffle 100 TB path: conv_id-bucketed input, salt skipped
+    import tempfile
+
+    from xponents_spark.plans import (prepare_input, read_bucketed,
+                                      write_bucketed)
+    bdir = tempfile.mkdtemp(prefix="plans_bucketed_") + "/t"
+    write_bucketed(t, bdir, buckets=8)
+    src, bmeta = read_bucketed(spark, bdir)
+    sections.append(("flagship over PRE-BUCKETED input (expect: scan -> "
+                     "project -> MapInPandas, ZERO Exchange — the salting "
+                     "repartition is droppable when bucket metadata "
+                     "declares a conv_id spread; plan shape pinned by "
+                     "test_prebucketed_plan_has_no_exchange)",
+                     formatted(extract(prepare_input(src, bmeta)))))
+
     coords = exploded_matches(ext, label="coord").select("conv_id", "lat", "lon")
     sections.append(("exploded coord matches (column pruning through explode)",
                      formatted(coords)))
@@ -67,7 +82,8 @@ def main():
 
     from xponents_spark.pipeline import extract_conversation_scoped
     sections.append(("conversation-scoped two-pass rescore (expect: pass-1 "
-                     "InMemoryRelation reused, BroadcastHashJoin on the "
+                     "read back from the resumable CHECKPOINT TABLE — no "
+                     "InMemoryRelation anywhere; BroadcastHashJoin on the "
                      "conv->country pref map, redo mapInPandas only over "
                      "the joined ambiguous slice, left-anti join for kept "
                      "rows)",
@@ -85,11 +101,17 @@ def main():
                      "exchange -> join back -> per-doc window islands)",
                      formatted(duplicated_spans(docs, k=8))))
 
-    from xponents_spark.operators.textstats import gopher_quality_filter
+    from xponents_spark.operators.textstats import (
+        gopher_quality_filter, gopher_quality_filter_single_pass)
     sections.append(("gopher quality gate (expect: three map-side-combined "
                      "aggregations joined on doc_id, no extra wide pass "
                      "over text)",
                      formatted(gopher_quality_filter(docs))))
+
+    sections.append(("gopher quality gate SINGLE-PASS (expect: one Project "
+                     "over the scan — zero Exchange, zero joins; the "
+                     "run-length walk is array_sort + aggregate in-row)",
+                     formatted(gopher_quality_filter_single_pass(docs))))
 
     os.makedirs("BENCH", exist_ok=True)
     with open("BENCH/PLANS.md", "w") as fh:
