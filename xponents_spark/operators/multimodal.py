@@ -41,7 +41,8 @@ MEDIA_SCHEMA = T.StructType([
 
 _FEATURE_DIM = 16
 
-_REAL_MIMES = ("image/x-portable-pixmap", "audio/wav", "audio/x-wav")
+_REAL_MIMES = ("image/x-portable-pixmap", "audio/wav", "audio/x-wav",
+               "image/bmp", "image/gif")
 
 
 # --- real codec-free decoders -----------------------------------------------
@@ -95,6 +96,285 @@ def decode_ppm(payload: bytes) -> np.ndarray:
         img = (img.astype(np.float32) * (255.0 / maxval)) \
             .round().clip(0, 255).astype(np.uint8)
     return img
+
+
+def make_bmp(width: int, height: int, seed: int = 0,
+             pixels: np.ndarray | None = None) -> bytes:
+    """Deterministic 24-bit uncompressed BMP (BI_RGB, bottom-up rows,
+    4-byte row padding): the seeded make_ppm gradient, or caller-supplied
+    RGB ``pixels`` (h, w, 3)."""
+    import struct
+    if pixels is None:
+        y, x = np.mgrid[0:height, 0:width]
+        r = ((x * 7 + seed) % 256).astype(np.uint8)
+        g = ((y * 11 + seed * 3) % 256).astype(np.uint8)
+        b = (((x + y) * 5 + seed * 7) % 256).astype(np.uint8)
+        bgr = np.dstack([b, g, r])
+    else:
+        bgr = np.ascontiguousarray(pixels[:, :, ::-1])
+    stride = (width * 3 + 3) & ~3
+    rows = bytearray()
+    pad = b"\x00" * (stride - width * 3)
+    for row in bgr[::-1]:                      # bottom-up
+        rows += row.tobytes() + pad
+    info = struct.pack("<IiiHHIIiiII", 40, width, height, 1, 24, 0,
+                       len(rows), 2835, 2835, 0, 0)
+    off = 14 + 40
+    head = struct.pack("<2sIHHI", b"BM", off + len(rows), 0, 0, off)
+    return head + info + bytes(rows)
+
+
+def decode_bmp(payload: bytes) -> np.ndarray:
+    """24-bit BI_RGB BMP -> uint8 (h, w, 3) RGB.  Handles bottom-up and
+    top-down row order and 4-byte row padding; other depths/compressions
+    raise (they need a palette/RLE path this pipeline does not claim)."""
+    import struct
+    if not payload or not payload.startswith(b"BM"):
+        raise ValueError("not a BMP payload")
+    (off,) = struct.unpack_from("<I", payload, 10)
+    hdr_size, w, h = struct.unpack_from("<Iii", payload, 14)
+    if hdr_size < 40:
+        raise ValueError(f"BMP header size {hdr_size} unsupported")
+    planes, bpp, comp = struct.unpack_from("<HHI", payload, 26)
+    if bpp != 24 or comp != 0:
+        raise ValueError(f"only 24-bit BI_RGB supported (bpp={bpp}, "
+                         f"compression={comp})")
+    top_down = h < 0
+    h = abs(h)
+    stride = (w * 3 + 3) & ~3
+    if len(payload) - off < stride * h:
+        raise ValueError("BMP pixel array truncated")
+    arr = np.frombuffer(payload, dtype=np.uint8, count=stride * h,
+                        offset=off).reshape(h, stride)[:, :w * 3]
+    img = arr.reshape(h, w, 3)[:, :, ::-1]     # BGR -> RGB
+    return np.ascontiguousarray(img if top_down else img[::-1])
+
+
+# --- GIF87a: a REAL compressed format, pure-python LZW --------------------
+
+def _lzw_encode_gif(data: bytes, min_code_size: int = 8) -> bytes:
+    """GIF-variant LZW: variable code width (min+1 .. 12 bits, LSB-first
+    packing), CLEAR emitted first and on table overflow at 4096 codes.
+    Width grows when next_code == (1 << width) + 1 — one later than the
+    decoder's rule, because the decoder's table trails the encoder's by
+    exactly one entry (the classic GIF alignment)."""
+    clear = 1 << min_code_size
+    end = clear + 1
+    out = bytearray()
+    cur = 0
+    nbits = 0
+
+    def emit(code: int, width: int):
+        nonlocal cur, nbits
+        cur |= code << nbits
+        nbits += width
+        while nbits >= 8:
+            out.append(cur & 0xFF)
+            cur >>= 8
+            nbits -= 8
+
+    def fresh():
+        return {bytes([i]): i for i in range(clear)}, end + 1, min_code_size + 1
+
+    table, next_code, width = fresh()
+    emit(clear, width)
+    w = b""
+    for byte in data:
+        wc = w + bytes([byte])
+        if wc in table:
+            w = wc
+            continue
+        emit(table[w], width)
+        table[wc] = next_code
+        next_code += 1
+        if next_code == (1 << width) + 1 and width < 12:
+            width += 1
+        if next_code == 4096:
+            emit(clear, width)
+            table, next_code, width = fresh()
+        w = bytes([byte])
+    if w:
+        emit(table[w], width)
+    emit(end, width)
+    if nbits:
+        out.append(cur & 0xFF)
+    return bytes(out)
+
+
+def _lzw_decode_gif(data: bytes, min_code_size: int = 8) -> bytes:
+    """Inverse of :func:`_lzw_encode_gif` — the standard GIF LZW decoder
+    (width grows when next_code == (1 << width))."""
+    clear = 1 << min_code_size
+    end = clear + 1
+    out = bytearray()
+    pos = 0          # bit cursor
+    total_bits = len(data) * 8
+
+    def read(width: int) -> int:
+        nonlocal pos
+        if pos + width > total_bits:
+            return end                        # truncated stream: stop
+        byte0 = pos >> 3
+        nbytes = (pos % 8 + width + 7) // 8
+        chunk = int.from_bytes(data[byte0:byte0 + nbytes], "little")
+        code = (chunk >> (pos % 8)) & ((1 << width) - 1)
+        pos += width
+        return code
+
+    table: list[bytes] = []
+    width = min_code_size + 1
+    prev: bytes | None = None
+
+    def reset():
+        nonlocal table, width, prev
+        table = [bytes([i]) for i in range(clear)] + [b"", b""]
+        width = min_code_size + 1
+        prev = None
+
+    reset()
+    while True:
+        code = read(width)
+        if code == clear:
+            reset()
+            continue
+        if code == end:
+            break
+        if prev is None:
+            entry = table[code]
+        elif code < len(table):
+            entry = table[code]
+        elif code == len(table):
+            entry = prev + prev[:1]
+        else:
+            raise ValueError(f"corrupt LZW stream: code {code} > table")
+        out += entry
+        if prev is not None and len(table) < 4096:
+            table.append(prev + entry[:1])
+            if len(table) == (1 << width) and width < 12:
+                width += 1
+        prev = entry
+    return bytes(out)
+
+
+_GRAY_PALETTE = bytes(v for i in range(256) for v in (i, i, i))
+
+
+def make_gif(width: int, height: int, seed: int = 0,
+             indices: bytes | None = None,
+             palette: bytes = _GRAY_PALETTE) -> bytes:
+    """Deterministic GIF87a: 256-color global palette, one non-interlaced
+    image, REAL LZW-compressed pixel data (conformance checked against an
+    independent browser decoder — tests/test_spark_pipeline.py)."""
+    import struct
+    if indices is None:
+        y, x = np.mgrid[0:height, 0:width]
+        indices = ((x * 7 + y * 11 + seed) % 256).astype(np.uint8).tobytes()
+    if len(indices) != width * height:
+        raise ValueError("indices must be width*height bytes")
+    out = bytearray(b"GIF87a")
+    out += struct.pack("<HHBBB", width, height, 0xF7, 0, 0)   # GCT 256
+    out += palette
+    out += struct.pack("<BHHHHB", 0x2C, 0, 0, width, height, 0)
+    out.append(8)                                             # min code size
+    lzw = _lzw_encode_gif(indices, 8)
+    for i in range(0, len(lzw), 255):
+        block = lzw[i:i + 255]
+        out.append(len(block))
+        out += block
+    out += b"\x00\x3b"
+    return bytes(out)
+
+
+def decode_gif_indices(payload: bytes) -> tuple[np.ndarray, bytes]:
+    """GIF87a/89a -> (uint8 index array (h, w), active 768-byte palette).
+    Parses the logical screen descriptor, global/local color tables, skips
+    89a extension blocks, LZW-decodes the first non-interlaced image."""
+    import struct
+    if not payload or payload[:6] not in (b"GIF87a", b"GIF89a"):
+        raise ValueError("not a GIF payload")
+    sw, sh, packed, _bg, _ar = struct.unpack_from("<HHBBB", payload, 6)
+    i = 13
+    palette = _GRAY_PALETTE
+    if packed & 0x80:
+        n = 2 << (packed & 0x07)
+        palette = payload[i:i + 3 * n].ljust(768, b"\x00")
+        i += 3 * n
+    while i < len(payload):
+        b0 = payload[i]
+        if b0 == 0x21:                        # 89a extension: skip
+            i += 2
+            while payload[i]:
+                i += 1 + payload[i]
+            i += 1
+        elif b0 == 0x2C:
+            _l, _t, w, h, ipacked = struct.unpack_from("<HHHHB", payload, i + 1)
+            i += 10
+            if ipacked & 0x40:
+                raise ValueError("interlaced GIF not supported")
+            if ipacked & 0x80:
+                n = 2 << (ipacked & 0x07)
+                palette = payload[i:i + 3 * n].ljust(768, b"\x00")
+                i += 3 * n
+            min_code = payload[i]
+            i += 1
+            blocks = bytearray()
+            while payload[i]:
+                ln = payload[i]
+                blocks += payload[i + 1:i + 1 + ln]
+                i += 1 + ln
+            idx = _lzw_decode_gif(bytes(blocks), min_code)[:w * h]
+            if len(idx) < w * h:
+                raise ValueError("GIF pixel data truncated")
+            return np.frombuffer(idx, dtype=np.uint8).reshape(h, w), palette
+        elif b0 == 0x3B:
+            break
+        else:
+            raise ValueError(f"unexpected GIF block 0x{b0:02x}")
+    raise ValueError("GIF contains no image")
+
+
+def decode_gif(payload: bytes) -> np.ndarray:
+    """GIF -> uint8 (h, w, 3) RGB via the active palette."""
+    idx, palette = decode_gif_indices(payload)
+    pal = np.frombuffer(palette, dtype=np.uint8).reshape(256, 3)
+    return pal[idx]
+
+
+def make_text_gif(text: str) -> bytes:
+    """Encode UTF-8 text as GIF87a pixel indices (4-byte big-endian length
+    prefix, identity grayscale palette): the driver-gated roundtrip proof
+    that the LZW codec is lossless over real document bytes."""
+    data = text.encode("utf-8")
+    data = len(data).to_bytes(4, "big") + data
+    width = 256
+    height = max(1, -(-len(data) // width))
+    data = data.ljust(width * height, b"\x00")
+    return make_gif(width, height, indices=data)
+
+
+def decode_text_gif(payload: bytes) -> str:
+    idx, _pal = decode_gif_indices(payload)
+    raw = idx.tobytes()
+    n = int.from_bytes(raw[:4], "big")
+    return raw[4:4 + n].decode("utf-8")
+
+
+def make_text_bmp(text: str) -> bytes:
+    """UTF-8 text packed into 24-bit BMP RGB triplets (4-byte length
+    prefix) — the uncompressed counterpart of make_text_gif."""
+    data = text.encode("utf-8")
+    data = len(data).to_bytes(4, "big") + data
+    width = 256
+    height = max(1, -(-len(data) // (width * 3)))
+    data = data.ljust(width * height * 3, b"\x00")
+    img = np.frombuffer(data, dtype=np.uint8).reshape(height, width, 3)
+    return make_bmp(width, height, pixels=img)
+
+
+def decode_text_bmp(payload: bytes) -> str:
+    raw = decode_bmp(payload).tobytes()
+    n = int.from_bytes(raw[:4], "big")
+    return raw[4:4 + n].decode("utf-8")
 
 
 def resize_block(img: np.ndarray, out_w: int, out_h: int) -> np.ndarray:
@@ -192,11 +472,16 @@ def _fake_decode(payload: bytes, dim: int = _FEATURE_DIM) -> list[float]:
 def _real_decode(payload: bytes, mime: str, dim: int) -> list[float]:
     if mime == "image/x-portable-pixmap":
         return image_features(decode_ppm(payload), dim)
+    if mime == "image/bmp":
+        return image_features(decode_bmp(payload), dim)
+    if mime == "image/gif":
+        return image_features(decode_gif(payload), dim)
     if mime in ("audio/wav", "audio/x-wav"):
         return audio_features(*decode_wav(payload), dim=dim)
     raise NotImplementedError(
         f"decode for {mime!r} requires PIL/ffmpeg — not in this container; "
-        f"codec-free formats ({', '.join(_REAL_MIMES)}) decode for real, "
+        f"supported formats ({', '.join(_REAL_MIMES)}) decode for real "
+        f"(incl. GIF87a's LZW compression, pure python), "
         f"or use decoder='fake' for plumbing tests")
 
 
