@@ -346,3 +346,36 @@ def test_cjk_names_tag_through_parquet_index(spark, tmp_path_factory):
     for r in cjk:
         hits = idx.scan(f"前往{r['name']}旅行")
         assert any(m == r["name"] for _s, _e, m, _p in hits), r["name"]
+
+
+def test_taxcat_mmap_parity(spark, tmp_path):
+    """The taxcat mmap artifact must tag IDENTICALLY to the parquet dict
+    path over the fixture payload texts (same phrases, spans, payloads)."""
+    from xponents_spark.gazetteer import matcher
+    from xponents_spark.gazetteer.mmapstore import (build_taxcat_mmap,
+                                                    is_tax_mmap)
+    from xponents_spark.sources.payloads import PAYLOADS
+    from xponents_spark.sources.taxcat_etl import (build_taxcat_parquet,
+                                                   embedded_taxcat_df)
+
+    pq_dir = str(tmp_path / "taxcat.parquet")
+    build_taxcat_parquet(
+        embedded_taxcat_df(spark).repartition(1)
+        .sortWithinPartitions("kind", "name"), pq_dir)
+    mm_dir = str(tmp_path / "taxcat.mmap")
+    meta = build_taxcat_mmap(pq_dir, mm_dir)
+    assert is_tax_mmap(mm_dir) and meta["n_rows"] > 0
+
+    texts = [body for _kind, body in PAYLOADS if body] + [
+        "Dr. Maria Santos of the World Health Organization met the "
+        "Brazilian delegation",
+        "", "no entities here at all"]
+    try:
+        matcher.set_taxcat_parquet(pq_dir)
+        a = [matcher.tag_taxons(t) for t in texts]
+        matcher.set_taxcat_parquet(mm_dir)
+        b = [matcher.tag_taxons(t) for t in texts]
+    finally:
+        matcher.set_taxcat_parquet(None)
+    assert a == b
+    assert any(a)    # fixtures actually contain taxons

@@ -68,7 +68,15 @@ def run_once(master: str, cores: int):
     n_docs = s.read.parquet(f"{SF_DIR}/documents.parquet").count()
     tpd = max(1, TURNS // n_docs)
     t = synthesize_transcripts(s, SF_DIR, turns_per_doc=tpd)
-    t = salted_repartition(t, cores * int(os.environ.get("PROBE_PART_FACTOR", "2"))).cache()
+    # PROBE_PARTITIONS: absolute partition count — the strong-scaling
+    # protocol fixes the TASK SIZE across cluster sizes (identical tasks,
+    # 4N just runs more of them concurrently), so per-task overhead
+    # amortizes identically on both sides; PROBE_PART_FACTOR scales with
+    # cores instead (the round-3 behavior)
+    n_parts = int(os.environ["PROBE_PARTITIONS"]) \
+        if "PROBE_PARTITIONS" in os.environ \
+        else cores * int(os.environ.get("PROBE_PART_FACTOR", "2"))
+    t = salted_repartition(t, n_parts).cache()
     n = t.count()
     out_dir = tempfile.mkdtemp(prefix="probe_out_", dir="/dev/shm")
     cols = ["conv_id", "turn_idx", "role", "tool", "ts", "main_text", "matches"]

@@ -68,6 +68,26 @@ def main():
     res["probe_hits"] = len(hits)
     matcher.set_taxcat_parquet(None)
 
+    # round-4 mmap artifact: same lexicon, shared page cache per node
+    from xponents_spark.gazetteer.mmapstore import build_taxcat_mmap
+    mm_path = os.path.join(out_dir, "taxcat.mmap")
+    t0 = time.time()
+    build_taxcat_mmap(pq_path, mm_path)
+    res["mmap_build_sec"] = round(time.time() - t0, 1)
+    res["mmap_artifact_mb"] = round(sum(
+        os.path.getsize(os.path.join(mm_path, f))
+        for f in os.listdir(mm_path)) / 1e6, 1)
+    p0 = _priv_kb()
+    t0 = time.time()
+    matcher.set_taxcat_parquet(mm_path)
+    matcher.tax_index()
+    hits_mm = matcher.tag_taxons(f"met {probe['name']} at the summit")
+    res["mmap_open_sec"] = round(time.time() - t0, 3)
+    res["mmap_open_private_mb"] = round((_priv_kb() - p0) / 1024, 1)
+    assert [h[:6] for h in hits_mm] == [h[:6] for h in hits], \
+        "mmap/parquet taxcat tag mismatch"
+    matcher.set_taxcat_parquet(None)
+
     # Spark throughput: taxons-only extraction, embedded vs big lexicon
     from pyspark.sql import functions as F
 
@@ -83,7 +103,8 @@ def main():
         (extract(t, features=("taxons",), taxcat_parquet=path)
          .select(F.size("matches").alias("nm")).agg(F.sum("nm")).collect())
 
-    for label, path in (("embedded", None), ("scale", pq_path)):
+    for label, path in (("embedded", None), ("scale", pq_path),
+                        ("mmap", mm_path)):
         run(path)
         t0 = time.time()
         run(path)

@@ -508,7 +508,12 @@ def tax_index() -> PhraseIndex:
     global _TAX_INDEX
     if _TAX_INDEX is None:
         if _TAX_PATH is not None:
-            _TAX_INDEX = _tax_index_from_parquet(_TAX_PATH)
+            from .mmapstore import MmapTaxcatIndex, is_tax_mmap
+            if is_tax_mmap(_TAX_PATH):
+                # shared-memory scale path (page cache shared per node)
+                _TAX_INDEX = MmapTaxcatIndex(_TAX_PATH)
+            else:
+                _TAX_INDEX = _tax_index_from_parquet(_TAX_PATH)
             return _TAX_INDEX
         entries: list[tuple[str, object]] = []
         for n in data.PERSON_NAMES:

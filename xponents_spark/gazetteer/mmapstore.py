@@ -432,6 +432,161 @@ class MmapSpatialIndex:
         return out
 
 
+# --- taxcat mmap artifact (T4 shared-memory path) ----------------------------
+
+_TAX_FORMAT = "xponents-taxmmap-1"
+
+
+def build_taxcat_mmap(taxcat_parquet: str, out_dir: str) -> dict:
+    """Compile a taxcat parquet (``build_taxcat_parquet`` output) into a
+    phrase-scan mmap artifact: same sorted-phrase-table + 2-byte-prefix
+    bucket layout as the gazetteer artifact, payload rows are
+    (kind, canonical, cc).  The JRC/person/WFB-scale lexicon then costs
+    page-cache pages shared across every worker on a node instead of a
+    ~100 MB phrase dict per worker (the taxcat analog of the reference's
+    one-Solr-FST-per-node model, solr/README.md:164-166)."""
+    import pyarrow.parquet as pq
+
+    meta_path = os.path.join(taxcat_parquet, "_normalization.json")
+    if not os.path.exists(meta_path):
+        raise ValueError(f"{taxcat_parquet} has no _normalization.json "
+                         f"sidecar — build with build_taxcat_parquet")
+    with open(meta_path) as fh:
+        norm_ver = json.load(fh)["normalization_version"]
+
+    tbl = pq.read_table(taxcat_parquet,
+                        columns=["phrase", "kind", "canonical", "cc", "valid"])
+    cols = {c: tbl.column(c).to_pylist()
+            for c in ("phrase", "kind", "canonical", "cc", "valid")}
+    # cc '' -> None: parity with the parquet dict path (`cc or None` in
+    # matcher._tax_index_from_parquet)
+    rows = [(p, k, cn, cc or None) for p, k, cn, cc, v in
+            zip(cols["phrase"], cols["kind"], cols["canonical"],
+                cols["cc"], cols["valid"]) if v and p]
+    rows.sort(key=lambda r: r[0])            # codepoint == UTF-8 byte order
+
+    os.makedirs(out_dir, exist_ok=True)
+    blob_parts: list[bytes] = []
+    poff = [0]
+    bounds = [0]
+    prev = None
+    roff = [0]
+    with open(os.path.join(out_dir, "rows.bin"), "wb") as fh:
+        for i, (p, k, cn, cc) in enumerate(rows):
+            if p != prev:
+                if prev is not None:
+                    bounds.append(i)
+                b = p.encode("utf-8")
+                blob_parts.append(b)
+                poff.append(poff[-1] + len(b))
+                prev = p
+            rec = _SEP.join(_NULL if v is None else v.replace(_SEP, " ")
+                            for v in (k, cn, cc)).encode("utf-8")
+            fh.write(rec)
+            roff.append(roff[-1] + len(rec))
+    bounds.append(len(rows))
+    blob = b"".join(blob_parts)
+    with open(os.path.join(out_dir, "phrases.bin"), "wb") as fh:
+        fh.write(blob)
+    poff_a = np.asarray(poff, dtype=np.uint64)
+    np.save(os.path.join(out_dir, "phrase_off.npy"), poff_a)
+    np.save(os.path.join(out_dir, "row_bounds.npy"),
+            np.asarray(bounds, dtype=np.uint64))
+    np.save(os.path.join(out_dir, "row_off.npy"),
+            np.asarray(roff, dtype=np.uint64))
+
+    # 2-byte prefix buckets (same scheme as the gazetteer artifact)
+    bb = np.frombuffer(blob, dtype=np.uint8)
+    if len(blob_parts):
+        starts = poff_a[:-1].astype(np.int64)
+        lens = np.diff(poff_a.astype(np.int64))
+        first = bb[starts].astype(np.uint32)
+        second = np.where(lens >= 2,
+                          bb[np.minimum(starts + 1, max(len(bb) - 1, 0))],
+                          0).astype(np.uint32)
+        code = (first << 8) | second
+    else:
+        code = np.empty(0, dtype=np.uint32)
+    table = np.concatenate([
+        np.searchsorted(code, np.arange(65536), side="left"),
+        [len(blob_parts)]]).astype(np.uint64)
+    np.save(os.path.join(out_dir, "prefix2.npy"), table)
+
+    meta = {"format": _TAX_FORMAT, "normalization_version": norm_ver,
+            "n_phrases": len(blob_parts), "n_rows": len(rows)}
+    with open(os.path.join(out_dir, "meta.json"), "w") as fh:
+        json.dump(meta, fh)
+    return meta
+
+
+def is_tax_mmap(path: str) -> bool:
+    if not os.path.isdir(path) or \
+            not os.path.exists(os.path.join(path, "meta.json")):
+        return False
+    try:
+        with open(os.path.join(path, "meta.json")) as fh:
+            return json.load(fh).get("format") == _TAX_FORMAT
+    except (OSError, ValueError):
+        return False
+
+
+class _TaxFiles:
+    """Open-file state for the taxcat artifact — duck-typed subset of
+    ``_MmapFiles`` (pbuf/poff/prefix2/row_bounds + payload rows)."""
+
+    def __init__(self, path: str):
+        from .matcher import NORMALIZATION_VERSION
+        with open(os.path.join(path, "meta.json")) as fh:
+            meta = json.load(fh)
+        if meta.get("format") != _TAX_FORMAT:
+            raise ValueError(f"{path}: not a taxcat mmap artifact")
+        if meta.get("normalization_version") != NORMALIZATION_VERSION:
+            raise ValueError(
+                f"taxcat mmap {path} normalized with version "
+                f"{meta.get('normalization_version')}, engine expects "
+                f"{NORMALIZATION_VERSION} — rebuild with build_taxcat_mmap")
+        self.meta = meta
+
+        def load(name):
+            return np.load(os.path.join(path, name), mmap_mode="r")
+
+        self._pf = open(os.path.join(path, "phrases.bin"), "rb")
+        self.pbuf = mmap.mmap(self._pf.fileno(), 0, access=mmap.ACCESS_READ)
+        self.poff = load("phrase_off.npy")
+        self.row_bounds = load("row_bounds.npy")
+        self.prefix2 = load("prefix2.npy")
+        self._rf = open(os.path.join(path, "rows.bin"), "rb")
+        self.rbuf = mmap.mmap(self._rf.fileno(), 0, access=mmap.ACCESS_READ)
+        self.roff = load("row_off.npy")
+
+
+class MmapTaxcatIndex(MmapGazetteerIndex):
+    """Taxon phrase tagger over the taxcat mmap artifact — inherits the
+    gazetteer artifact's scan (prefix2 buckets, binary-search extension,
+    token memo, LDR overlap resolution, TAG_LIMIT); only payload hydration
+    differs: rows are (kind, canonical, cc) tuples, the PhraseIndex
+    payload contract ``tag_taxons`` expects."""
+
+    def __init__(self, path: str):
+        self.f = _TaxFiles(path)
+        self._memo = {}
+        self._tok_memo = {}
+
+    def _places(self, k: int) -> list[tuple]:
+        hit = self._memo.get(k)
+        if hit is None:
+            b0, b1 = int(self.f.row_bounds[k]), int(self.f.row_bounds[k + 1])
+            hit = []
+            for r in range(b0, b1):
+                rec = self.f.rbuf[int(self.f.roff[r]):int(self.f.roff[r + 1])] \
+                    .decode("utf-8").split(_SEP)
+                hit.append(tuple(None if v == _NULL else v for v in rec))
+            if len(self._memo) > 200_000:
+                self._memo.clear()
+            self._memo[k] = hit
+        return hit
+
+
 # --- generic keyed mmap table (postal-class side tables) ---------------------
 
 _KV_FORMAT = "xponents-kvmmap-1"
