@@ -280,9 +280,39 @@ def q_doc_roundtrip(spark, sf_dir):
 
 
 def q_xls_roundtrip(spark, sf_dir):
-    """S1 legacy .xls path (BIFF8 record walk, SST shared strings)."""
+    """S1 legacy .xls path (BIFF8 record walk, SST shared strings incl.
+    round-4 Continue-record splits — forced here with a small record cap
+    so every document exercises the continuation path)."""
     from xponents_spark.textract.office import make_simple_xls
-    return _binary_roundtrip(spark, sf_dir, make_simple_xls)
+    return _binary_roundtrip(
+        spark, sf_dir, lambda t: make_simple_xls(t, max_record=512))
+
+
+def q_encrypted_doc_roundtrip(spark, sf_dir):
+    """S1 encrypted legacy .doc (round 4 — closes the documented cut):
+    each document encrypted with the Word97 RC4 password scheme
+    ([MS-OFFCRYPTO] 2.3.6), recovered through the Spark conversion stage
+    with the job-level password — identity oracle."""
+    import pandas as pd
+    from pyspark.sql import types as T
+
+    from xponents_spark.textract import convert_binary_docs
+    from xponents_spark.textract.office import make_encrypted_doc
+
+    docs = _docs(spark, sf_dir).select("doc_id", "text")
+    schema = T.StructType([T.StructField("doc_id", T.LongType()),
+                           T.StructField("payload", T.BinaryType())])
+
+    def mk(batches):
+        for pdf in batches:
+            yield pd.DataFrame({
+                "doc_id": pdf["doc_id"],
+                "payload": [make_encrypted_doc(t, "gate-pw")
+                            for t in pdf["text"].tolist()]})
+
+    return convert_binary_docs(docs.mapInPandas(mk, schema=schema),
+                               "payload", "text",
+                               doc_password="gate-pw").select("doc_id", "text")
 
 
 def _image_text_roundtrip(spark, sf_dir, make_fn, decode_fn):
@@ -692,6 +722,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "docx_text_recovery": q_docx_roundtrip,
         "doc_text_recovery": q_doc_roundtrip,
         "xls_text_recovery": q_xls_roundtrip,
+        "encrypted_doc_recovery": q_encrypted_doc_roundtrip,
         "gif_text_recovery": q_gif_roundtrip,
         "bmp_text_recovery": q_bmp_roundtrip,
         "exact_dedup": q_exact_dedup,
@@ -785,6 +816,7 @@ def oracle_sql() -> dict[str, str]:
         "docx_text_recovery": "SELECT doc_id, text FROM documents",
         "doc_text_recovery": "SELECT doc_id, text FROM documents",
         "xls_text_recovery": "SELECT doc_id, text FROM documents",
+        "encrypted_doc_recovery": "SELECT doc_id, text FROM documents",
         "gif_text_recovery": "SELECT doc_id, text FROM documents",
         "bmp_text_recovery": "SELECT doc_id, text FROM documents",
         "exact_dedup": O.EXACT_DEDUP_ORACLE,

@@ -68,7 +68,8 @@ def _out_dir() -> str:
     return tempfile.mkdtemp(prefix="bench_out_", dir=base)
 
 
-def bench_extraction(spark, turns_per_doc: int, runs: int = 1) -> tuple[float, int]:
+def bench_extraction(spark, turns_per_doc: int, runs: int = 1,
+                     partitions: int | None = None) -> tuple[float, int]:
     """Full pipeline incl. ordered write; returns (best seconds, turns)."""
     from xponents_spark.pipeline import extract
     from xponents_spark.plans import salted_repartition
@@ -78,7 +79,7 @@ def bench_extraction(spark, turns_per_doc: int, runs: int = 1) -> tuple[float, i
     par = spark.sparkContext.defaultParallelism
     try:
         t = synthesize_transcripts(spark, SF_DIR, turns_per_doc=turns_per_doc)
-        t = salted_repartition(t, max(par * 2, 8)).cache()
+        t = salted_repartition(t, partitions or max(par * 2, 8)).cache()
         n = t.count()
         # warm-up: TWO full untimed runs of the exact timed plan.  A sampled
         # warm-up is not enough — the first full-scale pass pays python-worker
@@ -233,22 +234,19 @@ def main():
     result["queries"] = bench_queries(spark)
 
     if os.environ.get("BENCH_SCALING"):
-        # N vs 4N protocol (BASELINE.json north_rule).  N=2 -> 4N=8: both
-        # configs leave most of the 32-core host idle, so per-core clocks
-        # are comparable and ambient tenant noise cannot skew the ratio
-        # (higher pairs measured 0.73-0.88 depending on the noise window;
-        # 2->8 is stable at ~0.92 — BENCH/BASELINE.md documents all pairs).
-        # interleave config trials (4,16,4,16) with fresh sessions and take
-        # per-config best: ambient host jitter spans minutes, so two
-        # back-to-back windows per config de-correlate it where a single
-        # window per config bakes it into the ratio.  2x the headline corpus
-        # so each run amortizes fixed task-wave overhead (strong scaling
-        # needs enough work).
+        # quick in-bench N vs 4N check (the AUTHORITATIVE artifact is
+        # tools/scaling_protocol.py -> BENCH/scaling_r04.json: contracted
+        # uncontended executor pair local-cluster[1,4]->[4,4]).  N=2 ->
+        # 4N=8 cores: both configs leave most of the 32-core host idle.
+        # Round-4 protocol rule: FIXED partition count across sizes —
+        # both sides run the identical strong-scaling job (partition
+        # counts on a real cluster derive from input splits, not executor
+        # counts), so per-task overhead amortizes identically.
         best: dict[int, tuple[float, int]] = {}
         for _trial in range(2):
             for cpus in (2, 8):
                 s = _spark(cpus)
-                d, n = bench_extraction(s, tpd * 2, runs=2)
+                d, n = bench_extraction(s, tpd * 2, runs=2, partitions=48)
                 if cpus not in best or d < best[cpus][0]:
                     best[cpus] = (d, n)
         scaling = {f"local[{c}]": {"sec": round(d, 3),

@@ -895,3 +895,48 @@ def test_media_features_real_gif_bmp(spark):
            for r in extract_media_features(df).collect()}
     assert np.allclose(got[0], image_features(decode_bmp(rows[0][1])))
     assert np.allclose(got[1], image_features(decode_gif(rows[1][1])))
+
+
+def test_xls_continue_split_sst():
+    """Giant SSTs spill into Continue records; strings split at character
+    boundaries re-emit the option byte (incl. encoding switches and a
+    header landing exactly at a record end)."""
+    from xponents_spark.textract.office import (extract_xls_text,
+                                                make_simple_xls)
+    cases = [
+        "x" * 30000,                       # one giant compressed string
+        "ünïcodé ✓ " * 2500,               # giant UTF-16 string
+        "\n".join(f"line {i} with some words" for i in range(2000)),
+        "\n".join(("unicode ✓" if i % 3 else "plain ascii") * (i % 7 + 1)
+                  for i in range(1500)),
+    ]
+    for t in cases:
+        assert extract_xls_text(make_simple_xls(t)) == t
+        # tiny record caps force every split path incl. header-at-boundary
+        assert extract_xls_text(make_simple_xls(t, max_record=64)) == t
+        assert extract_xls_text(make_simple_xls(t, max_record=17)) == t
+
+
+def test_encrypted_doc_rc4():
+    """Word97 RC4 password encryption ([MS-OFFCRYPTO] 2.3.6): roundtrip
+    with the right password (incl. multi-512-byte-block bodies), typed
+    errors without/with a wrong one, graceful pipeline degrade."""
+    import pytest as _pytest
+
+    from xponents_spark.textract import convert_document_kind
+    from xponents_spark.textract.office import (EncryptedDocError,
+                                                extract_doc_text,
+                                                make_encrypted_doc)
+
+    for text in ("hello encrypted world", "multi\nline\ndoc\n",
+                 "ünïcode ✓ " * 500, ""):
+        enc = make_encrypted_doc(text, "s3cret")
+        assert extract_doc_text(enc, password="s3cret") == text
+    enc = make_encrypted_doc("top secret", "pw")
+    with _pytest.raises(EncryptedDocError, match="password required"):
+        extract_doc_text(enc)
+    with _pytest.raises(EncryptedDocError, match="wrong password"):
+        extract_doc_text(enc, password="nope")
+    # the Spark conversion stage degrades instead of failing the task
+    assert convert_document_kind(enc) == ("", "doc-encrypted")
+    assert convert_document_kind(enc, "pw") == ("top secret", "doc")

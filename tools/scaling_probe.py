@@ -78,24 +78,58 @@ def run_once(master: str, cores: int):
         else cores * int(os.environ.get("PROBE_PART_FACTOR", "2"))
     t = salted_repartition(t, n_parts).cache()
     n = t.count()
+    # v2 file-output committer: task commit moves files directly, job
+    # commit is O(1) — the v1 driver-side rename pass is serial work that
+    # an Amdahl analysis showed charging the 4N side ~3% end-to-end.
+    # Safe here: overwrite-idempotent outputs, resumability comes from
+    # the manifest layer (plans/checkpoints.py), not commit atomicity.
+    s.sparkContext._jsc.hadoopConfiguration().set(
+        "mapreduce.fileoutputcommitter.algorithm.version", "2")
     out_dir = tempfile.mkdtemp(prefix="probe_out_", dir="/dev/shm")
     cols = ["conv_id", "turn_idx", "role", "tool", "ts", "main_text", "matches"]
+    sink = os.environ.get("PROBE_SINK", "parquet")
 
-    def job():
-        (extract(t).select(*cols)
-         .sortWithinPartitions("conv_id", "turn_idx")
-         .write.mode("overwrite").parquet(out_dir))
+    def job(use_sink=None):
+        out = (extract(t).select(*cols)
+               .sortWithinPartitions("conv_id", "turn_idx"))
+        if (use_sink or sink) == "noop":
+            out.write.mode("overwrite").format("noop").save()
+        else:
+            out.write.mode("overwrite").parquet(out_dir)
 
+    timed_runs = int(os.environ.get("PROBE_TIMED_RUNS", "1"))
+    wall_noop = None
     try:
         job()  # warm-up (forks, JIT, pattern compile)
         job()
-        m0 = stage_metrics(s)
-        p0 = proc_stat()
-        t0 = time.time()
-        job()
-        wall = time.time() - t0
-        p1 = proc_stat()
-        m1 = stage_metrics(s)
+        # best-of-K timed: a single 15-50s window on this shared host
+        # carries 10-30% ambient jitter (BENCH_r02's 2x swings); the best
+        # of K back-to-back runs is the engine's floor, and BOTH sides of
+        # a pair get the same treatment.  Host /proc/stat + stage metrics
+        # cover the best run's window.
+        wall = float("inf")
+        m1 = m0 = p1 = p0 = None
+        for _ in range(max(timed_runs, 1)):
+            mm0 = stage_metrics(s)
+            pp0 = proc_stat()
+            t0 = time.time()
+            job()
+            w = time.time() - t0
+            pp1 = proc_stat()
+            mm1 = stage_metrics(s)
+            if w < wall:
+                wall, m0, p0, m1, p1 = w, mm0, pp0, mm1, pp1
+        if sink == "both":
+            # compute-only counterpart in the SAME warm JVM/window: the
+            # parquet sink on a single host funnels all executors through
+            # one tmpfs/memory bus (a cluster's distributed sink scales
+            # with executors) — the noop number isolates the engine
+            job("noop")
+            wall_noop = float("inf")
+            for _ in range(max(timed_runs, 1)):
+                t0 = time.time()
+                job("noop")
+                wall_noop = min(wall_noop, time.time() - t0)
     finally:
         shutil.rmtree(out_dir, ignore_errors=True)
 
@@ -109,6 +143,8 @@ def run_once(master: str, cores: int):
         "turns": n,
         "wall_sec": round(wall, 2),
         "turns_per_sec": round(n / wall, 1),
+        **({"turns_per_sec_noop": round(n / wall_noop, 1)}
+           if wall_noop else {}),
         "stage_delta": dm,
         # run-time not spent on-CPU = waiting (scheduler, python worker,
         # Arrow IPC block, GC pauses are counted separately)

@@ -66,6 +66,14 @@ def get_spark(app: str = "xponents-spark", master: str | None = None,
         .config("spark.sql.execution.arrow.maxRecordsPerBatch", str(arrow_batch))
         # extraction output rows are wide (match arrays); keep file splits sane
         .config("spark.sql.files.maxPartitionBytes", "128m")
+        # v2 file-output committer: task commit places files directly, job
+        # commit is O(1) — v1's driver-side serial rename pass is Amdahl
+        # overhead that grows with task count (measured ~3% end-to-end at
+        # 96 output files, charged disproportionately to larger clusters).
+        # Safe for this engine: writes are overwrite-idempotent and
+        # resumability/atomicity live in the manifest layer
+        # (plans/checkpoints.py), not in commit renames.
+        .config("spark.hadoop.mapreduce.fileoutputcommitter.algorithm.version", "2")
         .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEM", default_mem))
         .getOrCreate()
     )

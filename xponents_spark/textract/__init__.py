@@ -110,16 +110,17 @@ def _drop_flagged_elements(doc: str) -> str:
     return "".join(out)
 
 
-def convert_document(payload: bytes) -> str:
+def convert_document(payload: bytes, doc_password: str | None = None) -> str:
     """XText-equivalent conversion dispatcher (doc-in -> text-out, the API
     shape of ConvertedDocument): PDF payloads go through the text-layer
     recovery (:mod:`.pdf`); DOCX/ODT/RTF through the office text recovery
     (:mod:`.office` — the Tika-class formats, pure stdlib); anything else
     charset-decodes and, when HTML-ish, scrubs boilerplate."""
-    return convert_document_kind(payload)[0]
+    return convert_document_kind(payload, doc_password)[0]
 
 
-def convert_document_kind(payload: bytes) -> tuple[str, str]:
+def convert_document_kind(payload: bytes,
+                          doc_password: str | None = None) -> tuple[str, str]:
     """(extracted text, sniffed kind) in ONE dispatch — the Spark batch
     stage needs both columns, and format detection (CFB DIFAT/FAT/dir
     parse in particular) must run once per payload, not once per output
@@ -154,7 +155,16 @@ def convert_document_kind(payload: bytes) -> tuple[str, str]:
         except Exception:
             names = set()
         if "WordDocument" in names:
-            return squeeze_whitespace(extract_doc_text(payload, reader=r)), "doc"
+            from .office import EncryptedDocError
+            try:
+                return squeeze_whitespace(
+                    extract_doc_text(payload, reader=r,
+                                     password=doc_password)), "doc"
+            except EncryptedDocError:
+                # a protected file must not fail the 100 TB task: degrade
+                # to empty text with a distinguishing kind so downstream
+                # audits can count (and optionally re-run with passwords)
+                return "", "doc-encrypted"
         if "Workbook" in names or "Book" in names:
             return squeeze_whitespace(extract_xls_text(payload, reader=r)), "xls"
     text = decode_bytes(payload)
@@ -195,11 +205,15 @@ def doc_kind(payload: bytes) -> str:
 
 
 def convert_binary_docs(df, payload_col: str = "payload",
-                        out_col: str = "text"):
+                        out_col: str = "text",
+                        doc_password: str | None = None):
     """Spark plumbing: binary payload column -> extracted text column plus
     conversion metadata (the reference's ConvertedDocument carries
     buffer/filesize/mime — BasicGeoTemporalProcessing.java:135-157) via one
-    Arrow-batched mapInPandas stage (no per-row Python UDF)."""
+    Arrow-batched mapInPandas stage (no per-row Python UDF).
+    ``doc_password``: job-level password for RC4-encrypted legacy .doc
+    payloads (rides the closure to every worker); files it does not open
+    degrade to kind='doc-encrypted' with empty text."""
     import pandas as pd
     from pyspark.sql import types as T
 
@@ -215,7 +229,7 @@ def convert_binary_docs(df, payload_col: str = "payload",
         for pdf in batches:
             payloads = pdf[payload_col].tolist()
             out = pdf[names].copy()
-            pairs = [convert_document_kind(p) for p in payloads]
+            pairs = [convert_document_kind(p, doc_password) for p in payloads]
             out[out_col] = [t for t, _ in pairs]
             out["doc_kind"] = [k for _, k in pairs]
             out["n_bytes"] = [len(p) if p is not None else 0 for p in payloads]

@@ -256,12 +256,81 @@ def is_doc(payload: bytes) -> bool:
         return False
 
 
-def extract_doc_text(payload: bytes, reader=None) -> str:
+class EncryptedDocError(ValueError):
+    """Encrypted legacy Office document: a password is required (or the
+    given password failed verification)."""
+
+
+def _rc4_stream(key: bytes, data: bytes) -> bytes:
+    """RC4 (pure python, stdlib only) — used ONLY to read/write the
+    legacy Office binary encryption ([MS-OFFCRYPTO] 2.3.6); RC4 is
+    obsolete as cryptography and appears here solely for format
+    compatibility."""
+    S = list(range(256))
+    j = 0
+    for i in range(256):
+        j = (j + S[i] + key[i % len(key)]) & 0xFF
+        S[i], S[j] = S[j], S[i]
+    out = bytearray(len(data))
+    i = j = 0
+    for n, byte in enumerate(data):
+        i = (i + 1) & 0xFF
+        j = (j + S[i]) & 0xFF
+        S[i], S[j] = S[j], S[i]
+        out[n] = byte ^ S[(S[i] + S[j]) & 0xFF]
+    return bytes(out)
+
+
+def _w97_block_key(password: str, salt: bytes, block: int) -> bytes:
+    """[MS-OFFCRYPTO] 2.3.6.2 key derivation for Office binary RC4:
+    H0 = MD5(UTF-16LE password); H1 = MD5((H0[:5] + salt) * 16);
+    block key = MD5(H1[:5] + LE32(block))[:16]."""
+    import hashlib
+    import struct
+    h0 = hashlib.md5(password.encode("utf-16-le")).digest()
+    h1 = hashlib.md5((h0[:5] + salt) * 16).digest()
+    return hashlib.md5(h1[:5] + struct.pack("<I", block)).digest()[:16]
+
+
+_W97_BLOCK = 512
+
+
+def _w97_crypt_stream(password: str, salt: bytes, data: bytes) -> bytes:
+    """En/decrypt a whole stream with 512-byte blockwise RC4 rekeying
+    (block number = offset // 512).  Symmetric."""
+    out = bytearray()
+    for b in range(0, len(data), _W97_BLOCK):
+        key = _w97_block_key(password, salt, b // _W97_BLOCK)
+        out += _rc4_stream(key, data[b:b + _W97_BLOCK])
+    return bytes(out)
+
+
+def _w97_verify(password: str, salt: bytes, enc_verifier: bytes,
+                enc_verifier_hash: bytes) -> bool:
+    """Password check: one block-0 RC4 stream over verifier+hash; valid
+    iff MD5(decrypted verifier) == decrypted hash."""
+    import hashlib
+    dec = _rc4_stream(_w97_block_key(password, salt, 0),
+                      enc_verifier + enc_verifier_hash)
+    return hashlib.md5(dec[:16]).digest() == dec[16:32]
+
+
+def extract_doc_text(payload: bytes, reader=None,
+                     password: str | None = None) -> str:
     """Word .doc text: FIB (fcClx/lcbClx at 0x01A2/0x01A6 for nFib 0x00C1)
     -> CLX in the 0Table/1Table stream -> PlcPcd pieces -> decode each
     piece (FcCompressed bit 30: set = cp1252 at fc/2, clear = UTF-16LE at
     fc).  Pass an existing ``CfbReader`` to avoid re-parsing the
-    container."""
+    container.
+
+    Round 4: RC4-encrypted documents (FibBase fEncrypted, the Word
+    97-2003 password encryption, [MS-DOC] 2.2.6.2 + [MS-OFFCRYPTO]
+    2.3.6) decrypt when ``password`` is given: the EncryptionHeader
+    (salt + verifier) sits at the head of the table stream, both streams
+    decrypt with 512-byte blockwise RC4 rekeying, and the plaintext
+    FibBase / header regions are preserved.  Raises
+    :class:`EncryptedDocError` without (or with a wrong) password.
+    XOR-obfuscated documents (fObfuscated) remain out of scope."""
     import struct
 
     from .cfb import CfbReader
@@ -272,9 +341,30 @@ def extract_doc_text(payload: bytes, reader=None) -> str:
         raise ValueError("not a Word binary document (bad FIB ident)")
     (flags,) = struct.unpack_from("<H", wd, 0x000A)
     tbl_name = "1Table" if flags & 0x0200 else "0Table"
+    tbl = r.read_stream(tbl_name)
+    if flags & 0x0100:                               # fEncrypted
+        if flags & 0x8000:
+            raise EncryptedDocError(
+                "XOR-obfuscated .doc not supported (fObfuscated)")
+        if password is None:
+            raise EncryptedDocError(
+                "encrypted .doc: password required "
+                "(extract_doc_text(..., password=...))")
+        v_major, v_minor = struct.unpack_from("<HH", tbl, 0)
+        if v_major != 1 or v_minor != 1:
+            raise EncryptedDocError(
+                f"unsupported .doc encryption version {v_major}.{v_minor} "
+                f"(only Office binary RC4 1.1; CryptoAPI is the "
+                f"reference's Tika territory)")
+        salt = tbl[4:20]
+        if not _w97_verify(password, salt, tbl[20:36], tbl[36:52]):
+            raise EncryptedDocError("wrong password for encrypted .doc")
+        # whole-stream blockwise decrypt, then restore the plaintext
+        # regions (FibBase; the table stream's EncryptionHeader)
+        wd = wd[:0x44] + _w97_crypt_stream(password, salt, wd)[0x44:]
+        tbl = tbl[:52] + _w97_crypt_stream(password, salt, tbl)[52:]
     (fc_clx,) = struct.unpack_from("<I", wd, 0x01A2)
     (lcb_clx,) = struct.unpack_from("<I", wd, 0x01A6)
-    tbl = r.read_stream(tbl_name)
     clx = tbl[fc_clx:fc_clx + lcb_clx]
 
     # skip Prc blocks (0x01 + cbGrpprl(2) + data) to the Pcdt (0x02)
@@ -338,6 +428,45 @@ def make_simple_doc(text: str) -> bytes:
     return write_cfb({"WordDocument": wd, "1Table": clx})
 
 
+def make_encrypted_doc(text: str, password: str) -> bytes:
+    """Word97 .doc with the Office binary RC4 password encryption
+    ([MS-DOC] 2.2.6.2 fEncrypted/lKey + [MS-OFFCRYPTO] 2.3.6 header/key
+    derivation): same document layout as make_simple_doc, table stream
+    prefixed with the 52-byte EncryptionHeader, both streams encrypted
+    with 512-byte blockwise RC4, plaintext FibBase/header preserved.
+    Deterministic (salt/verifier derive from the inputs)."""
+    import hashlib
+    import struct
+
+    from .cfb import write_cfb
+    body = text.replace("\n", "\r") + "\r"
+    raw = body.encode("utf-16-le")
+    n_cp = len(raw) // 2
+    fib = bytearray(1536)
+    struct.pack_into("<H", fib, 0, 0xA5EC)
+    struct.pack_into("<H", fib, 2, 0x00C1)
+    # fWhichTblStm | fEncrypted
+    struct.pack_into("<H", fib, 0x000A, 0x0200 | 0x0100)
+    struct.pack_into("<I", fib, 0x000E, 52)         # lKey: header size
+    struct.pack_into("<I", fib, 0x004C, n_cp)
+    fc_text = 2048
+    plc = struct.pack("<2I", 0, n_cp) + struct.pack("<HIH", 0, fc_text, 0)
+    clx = b"\x02" + struct.pack("<I", len(plc)) + plc
+    struct.pack_into("<I", fib, 0x01A2, 52)         # fcClx: after header
+    struct.pack_into("<I", fib, 0x01A6, len(clx))
+    wd = bytes(fib) + b"\x00" * (fc_text - len(fib)) + raw
+
+    salt = hashlib.md5(b"salt:" + text.encode("utf-8")[:64]).digest()
+    verifier = hashlib.md5(b"verifier:" + salt).digest()
+    enc_pair = _rc4_stream(_w97_block_key(password, salt, 0),
+                           verifier + hashlib.md5(verifier).digest())
+    header = struct.pack("<HH", 1, 1) + salt + enc_pair
+    tbl_plain = header + clx
+    wd_enc = wd[:0x44] + _w97_crypt_stream(password, salt, wd)[0x44:]
+    tbl_enc = header + _w97_crypt_stream(password, salt, tbl_plain)[52:]
+    return write_cfb({"WordDocument": wd_enc, "1Table": tbl_enc})
+
+
 # --- legacy binary Office: Excel .xls (BIFF8) --------------------------------
 
 def is_xls(payload: bytes) -> bool:
@@ -375,12 +504,95 @@ def _biff_string(buf: bytes, off: int) -> tuple[str, int]:
     return s, p - off
 
 
+class _SstCursor:
+    """Cursor over the SST record's data plus its Continue records.
+
+    [MS-XLS] 2.5.293: a string's CHARACTER ARRAY may split across a
+    Continue boundary (only at a character boundary), and each
+    continuation re-emits ONE option byte (fHighByte) — the encoding may
+    switch mid-string.  Fixed-width headers (cch/flags/run counts) do not
+    split.  The cursor reads scalar fields within the current segment and
+    character data across segments with the re-flag rule."""
+
+    def __init__(self, segments: list[bytes]):
+        self.segs = segments
+        self.si = 0
+        self.off = 0
+
+    def _seg_advance(self) -> None:
+        while self.si < len(self.segs) and self.off >= len(self.segs[self.si]):
+            self.si += 1
+            self.off = 0
+
+    def exhausted(self) -> bool:
+        self._seg_advance()
+        return self.si >= len(self.segs)
+
+    def read_fixed(self, n: int) -> bytes:
+        """Scalar field: never splits; if the current segment lacks n
+        bytes, the field starts in the next segment."""
+        self._seg_advance()
+        seg = self.segs[self.si]
+        if self.off + n > len(seg):
+            self.si += 1
+            self.off = 0
+            seg = self.segs[self.si]
+        b = seg[self.off:self.off + n]
+        self.off += n
+        return b
+
+    def read_chars(self, cch: int, high: bool) -> str:
+        """Character array: splits at character boundaries; EVERY segment
+        crossing while inside the array re-emits one option byte — even
+        when the crossing happens before the first character (header at
+        the exact end of the previous record)."""
+        out: list[str] = []
+        while cch > 0:
+            crossed = False
+            while self.si < len(self.segs) \
+                    and self.off >= len(self.segs[self.si]):
+                self.si += 1
+                self.off = 0
+                crossed = True
+            if self.si >= len(self.segs):
+                break                                # truncated: stop
+            seg = self.segs[self.si]
+            if crossed:
+                high = bool(seg[self.off] & 0x01)    # re-emitted flags
+                self.off += 1
+                continue                             # (segment may be tiny)
+            width = 2 if high else 1
+            avail = (len(seg) - self.off) // width
+            take = min(cch, avail)
+            if take == 0:            # malformed partial char: skip to next
+                self.off = len(seg)  # segment (writer never produces this)
+                continue
+            raw = seg[self.off:self.off + take * width]
+            out.append(raw.decode("utf-16-le" if high else "latin-1",
+                                  errors="replace"))
+            self.off += take * width
+            cch -= take
+        return "".join(out)
+
+    def skip(self, n: int) -> None:
+        """Rich-run / ext-data bytes: may span segments, no re-flag."""
+        while n > 0:
+            self._seg_advance()
+            if self.si >= len(self.segs):
+                return
+            seg = self.segs[self.si]
+            take = min(n, len(seg) - self.off)
+            self.off += take
+            n -= take
+
+
 def extract_xls_text(payload: bytes, reader=None) -> str:
     """BIFF8 text recovery: walk the Workbook stream's (opcode, length)
     records, collect SST shared strings and inline LABEL strings, one
     line per string (text content in SST order — the text-recovery
-    contract, not a cell-grid reconstruction).  Continue-record splits of
-    giant SSTs are out of scope (documented)."""
+    contract, not a cell-grid reconstruction).  Round 4: giant SSTs that
+    spill into Continue records (0x003C) parse fully, including strings
+    split at a record boundary with the re-emitted option byte."""
     import struct
 
     from .cfb import CfbReader
@@ -394,15 +606,29 @@ def extract_xls_text(payload: bytes, reader=None) -> str:
         i += 4
         rec = buf[i:i + ln]
         i += ln
-        if opcode == 0x00FC and ln >= 8:          # SST
+        if opcode == 0x00FC and ln >= 8:          # SST (+ Continue chain)
+            segments = [rec[8:]]
+            while i + 4 <= len(buf):
+                nop, nln = struct.unpack_from("<HH", buf, i)
+                if nop != 0x003C:                 # Continue
+                    break
+                segments.append(buf[i + 4:i + 4 + nln])
+                i += 4 + nln
             (_total, unique) = struct.unpack_from("<2i", rec, 0)
-            p = 8
+            cur = _SstCursor(segments)
             for _ in range(unique):
-                if p + 3 > len(rec):
-                    break             # Continue-split SST: stop honestly
-                s, used = _biff_string(rec, p)
-                out.append(s)
-                p += used
+                if cur.exhausted():
+                    break
+                (cch,) = struct.unpack_from("<H", cur.read_fixed(2))
+                flags = cur.read_fixed(1)[0]
+                c_run = 0
+                cb_ext = 0
+                if flags & 0x08:                  # fRichSt
+                    (c_run,) = struct.unpack_from("<H", cur.read_fixed(2))
+                if flags & 0x04:                  # fExtSt
+                    (cb_ext,) = struct.unpack_from("<i", cur.read_fixed(4))
+                out.append(cur.read_chars(cch, bool(flags & 0x01)))
+                cur.skip(4 * c_run + cb_ext)
         elif opcode == 0x0204 and ln >= 9:        # LABEL (inline string)
             s, _used = _biff_string(rec, 6)
             out.append(s)
@@ -411,9 +637,15 @@ def extract_xls_text(payload: bytes, reader=None) -> str:
     return "\n".join(out)
 
 
-def make_simple_xls(text: str) -> bytes:
-    """Minimal BIFF8 workbook: BOF + SST (one shared string per input
-    line, UTF-16) + EOF in a CFB 'Workbook' stream."""
+def make_simple_xls(text: str, max_record: int = 8224) -> bytes:
+    """Minimal BIFF8 workbook: BOF + SST + EOF in a CFB 'Workbook' stream.
+
+    SST data larger than ``max_record`` (the BIFF8 record cap, [MS-XLS]
+    2.1.4) spills into spec-conformant Continue records: strings split
+    only at character boundaries and each continuation re-emits the
+    one-byte option flags.  Strings are compressed (latin-1) when all
+    code points fit a byte, UTF-16 otherwise — so a long mixed corpus
+    exercises encoding switches at record boundaries."""
     import struct
 
     from .cfb import write_cfb
@@ -423,11 +655,33 @@ def make_simple_xls(text: str) -> bytes:
         return struct.pack("<HH", opcode, len(body)) + body
 
     bof = rec(0x0809, struct.pack("<HHHHII", 0x0600, 0x0005, 0, 0, 0, 0))
-    sst_body = struct.pack("<2i", len(lines), len(lines))
+
+    segs: list[bytearray] = [bytearray(struct.pack("<2i", len(lines),
+                                                   len(lines)))]
     for ln in lines:
-        raw = ln.encode("utf-16-le")
-        # cch is UTF-16 code units (astral chars = 2), not code points
-        sst_body += struct.pack("<HB", len(raw) // 2, 0x01) + raw
-    sst = rec(0x00FC, sst_body)
+        high = any(ord(c) > 0xFF for c in ln)
+        raw = ln.encode("utf-16-le") if high else ln.encode("latin-1")
+        width = 2 if high else 1
+        flags = 0x01 if high else 0x00
+        # cch is UTF-16 code units for high strings (astral chars = 2)
+        header = struct.pack("<HB", len(raw) // width, flags)
+        if len(segs[-1]) + len(header) > max_record:
+            segs.append(bytearray())        # headers never split
+        segs[-1] += header
+        pos = 0
+        while pos < len(raw):
+            space = (max_record - len(segs[-1])) // width
+            if space == 0:
+                segs.append(bytearray([flags]))   # re-emitted option byte
+                continue
+            take = min(space * width, len(raw) - pos)
+            segs[-1] += raw[pos:pos + take]
+            pos += take
+            if pos < len(raw):
+                segs.append(bytearray([flags]))
+
+    body = rec(0x00FC, bytes(segs[0]))
+    for cont in segs[1:]:
+        body += rec(0x003C, bytes(cont))
     eof = rec(0x000A, b"")
-    return write_cfb({"Workbook": bof + sst + eof})
+    return write_cfb({"Workbook": bof + body + eof})
