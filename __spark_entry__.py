@@ -681,6 +681,29 @@ def q_ann_planted_recall(spark, sf_dir):
         "n_truth INT, ivf_meets_floor BOOLEAN, lsh_meets_floor BOOLEAN")
 
 
+def q_ann_ivf_indexed_consistency(spark, sf_dir):
+    """Persisted-IVF-index consistency (the 100 TB layout: corpus written
+    once partitioned by list_id + centroid sidecar; queries prune to
+    nprobe partition directories): the indexed query must return EXACTLY
+    the in-memory IVF result for the same centroids.  Violations empty."""
+    import tempfile
+
+    from xponents_spark.operators.similarity import (build_ivf_index,
+                                                     cosine_topk_ivf,
+                                                     cosine_topk_ivf_indexed)
+    qs = _queries_from(spark, sf_dir)
+    emb = _emb(spark, sf_dir)
+    path = tempfile.mkdtemp(prefix="ivf_gate_") + "/index"
+    centroids = build_ivf_index(emb, path, n_centroids=32)
+    a = (cosine_topk_ivf_indexed(spark, path, qs, k=5, nprobe=8)
+         .select("query_id", "vec_id", "rank"))
+    b = (cosine_topk_ivf(emb, qs, k=5, n_centroids=32, nprobe=8,
+                         centroids=centroids)
+         .select("query_id", "vec_id", "rank"))
+    return (a.exceptAll(b).unionByName(b.exceptAll(a))
+            .withColumn("violation", F.lit("indexed-vs-memory-mismatch")))
+
+
 def q_embedding_near_dup_sound(spark, sf_dir):
     """Soundness of the LSH+verify near-dup: every emitted pair really has
     exact cosine >= threshold (recomputed from raw embeddings)."""
@@ -756,6 +779,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_lsh_recall_floor": q_ann_lsh_floor,
         "ann_ivf_recall_floor": q_ann_ivf_floor,
         "ann_planted_recall": q_ann_planted_recall,
+        "ann_ivf_indexed_consistency": q_ann_ivf_indexed_consistency,
         "embedding_near_dup_sound": q_embedding_near_dup_sound,
     }
 
@@ -848,4 +872,5 @@ def oracle_sql() -> dict[str, str]:
         "ann_planted_recall": ("SELECT 50 AS n_truth, true AS ivf_meets_floor, "
                                "true AS lsh_meets_floor"),
         "embedding_near_dup_sound": O.EMPTY_VEC_VIOLATIONS,
+        "ann_ivf_indexed_consistency": O.EMPTY_IVF_VIOLATIONS,
     }

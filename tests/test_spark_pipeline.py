@@ -940,3 +940,33 @@ def test_encrypted_doc_rc4():
     # the Spark conversion stage degrades instead of failing the task
     assert convert_document_kind(enc) == ("", "doc-encrypted")
     assert convert_document_kind(enc, "pw") == ("top secret", "doc")
+
+
+def test_ivf_persisted_index(spark, sf_dir, tmp_path):
+    """Persisted IVF layout: corpus partitioned by list_id + centroid
+    sidecar; indexed query equals in-memory IVF with the same centroids,
+    and the probed scan plans with a list_id partition filter (the
+    pruning that makes query cost independent of corpus size)."""
+    from pyspark.sql import functions as F
+
+    from xponents_spark.operators.similarity import (build_ivf_index,
+                                                     cosine_topk_ivf,
+                                                     cosine_topk_ivf_indexed)
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    qs = [(int(r["vec_id"]), list(r["embedding"]))
+          for r in emb.filter("vec_id < 5").collect()]
+    path = str(tmp_path / "ivf_index")
+    centroids = build_ivf_index(emb, path, n_centroids=8)
+    import os
+    assert os.path.exists(f"{path}/_centroids.npy")
+    assert any(d.startswith("list_id=") for d in os.listdir(path))
+
+    got = cosine_topk_ivf_indexed(spark, path, qs, k=5, nprobe=3)
+    want = cosine_topk_ivf(emb, qs, k=5, nprobe=3, centroids=centroids)
+    a = sorted(map(tuple, got.select("query_id", "vec_id", "rank").collect()))
+    b = sorted(map(tuple, want.select("query_id", "vec_id", "rank").collect()))
+    assert a == b and len(a) == 25
+
+    plan = got._jdf.queryExecution().executedPlan().toString()
+    assert "PartitionFilters" in plan and "list_id" in plan

@@ -229,6 +229,17 @@ def cosine_topk_lsh(df: DataFrame, queries: list[tuple[int, list[float]]],
 
 
 # --- IVF (inverted-file) ANN: the coarse-quantizer scale path ----------------
+#
+# Two forms:
+#   * in-memory (cosine_topk_ivf): centroids train per call, assignment is
+#     a throwaway column — right for ad-hoc queries;
+#   * PERSISTED INDEX (build_ivf_index / cosine_topk_ivf_indexed): the
+#     corpus is written ONCE partitioned by list_id with the centroid
+#     matrix as a sidecar; a query then reads exactly its nprobe partition
+#     directories (Spark partition pruning on the scan — no full-corpus
+#     pass, no assignment recompute).  This is the 100 TB layout the
+#     cosine_topk_ivf docstring promises: search cost scales with
+#     corpus/n_centroids x nprobe regardless of corpus size.
 
 def train_ivf_centroids(df: DataFrame, n_centroids: int = 16,
                         sample: int = 2048, iters: int = 10, seed: int = 42,
@@ -276,6 +287,77 @@ def ivf_assign(df: DataFrame, centroids: np.ndarray,
             yield pd.DataFrame({id_col: pdf[id_col], "list_id": lists})
 
     return df.select(id_col, vec_col).mapInPandas(run, schema=schema)
+
+
+def build_ivf_index(df: DataFrame, path: str, n_centroids: int = 16,
+                    id_col: str = "vec_id", vec_col: str = "embedding",
+                    sample: int = 2048, iters: int = 10,
+                    seed: int = 42) -> np.ndarray:
+    """One-off index build: train the coarse quantizer, assign every
+    vector, write the corpus PHYSICALLY PARTITIONED by ``list_id`` with
+    the centroid matrix as a numpy sidecar.  At 100 TB this is one
+    bounded-sample train + one assignment pass + one partitioned write;
+    every later query prunes to its nprobe partition directories."""
+    import json as _json
+    import os as _os
+    centroids = train_ivf_centroids(df, n_centroids, sample=sample,
+                                    iters=iters, seed=seed,
+                                    id_col=id_col, vec_col=vec_col)
+    assigned = df.join(ivf_assign(df, centroids, id_col, vec_col), id_col)
+    (assigned.repartition("list_id")
+             .write.mode("overwrite").partitionBy("list_id").parquet(path))
+    np.save(_os.path.join(path, "_centroids.npy"), centroids)
+    with open(_os.path.join(path, "_ivf_meta.json"), "w") as fh:
+        _json.dump({"n_centroids": int(len(centroids)),
+                    "dim": int(centroids.shape[1]),
+                    "id_col": id_col, "vec_col": vec_col}, fh)
+    return centroids
+
+
+def cosine_topk_ivf_indexed(spark, path: str,
+                            queries: list[tuple[int, list[float]]],
+                            k: int = 5, nprobe: int = 4) -> DataFrame:
+    """Query a persisted IVF index: rank the sidecar centroids driver-side
+    (k x dim numpy — microseconds), then scan ONLY the union of every
+    query's nprobe ``list_id=`` partition directories; the list_id filter
+    reaches the parquet scan as a partition filter, so the other
+    partitions are never read.  Brute-force within candidates, same
+    ranked-output contract as cosine_topk_ivf."""
+    import json as _json
+    import os as _os
+    centroids = np.load(_os.path.join(path, "_centroids.npy"))
+    with open(_os.path.join(path, "_ivf_meta.json")) as fh:
+        meta = _json.load(fh)
+    id_col, vec_col = meta["id_col"], meta["vec_col"]
+    probe_rows = []
+    qmap = {}
+    for qid, vec in queries:
+        q = _unit(np.array([vec], dtype=np.float64))[0]
+        qmap[qid] = q
+        for c in np.argsort(-(centroids @ q))[:nprobe]:
+            probe_rows.append((qid, int(c)))
+    lists = sorted({c for _q, c in probe_rows})
+    corpus = (spark.read.parquet(path)
+              .filter(F.col("list_id").isin(lists)))     # partition pruning
+    probe_df = spark.createDataFrame(probe_rows, ["query_id", "list_id"])
+    candidates = (corpus.join(F.broadcast(probe_df), "list_id")
+                        .select("query_id", id_col, vec_col))
+
+    def score(batches):
+        for pdf in batches:
+            mat = _unit(np.array(pdf[vec_col].tolist(), dtype=np.float64))
+            qarr = np.array([qmap[q] for q in pdf["query_id"]])
+            yield pd.DataFrame({"query_id": pdf["query_id"],
+                                "vec_id": pdf[id_col],
+                                "sim": (qarr * mat).sum(axis=1)})
+
+    scored = candidates.mapInPandas(score, schema=_PAIR_SCHEMA)
+    return (scored
+            .filter(F.col("vec_id") != F.col("query_id"))
+            .withColumn("rank", F.row_number().over(
+                Window.partitionBy("query_id")
+                      .orderBy(F.col("sim").desc(), F.col("vec_id").asc())))
+            .filter(F.col("rank") <= k))
 
 
 def cosine_topk_ivf(df: DataFrame, queries: list[tuple[int, list[float]]],

@@ -559,6 +559,12 @@ SELECT CAST(NULL AS BIGINT) AS vec_a, CAST(NULL AS BIGINT) AS vec_b,
        CAST(NULL AS VARCHAR) AS violation WHERE false
 """
 
+EMPTY_IVF_VIOLATIONS = """
+SELECT CAST(NULL AS BIGINT) AS query_id, CAST(NULL AS BIGINT) AS vec_id,
+       CAST(NULL AS INTEGER) AS rank, CAST(NULL AS VARCHAR) AS violation
+WHERE false
+"""
+
 
 # survivor selection: components over chained identical-doc pairs must equal
 # the md5 grouping (min doc_id per group survives)
