@@ -159,7 +159,25 @@ def bench_extraction_prebucketed(spark, turns_per_doc: int) -> dict:
     out_dir = _out_dir()
     try:
         t = synthesize_transcripts(spark, SF_DIR, turns_per_doc=turns_per_doc)
-        write_bucketed(t, in_dir, buckets=max(par * 2, 8))     # untimed ETL
+        # buckets = 8x cores: conv-keyed buckets balance WORK only by the
+        # law of large numbers (payload density varies per conversation) —
+        # measured at sf0.1: 64 buckets ran 11% behind the salted path on
+        # straggler tail, 256 reached parity.  The table-design rule this
+        # encodes: bucket counts should target file-sized units well above
+        # the cluster's core count, exactly Iceberg's guidance.
+        write_bucketed(t, in_dir, buckets=max(par * 8, 8))     # untimed ETL
+        # split granularity: at cluster scale bucket files are >=128 MB and
+        # one file = one+ tasks; at bench scale they are ~1 MB and Spark's
+        # small-file packing (openCostInBytes floor) would coalesce 64
+        # buckets into ~12 tasks, halving map parallelism — emulate the
+        # real-file-size regime by sizing splits to the actual bytes
+        total_bytes = sum(
+            os.path.getsize(os.path.join(dp, f))
+            for dp, _dirs, fs in os.walk(in_dir)
+            for f in fs if f.endswith(".parquet"))
+        spark.conf.set("spark.sql.files.maxPartitionBytes",
+                       str(max(total_bytes // (par * 2), 1 << 20)))
+        spark.conf.set("spark.sql.files.openCostInBytes", "65536")
         src, meta = read_bucketed(spark, in_dir)
         n = src.count()
 
@@ -179,6 +197,8 @@ def bench_extraction_prebucketed(spark, turns_per_doc: int) -> dict:
                 "salted_same_source_sec": round(best_s, 3),
                 "exchange_cost_sec": round(best_s - best0, 3)}
     finally:
+        spark.conf.unset("spark.sql.files.maxPartitionBytes")
+        spark.conf.unset("spark.sql.files.openCostInBytes")
         shutil.rmtree(in_dir, ignore_errors=True)
         shutil.rmtree(out_dir, ignore_errors=True)
 
