@@ -347,6 +347,16 @@ def q_gif_roundtrip(spark, sf_dir):
     return _image_text_roundtrip(spark, sf_dir, make_text_gif, decode_text_gif)
 
 
+def q_png_roundtrip(spark, sf_dir):
+    """PNG decode slot made REAL (round 4 — the #1 format a crawl
+    pipeline hits): DEFLATE via stdlib zlib + full filter reconstruction;
+    two-way pixel-exact conformance vs Java ImageIO pinned in pytest;
+    here the driver gates losslessness over every document's bytes."""
+    from xponents_spark.operators.multimodal import (decode_text_png,
+                                                     make_text_png)
+    return _image_text_roundtrip(spark, sf_dir, make_text_png, decode_text_png)
+
+
 def q_bmp_roundtrip(spark, sf_dir):
     """Uncompressed 24-bit BMP counterpart of the GIF roundtrip."""
     from xponents_spark.operators.multimodal import (decode_text_bmp,
@@ -748,6 +758,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "encrypted_doc_recovery": q_encrypted_doc_roundtrip,
         "gif_text_recovery": q_gif_roundtrip,
         "bmp_text_recovery": q_bmp_roundtrip,
+        "png_text_recovery": q_png_roundtrip,
         "exact_dedup": q_exact_dedup,
         "prefix_dedup": q_prefix_dedup,
         "token_stats": q_token_stats,
@@ -843,6 +854,7 @@ def oracle_sql() -> dict[str, str]:
         "encrypted_doc_recovery": "SELECT doc_id, text FROM documents",
         "gif_text_recovery": "SELECT doc_id, text FROM documents",
         "bmp_text_recovery": "SELECT doc_id, text FROM documents",
+        "png_text_recovery": "SELECT doc_id, text FROM documents",
         "exact_dedup": O.EXACT_DEDUP_ORACLE,
         "prefix_dedup": O.PREFIX_DEDUP_ORACLE,
         "token_stats": O.TOKEN_STATS_ORACLE,

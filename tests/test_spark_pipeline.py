@@ -191,14 +191,16 @@ def test_multimodal_plumbing(spark):
     assert f1 == f2
     frames = sample_frames(media.filter("meta.duration_ms IS NOT NULL")).collect()
     assert len(frames) == 4 * 1 + 4 * 3   # 4 wavs x 1 + 4 videos x 3
-    # real decode works on codec-free mimes, raises on compressed ones
+    # real decode works on supported mimes (PNG is real since round 4),
+    # strict mode raises on the remaining ffmpeg slot (video/mp4)
     real = extract_media_features(
-        media.filter("meta.mime IN ('image/x-portable-pixmap', 'audio/wav')"),
+        media.filter("meta.mime IN ('image/x-portable-pixmap', "
+                     "'audio/wav', 'image/png')"),
         decoder="real").collect()
-    assert len(real) == 8 and all(len(r["features"]) == 16 for r in real)
+    assert len(real) == 12 and all(len(r["features"]) == 16 for r in real)
     import pytest as _pytest
     with _pytest.raises(Exception):
-        extract_media_features(media.filter("meta.mime = 'image/png'"),
+        extract_media_features(media.filter("meta.mime = 'video/mp4'"),
                                decoder="real").collect()
 
 
@@ -970,3 +972,63 @@ def test_ivf_persisted_index(spark, sf_dir, tmp_path):
 
     plan = got._jdf.queryExecution().executedPlan().toString()
     assert "PartitionFilters" in plan and "list_id" in plan
+
+
+def test_png_codec_roundtrip_and_conformance(tmp_path):
+    """Real PNG decode (stdlib zlib + filter reconstruction): text/pixel
+    roundtrips exact, and TWO-WAY conformance vs Java ImageIO — ImageIO
+    decodes our PNG to the same pixels, and our decoder pixel-exactly
+    reads a PNG written by ImageIO's encoder (real filter selection:
+    Sub/Up/Paeth chosen per row).  Skips without a JDK."""
+    import shutil as _shutil
+    import subprocess
+
+    import numpy as np
+    import pytest as _pytest
+
+    from xponents_spark.operators.multimodal import (decode_png,
+                                                     decode_text_png,
+                                                     make_png,
+                                                     make_text_png)
+
+    for t in ("", "hello", "héllo wörld ✓", "x" * 300_000):
+        assert decode_text_png(make_text_png(t)) == t
+    img = decode_png(make_png(33, 17, seed=5))
+    y, x = np.mgrid[0:17, 0:33]
+    exp = np.dstack([(x * 7 + 5) % 256, (y * 11 + 15) % 256,
+                     ((x + y) * 5 + 35) % 256]).astype(np.uint8)
+    assert np.array_equal(img, exp)
+
+    if not (_shutil.which("javac") and _shutil.which("java")):
+        _pytest.skip("no JDK in environment")
+    (tmp_path / "ours.png").write_bytes(make_png(16, 8, seed=9))
+    (tmp_path / "PngCheck.java").write_text(
+        'import javax.imageio.ImageIO;\n'
+        'import java.awt.image.BufferedImage;\n'
+        'import java.io.File;\n'
+        'public class PngCheck { public static void main(String[] a)'
+        ' throws Exception {\n'
+        '  BufferedImage img = ImageIO.read(new File("ours.png"));\n'
+        '  long s = 0;\n'
+        '  for (int y = 0; y < img.getHeight(); y++)\n'
+        '    for (int x = 0; x < img.getWidth(); x++)\n'
+        '      s += (img.getRGB(x, y) >> 16) & 0xFF;\n'
+        '  System.out.println(s);\n'
+        '  BufferedImage o = new BufferedImage(61, 37,'
+        ' BufferedImage.TYPE_INT_RGB);\n'
+        '  for (int y = 0; y < 37; y++)\n'
+        '    for (int x = 0; x < 61; x++)\n'
+        '      o.setRGB(x, y, (((x*13+y*7)%256) << 16) |'
+        ' (((x*3+y*31)%256) << 8) | ((x*x+y)%256));\n'
+        '  ImageIO.write(o, "png", new File("java.png"));\n'
+        '}}\n')
+    subprocess.run(["javac", "PngCheck.java"], cwd=tmp_path, check=True)
+    out = subprocess.run(["java", "PngCheck"], cwd=tmp_path, check=True,
+                         capture_output=True, text=True)
+    ours = decode_png((tmp_path / "ours.png").read_bytes())
+    assert out.stdout.strip() == str(int(ours[:, :, 0].astype(np.int64).sum()))
+    j = decode_png((tmp_path / "java.png").read_bytes())
+    y, x = np.mgrid[0:37, 0:61]
+    exp = np.dstack([(x * 13 + y * 7) % 256, (x * 3 + y * 31) % 256,
+                     (x * x + y) % 256]).astype(np.uint8)
+    assert np.array_equal(j, exp)

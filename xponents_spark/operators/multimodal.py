@@ -42,7 +42,7 @@ MEDIA_SCHEMA = T.StructType([
 _FEATURE_DIM = 16
 
 _REAL_MIMES = ("image/x-portable-pixmap", "audio/wav", "audio/x-wav",
-               "image/bmp", "image/gif")
+               "image/bmp", "image/gif", "image/png")
 
 
 # --- real codec-free decoders -----------------------------------------------
@@ -148,6 +148,160 @@ def decode_bmp(payload: bytes) -> np.ndarray:
                         offset=off).reshape(h, stride)[:, :w * 3]
     img = arr.reshape(h, w, 3)[:, :, ::-1]     # BGR -> RGB
     return np.ascontiguousarray(img if top_down else img[::-1])
+
+
+# --- PNG: REAL decode via stdlib zlib (DEFLATE) + filter reconstruction ---
+
+_PNG_SIG = b"\x89PNG\r\n\x1a\n"
+
+
+def _png_chunk(tag: bytes, body: bytes) -> bytes:
+    import struct
+    import zlib as _z
+    return (struct.pack(">I", len(body)) + tag + body
+            + struct.pack(">I", _z.crc32(tag + body) & 0xFFFFFFFF))
+
+
+def make_png(width: int, height: int, seed: int = 0,
+             pixels: np.ndarray | None = None) -> bytes:
+    """Deterministic 8-bit truecolor PNG: IHDR + zlib-compressed IDAT
+    (filter 0 rows) + IEND with correct CRCs.  Same seeded gradient as
+    make_ppm, or caller-supplied RGB ``pixels`` (h, w, 3)."""
+    import struct
+    import zlib as _z
+    if pixels is None:
+        y, x = np.mgrid[0:height, 0:width]
+        r = ((x * 7 + seed) % 256).astype(np.uint8)
+        g = ((y * 11 + seed * 3) % 256).astype(np.uint8)
+        b = (((x + y) * 5 + seed * 7) % 256).astype(np.uint8)
+        pixels = np.dstack([r, g, b])
+    h, w = pixels.shape[:2]
+    ihdr = struct.pack(">IIBBBBB", w, h, 8, 2, 0, 0, 0)   # 8-bit RGB
+    rows = b"".join(b"\x00" + row.tobytes() for row in pixels)
+    return (_PNG_SIG + _png_chunk(b"IHDR", ihdr)
+            + _png_chunk(b"IDAT", _z.compress(rows, 6))
+            + _png_chunk(b"IEND", b""))
+
+
+def _png_unfilter(raw: bytes, w: int, h: int, bpp: int,
+                  stride: int) -> np.ndarray:
+    """Undo PNG row filters (None/Sub/Up/Average/Paeth) -> flat scanline
+    bytes.  Up is vectorized; Sub/Average/Paeth carry a left-dependency
+    and walk the row (int lists — ~2x faster than numpy item access)."""
+    out = np.zeros((h, stride), dtype=np.uint8)
+    pos = 0
+    prev = np.zeros(stride, dtype=np.uint8)
+    for y in range(h):
+        ftype = raw[pos]
+        pos += 1
+        line = np.frombuffer(raw, dtype=np.uint8, count=stride,
+                             offset=pos).copy()
+        pos += stride
+        if ftype == 0:
+            pass
+        elif ftype == 2:                       # Up
+            line += prev
+        elif ftype in (1, 3, 4):
+            cur = line.tolist()
+            pr = prev.tolist()
+            if ftype == 1:                     # Sub
+                for i in range(bpp, stride):
+                    cur[i] = (cur[i] + cur[i - bpp]) & 0xFF
+            elif ftype == 3:                   # Average
+                for i in range(stride):
+                    left = cur[i - bpp] if i >= bpp else 0
+                    cur[i] = (cur[i] + ((left + pr[i]) >> 1)) & 0xFF
+            else:                              # Paeth
+                for i in range(stride):
+                    a = cur[i - bpp] if i >= bpp else 0
+                    b = pr[i]
+                    c = pr[i - bpp] if i >= bpp else 0
+                    p = a + b - c
+                    pa, pb, pc = abs(p - a), abs(p - b), abs(p - c)
+                    pred = a if (pa <= pb and pa <= pc) else \
+                        (b if pb <= pc else c)
+                    cur[i] = (cur[i] + pred) & 0xFF
+            line = np.asarray(cur, dtype=np.uint8)
+        else:
+            raise ValueError(f"unknown PNG filter type {ftype}")
+        out[y] = line
+        prev = line
+    return out
+
+
+def decode_png(payload: bytes) -> np.ndarray:
+    """PNG -> uint8 RGB (h, w, 3).  Real decode: chunk walk, zlib
+    inflate, full filter reconstruction (all 5 types), color types
+    0 (gray), 2 (RGB), 3 (palette), 4 (gray+alpha), 6 (RGBA) at 8-bit
+    depth; alpha is dropped for the RGB contract.  Interlaced (Adam7)
+    and 16-bit images raise — stated bounds, not silent corruption."""
+    import struct
+    import zlib as _z
+    if not payload or not payload.startswith(_PNG_SIG):
+        raise ValueError("not a PNG payload")
+    i = 8
+    w = h = None
+    depth = ctype = interlace = None
+    palette = None
+    idat = bytearray()
+    while i + 8 <= len(payload):
+        (ln,) = struct.unpack_from(">I", payload, i)
+        tag = payload[i + 4:i + 8]
+        body = payload[i + 8:i + 8 + ln]
+        i += 12 + ln
+        if tag == b"IHDR":
+            w, h, depth, ctype, _comp, _filt, interlace = \
+                struct.unpack(">IIBBBBB", body)
+        elif tag == b"PLTE":
+            palette = np.frombuffer(body, dtype=np.uint8).reshape(-1, 3)
+        elif tag == b"IDAT":
+            idat += body
+        elif tag == b"IEND":
+            break
+    if w is None:
+        raise ValueError("PNG has no IHDR")
+    if depth != 8:
+        raise ValueError(f"PNG bit depth {depth} not supported (8 only)")
+    if interlace:
+        raise ValueError("interlaced (Adam7) PNG not supported")
+    channels = {0: 1, 2: 3, 3: 1, 4: 2, 6: 4}.get(ctype)
+    if channels is None:
+        raise ValueError(f"PNG color type {ctype} not supported")
+    raw = _z.decompress(bytes(idat))
+    stride = w * channels
+    if len(raw) != h * (stride + 1):
+        raise ValueError("PNG pixel data length mismatch")
+    flat = _png_unfilter(raw, w, h, channels, stride)
+    img = flat.reshape(h, w, channels)
+    if ctype == 3:
+        if palette is None:
+            raise ValueError("palette PNG without PLTE")
+        return palette[img[:, :, 0]]
+    if ctype == 0:
+        return np.repeat(img, 3, axis=2)
+    if ctype == 4:
+        return np.repeat(img[:, :, :1], 3, axis=2)
+    if ctype == 6:
+        return np.ascontiguousarray(img[:, :, :3])
+    return img
+
+
+def make_text_png(text: str) -> bytes:
+    """UTF-8 text packed into PNG RGB triplets (4-byte length prefix) —
+    the DEFLATE-compressed counterpart of make_text_gif's LZW."""
+    data = text.encode("utf-8")
+    data = len(data).to_bytes(4, "big") + data
+    width = 256
+    height = max(1, -(-len(data) // (width * 3)))
+    data = data.ljust(width * height * 3, b"\x00")
+    img = np.frombuffer(data, dtype=np.uint8).reshape(height, width, 3)
+    return make_png(width, height, pixels=img)
+
+
+def decode_text_png(payload: bytes) -> str:
+    raw = decode_png(payload).tobytes()
+    n = int.from_bytes(raw[:4], "big")
+    return raw[4:4 + n].decode("utf-8")
 
 
 # --- GIF87a: a REAL compressed format, pure-python LZW --------------------
@@ -476,13 +630,15 @@ def _real_decode(payload: bytes, mime: str, dim: int) -> list[float]:
         return image_features(decode_bmp(payload), dim)
     if mime == "image/gif":
         return image_features(decode_gif(payload), dim)
+    if mime == "image/png":
+        return image_features(decode_png(payload), dim)
     if mime in ("audio/wav", "audio/x-wav"):
         return audio_features(*decode_wav(payload), dim=dim)
     raise NotImplementedError(
         f"decode for {mime!r} requires PIL/ffmpeg — not in this container; "
         f"supported formats ({', '.join(_REAL_MIMES)}) decode for real "
-        f"(incl. GIF87a's LZW compression, pure python), "
-        f"or use decoder='fake' for plumbing tests")
+        f"(incl. PNG's DEFLATE and GIF87a's LZW compression, pure "
+        f"python/stdlib), or use decoder='fake' for plumbing tests")
 
 
 def extract_media_features(df: DataFrame, decoder: str = "auto",
@@ -587,8 +743,9 @@ def sample_frames(df: DataFrame, every_ms: int = 1000,
 
 
 def make_fake_media(spark, n: int = 32) -> DataFrame:
-    """Deterministic media table: half REAL decodable payloads (PPM
-    images, WAV tones), half opaque compressed-format stand-ins."""
+    """Deterministic media table: PPM images, WAV tones, and (since
+    round 4) real PNGs — all genuinely decodable — plus opaque video/mp4
+    stand-ins for the remaining ffmpeg slot."""
     rows = []
     for i in range(n):
         kind = i % 4
@@ -601,8 +758,8 @@ def make_fake_media(spark, n: int = 32) -> DataFrame:
             meta = {"mime": "audio/wav", "width": None, "height": None,
                     "duration_ms": 250}
         elif kind == 2:
-            payload = bytes([(i * 37 + j) % 251 for j in range(64)])
-            meta = {"mime": "image/png", "width": 64, "height": 64,
+            payload = make_png(8, 8, seed=i)       # real since round 4
+            meta = {"mime": "image/png", "width": 8, "height": 8,
                     "duration_ms": None}
         else:
             payload = bytes([(i * 41 + j) % 249 for j in range(64)])
