@@ -364,6 +364,45 @@ def q_bmp_roundtrip(spark, sf_dir):
     return _image_text_roundtrip(spark, sf_dir, make_text_bmp, decode_text_bmp)
 
 
+def q_jpeg_fidelity(spark, sf_dir):
+    """Baseline JPEG codec fidelity invariant (JPEG is lossy, so no text
+    identity): each document seeds a deterministic gradient image that is
+    encoded and decoded by the pure-python baseline codec inside one
+    Arrow stage; a row is a VIOLATION when the mean absolute pixel error
+    exceeds 4 (measured steady value ~1.9-2.5 on smooth content; two-way
+    cross-decode vs Java ImageIO is pinned in pytest).  Violations
+    empty."""
+    import numpy as np
+    import pandas as pd
+    from pyspark.sql import types as T
+
+    from xponents_spark.operators.jpeg import decode_jpeg, make_jpeg
+
+    docs = _docs(spark, sf_dir).select("doc_id")
+    schema = T.StructType([T.StructField("doc_id", T.LongType()),
+                           T.StructField("mean_err", T.DoubleType())])
+
+    def run(batches):
+        for pdf in batches:
+            ids, errs = [], []
+            for did in pdf["doc_id"].tolist():
+                seed = int(did) % 251
+                y, x = np.mgrid[0:16, 0:24]
+                img = np.dstack([
+                    np.minimum(x * 9 + seed, 255),
+                    np.minimum(y * 13 + seed, 255),
+                    np.minimum(x * 2 + y * 3 + seed, 255)]).astype(np.uint8)
+                dec = decode_jpeg(make_jpeg(24, 16, pixels=img))
+                ids.append(did)
+                errs.append(float(np.abs(dec.astype(int)
+                                         - img.astype(int)).mean()))
+            yield pd.DataFrame({"doc_id": ids, "mean_err": errs})
+
+    return (docs.mapInPandas(run, schema=schema)
+            .filter(F.col("mean_err") > 4.0)
+            .withColumn("violation", F.lit("jpeg-fidelity")))
+
+
 def q_exact_dedup(spark, sf_dir):
     return exact_dedup(_docs(spark, sf_dir))
 
@@ -759,6 +798,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "gif_text_recovery": q_gif_roundtrip,
         "bmp_text_recovery": q_bmp_roundtrip,
         "png_text_recovery": q_png_roundtrip,
+        "jpeg_fidelity_check": q_jpeg_fidelity,
         "exact_dedup": q_exact_dedup,
         "prefix_dedup": q_prefix_dedup,
         "token_stats": q_token_stats,
@@ -855,6 +895,7 @@ def oracle_sql() -> dict[str, str]:
         "gif_text_recovery": "SELECT doc_id, text FROM documents",
         "bmp_text_recovery": "SELECT doc_id, text FROM documents",
         "png_text_recovery": "SELECT doc_id, text FROM documents",
+        "jpeg_fidelity_check": O.EMPTY_JPEG_VIOLATIONS,
         "exact_dedup": O.EXACT_DEDUP_ORACLE,
         "prefix_dedup": O.PREFIX_DEDUP_ORACLE,
         "token_stats": O.TOKEN_STATS_ORACLE,

@@ -1032,3 +1032,72 @@ def test_png_codec_roundtrip_and_conformance(tmp_path):
     exp = np.dstack([(x * 13 + y * 7) % 256, (x * 3 + y * 31) % 256,
                      (x * x + y) % 256]).astype(np.uint8)
     assert np.array_equal(j, exp)
+
+
+def test_jpeg_codec_and_conformance(tmp_path):
+    """Baseline JPEG (pure python/numpy: Huffman + DCT + YCbCr): lossy
+    roundtrip error bounded on smooth content, and two-way cross-decode
+    vs Java ImageIO — both decoders agree on OUR bitstream to within
+    IDCT rounding, and our decoder reads an ImageIO-WRITTEN file (its
+    own tables, 4:2:0 subsampling) within interpolation tolerance."""
+    import shutil as _shutil
+    import subprocess
+
+    import numpy as np
+    import pytest as _pytest
+
+    from xponents_spark.operators.jpeg import decode_jpeg, make_jpeg
+
+    y, x = np.mgrid[0:16, 0:24]
+    img = np.dstack([np.minimum(x * 9 + 3, 255),
+                     np.minimum(y * 13 + 3, 255),
+                     np.minimum(x * 2 + y * 3 + 3, 255)]).astype(np.uint8)
+    dec = decode_jpeg(make_jpeg(24, 16, pixels=img))
+    assert dec.shape == (16, 24, 3)
+    assert np.abs(dec.astype(int) - img.astype(int)).mean() < 4.0
+
+    if not (_shutil.which("javac") and _shutil.which("java")):
+        _pytest.skip("no JDK in environment")
+    (tmp_path / "ours.jpg").write_bytes(make_jpeg(48, 32, seed=7))
+    (tmp_path / "JpgCheck.java").write_text(
+        'import javax.imageio.ImageIO;\n'
+        'import java.awt.image.BufferedImage;\n'
+        'import java.io.*;\n'
+        'public class JpgCheck { public static void main(String[] a)'
+        ' throws Exception {\n'
+        '  BufferedImage img = ImageIO.read(new File("ours.jpg"));\n'
+        '  DataOutputStream o = new DataOutputStream('
+        'new FileOutputStream("ours_java.rgb"));\n'
+        '  for (int y = 0; y < img.getHeight(); y++)\n'
+        '    for (int x = 0; x < img.getWidth(); x++) {\n'
+        '      int p = img.getRGB(x, y);\n'
+        '      o.writeByte((p >> 16) & 255); o.writeByte((p >> 8) & 255);'
+        ' o.writeByte(p & 255); }\n'
+        '  o.close();\n'
+        '  BufferedImage out = new BufferedImage(40, 24,'
+        ' BufferedImage.TYPE_INT_RGB);\n'
+        '  for (int y = 0; y < 24; y++)\n'
+        '    for (int x = 0; x < 40; x++)\n'
+        '      out.setRGB(x, y, ((x*5+20) << 16) | ((y*9+10) << 8)'
+        ' | (255-x*4));\n'
+        '  ImageIO.write(out, "jpg", new File("java.jpg"));\n'
+        '  BufferedImage chk = ImageIO.read(new File("java.jpg"));\n'
+        '  DataOutputStream o2 = new DataOutputStream('
+        'new FileOutputStream("java_java.rgb"));\n'
+        '  for (int y = 0; y < 24; y++)\n'
+        '    for (int x = 0; x < 40; x++) {\n'
+        '      int p = chk.getRGB(x, y);\n'
+        '      o2.writeByte((p >> 16) & 255); o2.writeByte((p >> 8) & 255);'
+        ' o2.writeByte(p & 255); }\n'
+        '  o2.close();\n'
+        '}}\n')
+    subprocess.run(["javac", "JpgCheck.java"], cwd=tmp_path, check=True)
+    subprocess.run(["java", "JpgCheck"], cwd=tmp_path, check=True)
+    ours = decode_jpeg((tmp_path / "ours.jpg").read_bytes())
+    jv = np.frombuffer((tmp_path / "ours_java.rgb").read_bytes(),
+                       dtype=np.uint8).reshape(32, 48, 3)
+    assert np.abs(ours.astype(int) - jv.astype(int)).max() <= 8
+    theirs = decode_jpeg((tmp_path / "java.jpg").read_bytes())
+    jj = np.frombuffer((tmp_path / "java_java.rgb").read_bytes(),
+                       dtype=np.uint8).reshape(24, 40, 3)
+    assert np.abs(theirs.astype(int) - jj.astype(int)).mean() < 5.0

@@ -42,7 +42,7 @@ MEDIA_SCHEMA = T.StructType([
 _FEATURE_DIM = 16
 
 _REAL_MIMES = ("image/x-portable-pixmap", "audio/wav", "audio/x-wav",
-               "image/bmp", "image/gif", "image/png")
+               "image/bmp", "image/gif", "image/png", "image/jpeg")
 
 
 # --- real codec-free decoders -----------------------------------------------
@@ -632,13 +632,17 @@ def _real_decode(payload: bytes, mime: str, dim: int) -> list[float]:
         return image_features(decode_gif(payload), dim)
     if mime == "image/png":
         return image_features(decode_png(payload), dim)
+    if mime == "image/jpeg":
+        from .jpeg import decode_jpeg
+        return image_features(decode_jpeg(payload), dim)
     if mime in ("audio/wav", "audio/x-wav"):
         return audio_features(*decode_wav(payload), dim=dim)
     raise NotImplementedError(
-        f"decode for {mime!r} requires PIL/ffmpeg — not in this container; "
+        f"decode for {mime!r} requires ffmpeg — not in this container; "
         f"supported formats ({', '.join(_REAL_MIMES)}) decode for real "
-        f"(incl. PNG's DEFLATE and GIF87a's LZW compression, pure "
-        f"python/stdlib), or use decoder='fake' for plumbing tests")
+        f"(incl. PNG's DEFLATE, GIF87a's LZW, and baseline JPEG's "
+        f"Huffman+DCT, pure python/stdlib), or use decoder='fake' for "
+        f"plumbing tests")
 
 
 def extract_media_features(df: DataFrame, decoder: str = "auto",

@@ -574,3 +574,9 @@ SELECT doc_id,
        doc_id = min(doc_id) OVER (PARTITION BY md5(text)) AS keep
 FROM documents
 """
+
+
+EMPTY_JPEG_VIOLATIONS = """
+SELECT CAST(NULL AS BIGINT) AS doc_id, CAST(NULL AS DOUBLE) AS mean_err,
+       CAST(NULL AS VARCHAR) AS violation WHERE false
+"""
