@@ -742,15 +742,23 @@ def q_ann_ivf_indexed_consistency(spark, sf_dir):
                                                      cosine_topk_ivf_indexed)
     qs = _queries_from(spark, sf_dir)
     emb = _emb(spark, sf_dir)
-    path = tempfile.mkdtemp(prefix="ivf_gate_") + "/index"
-    centroids = build_ivf_index(emb, path, n_centroids=32)
-    a = (cosine_topk_ivf_indexed(spark, path, qs, k=5, nprobe=8)
-         .select("query_id", "vec_id", "rank"))
-    b = (cosine_topk_ivf(emb, qs, k=5, n_centroids=32, nprobe=8,
-                         centroids=centroids)
-         .select("query_id", "vec_id", "rank"))
-    return (a.exceptAll(b).unionByName(b.exceptAll(a))
-            .withColumn("violation", F.lit("indexed-vs-memory-mismatch")))
+    # materialize the comparison EAGERLY inside a scratch dir that is
+    # removed before returning (review finding: a lazily-read mkdtemp
+    # index leaked a corpus-sized directory per gate run); the violation
+    # set is tiny (empty when healthy), so collecting it is free
+    with tempfile.TemporaryDirectory(prefix="ivf_gate_") as d:
+        path = d + "/index"
+        centroids = build_ivf_index(emb, path, n_centroids=32)
+        a = (cosine_topk_ivf_indexed(spark, path, qs, k=5, nprobe=8)
+             .select("query_id", "vec_id", "rank"))
+        b = (cosine_topk_ivf(emb, qs, k=5, n_centroids=32, nprobe=8,
+                             centroids=centroids)
+             .select("query_id", "vec_id", "rank"))
+        rows = (a.exceptAll(b).unionByName(b.exceptAll(a))
+                .withColumn("violation",
+                            F.lit("indexed-vs-memory-mismatch")).collect())
+    return spark.createDataFrame(
+        rows, "query_id BIGINT, vec_id BIGINT, rank INT, violation STRING")
 
 
 def q_embedding_near_dup_sound(spark, sf_dir):

@@ -637,20 +637,27 @@ def build_keyed_mmap(out_dir: str, keys: list[str],
             np.asarray(bounds, dtype=np.uint64))
     np.save(os.path.join(out_dir, "row_off.npy"),
             np.asarray(roff, dtype=np.uint64))
-    # per-column type tags: bool before int (bool is an int subclass)
-    n_cols = len(rows[0]) if rows else 0
+    # per-column type tags scanned over ALL rows (a first-row-only scan
+    # mis-tags mixed columns and then crashes int('n/a') at READ time —
+    # review finding): bool before int (bool is an int subclass); any
+    # conflict or a ragged row falls back to 'str'
+    n_cols = max((len(r) for r in rows), default=0)
     types = []
     for c in range(n_cols):
-        tag = "str"
+        tag = None
         for r in rows:
-            v = r[c]
+            v = r[c] if c < len(r) else None
             if v is None:
                 continue
-            tag = ("bool" if isinstance(v, bool)
-                   else "int" if isinstance(v, int)
-                   else "float" if isinstance(v, float) else "str")
-            break
-        types.append(tag)
+            t = ("bool" if isinstance(v, bool)
+                 else "int" if isinstance(v, int)
+                 else "float" if isinstance(v, float) else "str")
+            if tag is None:
+                tag = t
+            elif tag != t:
+                tag = "str"
+                break
+        types.append(tag or "str")
     meta = {"format": _KV_FORMAT, "n_keys": int(n_keys),
             "n_rows": len(order), "types": types}
     with open(os.path.join(out_dir, "meta.json"), "w") as fh:
@@ -709,9 +716,13 @@ class MmapKeyedTable:
                 rec = self.rbuf[int(self.roff[r]):int(self.roff[r + 1])] \
                     .decode("utf-8").split(_SEP)
                 if conv:
+                    # index-based (not zip): a record wider than the type
+                    # list keeps its trailing fields as strings instead of
+                    # silently dropping them (review finding)
                     out.append(tuple(
-                        None if f == _NULL else c(f)
-                        for c, f in zip(conv, rec)))
+                        None if f == _NULL
+                        else (conv[i](f) if i < len(conv) else f)
+                        for i, f in enumerate(rec)))
                 else:    # pre-typed-meta artifact: stringly fallback
                     out.append(tuple(None if f == _NULL else f for f in rec))
         if len(self._memo) > 100_000:

@@ -245,6 +245,14 @@ def decode_jpeg(payload: bytes) -> np.ndarray:
             prec, h, w, nc = body[0], *struct.unpack_from(">HH", body, 1), body[5]
             if prec != 8:
                 raise ValueError("only 8-bit JPEG supported")
+            if nc not in (1, 3):
+                # 4-component Adobe CMYK/YCCK would silently decode the
+                # first three planes as YCbCr — garbage pixels with no
+                # error (review finding); raise like the other bounds
+                raise ValueError(
+                    f"JPEG with {nc} components not supported "
+                    f"(grayscale and YCbCr only; CMYK/YCCK need an "
+                    f"Adobe-transform path)")
             comps = []
             for c in range(nc):
                 cid, hv, tq = body[6 + 3 * c:9 + 3 * c]

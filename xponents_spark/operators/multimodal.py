@@ -111,7 +111,10 @@ def make_bmp(width: int, height: int, seed: int = 0,
         b = (((x + y) * 5 + seed * 7) % 256).astype(np.uint8)
         bgr = np.dstack([b, g, r])
     else:
-        bgr = np.ascontiguousarray(pixels[:, :, ::-1])
+        # dims come from the array, like make_png/make_jpeg — a mismatch
+        # with the width/height args would write a silently corrupt file
+        height, width = pixels.shape[:2]
+        bgr = np.ascontiguousarray(pixels[:, :, ::-1]).astype(np.uint8)
     stride = (width * 3 + 3) & ~3
     rows = bytearray()
     pad = b"\x00" * (stride - width * 3)
@@ -667,6 +670,15 @@ def extract_media_features(df: DataFrame, decoder: str = "auto",
         if decoder == "fake" or (decoder == "auto"
                                  and mime not in _REAL_MIMES):
             return _fake_decode(payload, dim)
+        if decoder == "auto":
+            # total over arbitrary tables: a supported mime whose payload
+            # the decoder rejects (progressive JPEG, interlaced PNG,
+            # truncated bytes) falls back to hash features instead of
+            # failing the Arrow stage mid-corpus (review finding)
+            try:
+                return _real_decode(payload, mime, dim)
+            except Exception:
+                return _fake_decode(payload, dim)
         return _real_decode(payload, mime, dim)
 
     def run(batches):

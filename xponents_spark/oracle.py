@@ -194,8 +194,8 @@ SELECT md5(text) AS text_md5, count(*) AS n_docs, min(doc_id) AS keep_doc
 FROM documents GROUP BY 1
 """
 
-PREFIX_DEDUP_ORACLE = """
-SELECT md5(array_to_string(list_slice(string_split(text, ' '), 1, 8), ' ')) AS prefix_md5,
+PREFIX_DEDUP_ORACLE = r"""
+SELECT md5(array_to_string(list_slice(regexp_split_to_array(trim(text), '[ \t\n\v\f\r]+'), 1, 8), ' ')) AS prefix_md5,
        count(*) AS n_docs, min(doc_id) AS keep_doc
 FROM documents GROUP BY 1
 """

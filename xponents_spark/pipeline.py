@@ -291,7 +291,15 @@ def extract_conversation_scoped(df: DataFrame,
     gaz_path = gazetteer_parquet or _os.environ.get("XPONENTS_GAZETTEER_PARQUET")
     postal_path = postal_parquet or _os.environ.get("XPONENTS_POSTAL_PARQUET")
     if work_dir is None:
+        # default scratch dir: the returned plan reads from it lazily, so
+        # it cannot be deleted here — expose it on the result
+        # (df.conv_scope_work_dir) for eager reclamation and register
+        # end-of-process cleanup so default-arg callers don't leak a
+        # corpus-sized directory per call (review finding)
+        import atexit as _atexit
+        import shutil as _shutil
         work_dir = _tempfile.mkdtemp(prefix="convscope_pass1_")
+        _atexit.register(_shutil.rmtree, work_dir, ignore_errors=True)
     run_resumable(
         df, work_dir, buckets=buckets, features=feats,
         input_desc="conversation-scoped pass 1",
@@ -351,7 +359,11 @@ def extract_conversation_scoped(df: DataFrame,
     redone = redo.mapInPandas(rerun, schema=out_schema)
     kept = ext.join(redo.select("conv_id", "turn_idx"),
                     ["conv_id", "turn_idx"], "left_anti")
-    return kept.unionByName(redone)
+    out = kept.unionByName(redone)
+    # the pass-1 checkpoint location, for callers that want to resume or
+    # reclaim it after materializing the result
+    out.conv_scope_work_dir = work_dir
+    return out
 
 
 def characterize(df: DataFrame, text_col: str = "text") -> DataFrame:

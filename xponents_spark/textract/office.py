@@ -504,6 +504,10 @@ def _biff_string(buf: bytes, off: int) -> tuple[str, int]:
     return s, p - off
 
 
+class _SstTruncated(Exception):
+    """SST/Continue chain ended mid-field (corrupt or truncated file)."""
+
+
 class _SstCursor:
     """Cursor over the SST record's data plus its Continue records.
 
@@ -530,13 +534,22 @@ class _SstCursor:
 
     def read_fixed(self, n: int) -> bytes:
         """Scalar field: never splits; if the current segment lacks n
-        bytes, the field starts in the next segment."""
+        bytes, the field starts in the next segment.  Raises
+        :class:`_SstTruncated` past the last segment — the SST loop stops
+        honestly on corrupt/truncated chains instead of IndexError-ing
+        the Spark task (review finding; round-3 behavior restored)."""
         self._seg_advance()
+        if self.si >= len(self.segs):
+            raise _SstTruncated
         seg = self.segs[self.si]
         if self.off + n > len(seg):
             self.si += 1
             self.off = 0
+            if self.si >= len(self.segs):
+                raise _SstTruncated
             seg = self.segs[self.si]
+        if self.off + n > len(seg):
+            raise _SstTruncated
         b = seg[self.off:self.off + n]
         self.off += n
         return b
@@ -616,19 +629,22 @@ def extract_xls_text(payload: bytes, reader=None) -> str:
                 i += 4 + nln
             (_total, unique) = struct.unpack_from("<2i", rec, 0)
             cur = _SstCursor(segments)
-            for _ in range(unique):
-                if cur.exhausted():
-                    break
-                (cch,) = struct.unpack_from("<H", cur.read_fixed(2))
-                flags = cur.read_fixed(1)[0]
-                c_run = 0
-                cb_ext = 0
-                if flags & 0x08:                  # fRichSt
-                    (c_run,) = struct.unpack_from("<H", cur.read_fixed(2))
-                if flags & 0x04:                  # fExtSt
-                    (cb_ext,) = struct.unpack_from("<i", cur.read_fixed(4))
-                out.append(cur.read_chars(cch, bool(flags & 0x01)))
-                cur.skip(4 * c_run + cb_ext)
+            try:
+                for _ in range(unique):
+                    if cur.exhausted():
+                        break
+                    (cch,) = struct.unpack_from("<H", cur.read_fixed(2))
+                    flags = cur.read_fixed(1)[0]
+                    c_run = 0
+                    cb_ext = 0
+                    if flags & 0x08:                  # fRichSt
+                        (c_run,) = struct.unpack_from("<H", cur.read_fixed(2))
+                    if flags & 0x04:                  # fExtSt
+                        (cb_ext,) = struct.unpack_from("<i", cur.read_fixed(4))
+                    out.append(cur.read_chars(cch, bool(flags & 0x01)))
+                    cur.skip(4 * c_run + cb_ext)
+            except _SstTruncated:
+                pass                  # stop honestly on a corrupt chain
         elif opcode == 0x0204 and ln >= 9:        # LABEL (inline string)
             s, _used = _biff_string(rec, 6)
             out.append(s)
