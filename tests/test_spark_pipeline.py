@@ -1101,3 +1101,43 @@ def test_jpeg_codec_and_conformance(tmp_path):
     jj = np.frombuffer((tmp_path / "java_java.rgb").read_bytes(),
                        dtype=np.uint8).reshape(24, 40, 3)
     assert np.abs(theirs.astype(int) - jj.astype(int)).mean() < 5.0
+
+
+def test_mp4_container_and_frame_sampling(spark):
+    """ISO-BMFF container parsing is REAL (pure stdlib): movie/track
+    metadata and the stts/stsz/stsc/stco sample tables flatten to exact
+    (timestamp, byte-range) triples, and sample_frames schedules on them
+    — hashing each sample's true mdat byte slice — while opaque payloads
+    keep the duration_ms fallback."""
+    import hashlib
+
+    from xponents_spark.operators.mp4 import (make_minimal_mp4, parse_mp4,
+                                              sample_table, video_track)
+    from xponents_spark.operators.multimodal import (MEDIA_SCHEMA,
+                                                     _fake_decode,
+                                                     sample_frames)
+
+    p = make_minimal_mp4(n_frames=10, fps=5, frame_size=32, seed=3)
+    info = parse_mp4(p)
+    assert info.duration_ms == 2000 and info.brands[0] == "isom"
+    st = sample_table(video_track(info))
+    assert len(st) == 10 and st[0][0] == 0 and st[1][0] == 200
+    # byte range of sample 3 is exactly the writer's payload
+    t3 = st[3]
+    assert p[t3[1]:t3[1] + t3[2]] == bytes(
+        (3 * 31 + 3 * 7 + j) % 256 for j in range(32))
+
+    rows = [(0, p, {"mime": "video/mp4", "width": None, "height": None,
+                    "duration_ms": 2000}),
+            (1, b"\x00opaque", {"mime": "video/mp4", "width": None,
+                                "height": None, "duration_ms": 2500})]
+    df = spark.createDataFrame(rows, MEDIA_SCHEMA)
+    got = sample_frames(df, every_ms=1000).collect()
+    real = sorted(r["frame_ms"] for r in got if r["media_id"] == 0)
+    fallback = sorted(r["frame_ms"] for r in got if r["media_id"] == 1)
+    assert real == [0, 1000]          # nearest samples at the 1s ticks
+    assert fallback == [0, 1000, 2000]
+    # the real path hashed the sample's exact byte slice
+    f0 = next(r["features"] for r in got
+              if r["media_id"] == 0 and r["frame_ms"] == 0)
+    assert f0 == _fake_decode(p[st[0][1]:st[0][1] + st[0][2]])

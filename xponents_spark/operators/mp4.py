@@ -1,0 +1,225 @@
+"""ISO base media file format (MP4) container parsing — pure stdlib.
+
+The H.264/H.265 CODECS are the declared ffmpeg slot; the CONTAINER is
+not: an MP4's box tree (ftyp/moov/trak/mdia/stbl) carries everything the
+frame-sampling operator needs — movie duration/timescale, per-track
+handler types, and the sample tables (stts decode times, stsz sizes,
+stsc/stco chunk layout) that locate every sample's exact byte range in
+the file.  ``parse_mp4`` walks that tree; ``sample_table`` flattens it to
+(timestamp_ms, offset, size) per sample, so ``sample_frames`` schedules
+on REAL timestamps and can slice REAL (still codec-compressed) sample
+payloads.  ``make_minimal_mp4`` writes a conformant single-video-track
+file for tests.
+
+No reference counterpart: the reference routes video to Tika metadata
+(XText's conversion layer); this exists so Spark media columns carry real
+container structure with zero native dependencies.
+"""
+
+from __future__ import annotations
+
+import struct
+from dataclasses import dataclass, field
+
+
+def _walk(buf: bytes, start: int, end: int):
+    """Yield (box_type, body_start, body_end) at one nesting level."""
+    i = start
+    while i + 8 <= end:
+        (size,) = struct.unpack_from(">I", buf, i)
+        btype = buf[i + 4:i + 8]
+        body = i + 8
+        if size == 1:                      # 64-bit largesize
+            (size,) = struct.unpack_from(">Q", buf, i + 8)
+            body = i + 16
+        elif size == 0:                    # to end of enclosing box
+            size = end - i
+        if size < 8 or i + size > end:
+            break                          # corrupt size: stop honestly
+        yield btype, body, i + size
+        i += size
+
+
+_CONTAINERS = {b"moov", b"trak", b"mdia", b"minf", b"stbl"}
+
+
+@dataclass
+class Mp4Track:
+    handler: str = ""
+    timescale: int = 0
+    duration: int = 0
+    stts: list = field(default_factory=list)     # (count, delta)
+    stsz: list = field(default_factory=list)     # sample sizes
+    stsc: list = field(default_factory=list)     # (first_chunk, per_chunk)
+    stco: list = field(default_factory=list)     # chunk offsets
+
+    @property
+    def duration_ms(self) -> int:
+        return int(self.duration * 1000 / self.timescale) \
+            if self.timescale else 0
+
+
+@dataclass
+class Mp4Info:
+    timescale: int = 0
+    duration: int = 0
+    brands: list = field(default_factory=list)
+    tracks: list = field(default_factory=list)
+
+    @property
+    def duration_ms(self) -> int:
+        return int(self.duration * 1000 / self.timescale) \
+            if self.timescale else 0
+
+
+def parse_mp4(payload: bytes) -> Mp4Info:
+    """Box-tree walk -> movie + per-track metadata and sample tables."""
+    info = Mp4Info()
+
+    def visit(start: int, end: int, track: Mp4Track | None):
+        for btype, b0, b1 in _walk(payload, start, end):
+            if btype == b"ftyp":
+                info.brands = [payload[p:p + 4].decode("ascii", "replace")
+                               for p in range(b0, b1, 4)]
+            elif btype == b"mvhd":
+                ver = payload[b0]
+                if ver == 1:
+                    info.timescale, info.duration = struct.unpack_from(
+                        ">IQ", payload, b0 + 20)
+                else:
+                    info.timescale, info.duration = struct.unpack_from(
+                        ">II", payload, b0 + 12)
+            elif btype == b"trak":
+                t = Mp4Track()
+                info.tracks.append(t)
+                visit(b0, b1, t)
+            elif btype == b"mdhd" and track is not None:
+                ver = payload[b0]
+                if ver == 1:
+                    track.timescale, track.duration = struct.unpack_from(
+                        ">IQ", payload, b0 + 20)
+                else:
+                    track.timescale, track.duration = struct.unpack_from(
+                        ">II", payload, b0 + 12)
+            elif btype == b"hdlr" and track is not None:
+                track.handler = payload[b0 + 8:b0 + 12].decode(
+                    "ascii", "replace")
+            elif btype == b"stts" and track is not None:
+                (n,) = struct.unpack_from(">I", payload, b0 + 4)
+                track.stts = [struct.unpack_from(">II", payload,
+                                                 b0 + 8 + 8 * k)
+                              for k in range(n)]
+            elif btype == b"stsz" and track is not None:
+                fixed, n = struct.unpack_from(">II", payload, b0 + 4)
+                track.stsz = [fixed] * n if fixed else [
+                    struct.unpack_from(">I", payload, b0 + 12 + 4 * k)[0]
+                    for k in range(n)]
+            elif btype == b"stsc" and track is not None:
+                (n,) = struct.unpack_from(">I", payload, b0 + 4)
+                track.stsc = [struct.unpack_from(">III", payload,
+                                                 b0 + 8 + 12 * k)[:2]
+                              for k in range(n)]
+            elif btype == b"stco" and track is not None:
+                (n,) = struct.unpack_from(">I", payload, b0 + 4)
+                track.stco = [struct.unpack_from(">I", payload,
+                                                 b0 + 8 + 4 * k)[0]
+                              for k in range(n)]
+            elif btype in _CONTAINERS:
+                visit(b0, b1, track)
+
+    visit(0, len(payload), None)
+    if not info.tracks and not info.timescale:
+        raise ValueError("not an ISO-BMFF (MP4) payload or no moov box")
+    return info
+
+
+def sample_table(track: Mp4Track) -> list[tuple[int, int, int]]:
+    """Flatten the stts/stsz/stsc/stco tables -> one
+    (timestamp_ms, byte_offset, byte_size) triple per sample — the real
+    frame schedule a codec plugin would decode from."""
+    times = []
+    t = 0
+    for count, delta in track.stts:
+        for _ in range(count):
+            times.append(int(t * 1000 / track.timescale)
+                         if track.timescale else 0)
+            t += delta
+    # chunk layout: stsc runs give samples-per-chunk from each first_chunk
+    offsets = []
+    n_chunks = len(track.stco)
+    runs = list(track.stsc) + [(n_chunks + 1, 0)]
+    si = 0
+    for r in range(len(track.stsc)):
+        first, per = runs[r]
+        last = runs[r + 1][0]
+        for chunk in range(first, min(last, n_chunks + 1)):
+            off = track.stco[chunk - 1]
+            for _ in range(per):
+                if si >= len(track.stsz):
+                    break
+                offsets.append(off)
+                off += track.stsz[si]
+                si += 1
+    out = []
+    for k in range(min(len(times), len(offsets), len(track.stsz))):
+        out.append((times[k], offsets[k], track.stsz[k]))
+    return out
+
+
+def video_track(info: Mp4Info) -> Mp4Track | None:
+    for t in info.tracks:
+        if t.handler == "vide":
+            return t
+    return None
+
+
+def _box(btype: bytes, body: bytes) -> bytes:
+    return struct.pack(">I", len(body) + 8) + btype + body
+
+
+def make_minimal_mp4(n_frames: int = 10, fps: int = 5,
+                     frame_size: int = 32, seed: int = 0) -> bytes:
+    """Conformant single-video-track MP4: ftyp + mdat (deterministic fake
+    sample bytes — the codec payload slot) + moov with full sample
+    tables.  Parses with parse_mp4/sample_table; frame byte ranges in the
+    mdat are exact."""
+    timescale = 1000
+    delta = timescale // fps
+    duration = n_frames * delta
+    samples = [bytes((seed * 31 + k * 7 + j) % 256
+                     for j in range(frame_size)) for k in range(n_frames)]
+    mdat_body = b"".join(samples)
+    ftyp = _box(b"ftyp", b"isom" + struct.pack(">I", 0x200) + b"isomiso2")
+    mdat = _box(b"mdat", mdat_body)
+    mdat_off = len(ftyp) + 8           # offset of first sample byte
+
+    mvhd = _box(b"mvhd", b"\x00\x00\x00\x00"
+                + struct.pack(">II", 0, 0)
+                + struct.pack(">II", timescale, duration)
+                + struct.pack(">I", 0x00010000) + struct.pack(">H", 0x0100)
+                + b"\x00" * 10
+                + struct.pack(">9I", 0x10000, 0, 0, 0, 0x10000, 0, 0, 0,
+                              0x40000000)
+                + b"\x00" * 24 + struct.pack(">I", 2))
+    mdhd = _box(b"mdhd", b"\x00\x00\x00\x00"
+                + struct.pack(">IIII", 0, 0, timescale, duration)
+                + struct.pack(">HH", 0x55C4, 0))
+    hdlr = _box(b"hdlr", b"\x00\x00\x00\x00" + b"\x00" * 4 + b"vide"
+                + b"\x00" * 12 + b"fake\x00")
+    stts = _box(b"stts", b"\x00\x00\x00\x00" + struct.pack(">I", 1)
+                + struct.pack(">II", n_frames, delta))
+    stsz = _box(b"stsz", b"\x00\x00\x00\x00"
+                + struct.pack(">II", frame_size, n_frames))
+    stsc = _box(b"stsc", b"\x00\x00\x00\x00" + struct.pack(">I", 1)
+                + struct.pack(">III", 1, n_frames, 1))
+    stco = _box(b"stco", b"\x00\x00\x00\x00" + struct.pack(">I", 1)
+                + struct.pack(">I", mdat_off))
+    stbl = _box(b"stbl", stts + stsz + stsc + stco)
+    minf = _box(b"minf", stbl)
+    mdia = _box(b"mdia", mdhd + hdlr + minf)
+    tkhd = _box(b"tkhd", b"\x00\x00\x00\x07"
+                + struct.pack(">IIII", 0, 0, 1, 0)
+                + struct.pack(">I", duration) + b"\x00" * 52)
+    trak = _box(b"trak", tkhd + mdia)
+    moov = _box(b"moov", mvhd + trak)
+    return ftyp + mdat + moov

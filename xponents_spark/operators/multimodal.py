@@ -726,11 +726,16 @@ def resize_images(df: DataFrame, out_w: int, out_h: int) -> DataFrame:
 
 def sample_frames(df: DataFrame, every_ms: int = 1000,
                   decoder: str = "fake") -> DataFrame:
-    """Video payload -> one row per sampled frame timestamp.  Frame count
-    derives from meta.duration_ms.  Real video decode needs ffmpeg (not in
-    this container), so frame features come from the fake decoder (seeded
-    by payload + frame index); the sampling schedule, schema, and batch
-    shape are the real contract."""
+    """Video payload -> one row per sampled frame timestamp.
+
+    Round 4: MP4 payloads parse for REAL at the container level
+    (operators/mp4.py, pure stdlib): the schedule comes from the video
+    track's actual sample tables (stts timestamps; nearest sample at
+    each ``every_ms`` tick) and each row's features hash the sample's
+    EXACT byte range sliced from the mdat — the codec payload a real
+    decoder plugin would consume.  Frame DECODE (H.264/H.265) remains
+    the ffmpeg slot: ``decoder='real'`` raises; non-MP4 payloads fall
+    back to the meta.duration_ms schedule with whole-payload hashing."""
     out_schema = T.StructType([
         T.StructField("media_id", T.LongType(), False),
         T.StructField("frame_ms", T.IntegerType(), False),
@@ -738,14 +743,35 @@ def sample_frames(df: DataFrame, every_ms: int = 1000,
     ])
 
     def run(batches):
+        from .mp4 import parse_mp4, sample_table, video_track
         for pdf in batches:
             if decoder == "real":
                 raise NotImplementedError(
                     "real frame decode requires ffmpeg — not in this "
-                    "container")
+                    "container (the container/sample-table layer IS real: "
+                    "operators/mp4.py)")
             ids, ts, feats = [], [], []
             for mid, payload, meta in zip(pdf["media_id"], pdf["payload"],
                                           pdf["meta"]):
+                samples = None
+                if payload:
+                    try:
+                        track = video_track(parse_mp4(bytes(payload)))
+                        if track is not None:
+                            samples = sample_table(track)
+                    except Exception:
+                        samples = None       # opaque/corrupt: fall back
+                if samples:
+                    next_tick = 0
+                    for t_ms, off, size in samples:
+                        if t_ms < next_tick:
+                            continue
+                        next_tick = t_ms + every_ms
+                        ids.append(mid)
+                        ts.append(t_ms)
+                        feats.append(_fake_decode(
+                            bytes(payload)[off:off + size]))
+                    continue
                 dur = (meta or {}).get("duration_ms") or 0
                 for t in range(0, max(dur, 1), every_ms):
                     ids.append(mid)
