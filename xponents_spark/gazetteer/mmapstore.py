@@ -598,11 +598,12 @@ def build_keyed_mmap(out_dir: str, keys: list[str],
     the shared-memory path for side tables like the reference's 4M
     COUNTRY+CODE postal tuples (PostalGeocoder.java:25-33), which would
     otherwise cost ~1 GB of dict heap PER WORKER.  Values serialize as
-    strings; a per-column type tag in meta.json (inferred from the first
-    non-None value per column) re-types every column on read, so int/float
-    columns round-trip typed exactly like the parquet dict path (review
-    finding: the old strings-plus-lat/lon contract silently stringified
-    any later-added numeric column)."""
+    strings; a per-column type tag in meta.json (agreed across ALL rows —
+    int/float mixes promote to float, other conflicts fall back to str)
+    re-types every column on read, so numeric columns round-trip typed
+    exactly like the parquet dict path (review finding: the old
+    strings-plus-lat/lon contract silently stringified any later-added
+    numeric column)."""
     import builtins
     order = sorted(range(len(keys)), key=lambda i: keys[i])
     os.makedirs(out_dir, exist_ok=True)
@@ -639,8 +640,10 @@ def build_keyed_mmap(out_dir: str, keys: list[str],
             np.asarray(roff, dtype=np.uint64))
     # per-column type tags scanned over ALL rows (a first-row-only scan
     # mis-tags mixed columns and then crashes int('n/a') at READ time —
-    # review finding): bool before int (bool is an int subclass); any
-    # conflict or a ragged row falls back to 'str'
+    # review finding): bool before int (bool is an int subclass).  An
+    # int/float mix promotes to 'float' (float() parses both reprs); any
+    # other conflict falls back to 'str'; short rows contribute None and
+    # don't affect the tag
     n_cols = max((len(r) for r in rows), default=0)
     types = []
     for c in range(n_cols):
@@ -652,9 +655,11 @@ def build_keyed_mmap(out_dir: str, keys: list[str],
             t = ("bool" if isinstance(v, bool)
                  else "int" if isinstance(v, int)
                  else "float" if isinstance(v, float) else "str")
-            if tag is None:
+            if tag is None or tag == t:
                 tag = t
-            elif tag != t:
+            elif {tag, t} == {"int", "float"}:
+                tag = "float"
+            else:
                 tag = "str"
                 break
         types.append(tag or "str")

@@ -59,10 +59,10 @@ def prefix_dedup(df: DataFrame, text_col: str = "text",
     ``textstats.fingerprint``'s prefix_md5 (trim + ``\\s+`` split) so the
     two prefix keys in the engine agree on every document (review
     finding: a literal single-space split diverged on leading/multiple
-    spaces)."""
+    spaces; the helper is IMPORTED so the two keys cannot re-diverge)."""
+    from .textstats import _tokens
     key = F.md5(F.concat_ws(
-        " ", F.slice(F.split(F.trim(F.col(text_col)), r"\s+"),
-                     1, prefix_tokens)))
+        " ", F.slice(_tokens(text_col), 1, prefix_tokens)))
     return (df.groupBy(key.alias("prefix_md5"))
               .agg(F.count("*").alias("n_docs"),
                    F.min(id_col).alias("keep_doc")))

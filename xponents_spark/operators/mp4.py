@@ -30,11 +30,16 @@ def _walk(buf: bytes, start: int, end: int):
         btype = buf[i + 4:i + 8]
         body = i + 8
         if size == 1:                      # 64-bit largesize
+            if i + 16 > end:
+                break                      # truncated largesize header
             (size,) = struct.unpack_from(">Q", buf, i + 8)
             body = i + 16
         elif size == 0:                    # to end of enclosing box
             size = end - i
-        if size < 8 or i + size > end:
+        # size must cover its own header (8 or 16 bytes) — a largesize in
+        # [8, 15] would otherwise invert the body range and metadata
+        # would be read from the NEXT box (review finding)
+        if size < body - i or i + size > end:
             break                          # corrupt size: stop honestly
         yield btype, body, i + size
         i += size
@@ -106,21 +111,35 @@ def parse_mp4(payload: bytes) -> Mp4Info:
                     "ascii", "replace")
             elif btype == b"stts" and track is not None:
                 (n,) = struct.unpack_from(">I", payload, b0 + 4)
+                # entry counts are bounded by the BOX SIZE (a corrupt
+                # count must not drive a billion-iteration loop — review
+                # finding); per-entry sample counts are bounded by the
+                # file size at expansion time in sample_table
+                n = min(n, (b1 - b0 - 8) // 8)
                 track.stts = [struct.unpack_from(">II", payload,
                                                  b0 + 8 + 8 * k)
                               for k in range(n)]
             elif btype == b"stsz" and track is not None:
                 fixed, n = struct.unpack_from(">II", payload, b0 + 4)
-                track.stsz = [fixed] * n if fixed else [
-                    struct.unpack_from(">I", payload, b0 + 12 + 4 * k)[0]
-                    for k in range(n)]
+                if fixed:
+                    # a fixed-size table declares no per-sample bytes, so
+                    # cap the count by what the FILE could possibly hold
+                    n = min(n, len(payload) // max(fixed, 1) + 1)
+                    track.stsz = [fixed] * n
+                else:
+                    n = min(n, (b1 - b0 - 12) // 4)
+                    track.stsz = [
+                        struct.unpack_from(">I", payload, b0 + 12 + 4 * k)[0]
+                        for k in range(n)]
             elif btype == b"stsc" and track is not None:
                 (n,) = struct.unpack_from(">I", payload, b0 + 4)
+                n = min(n, (b1 - b0 - 8) // 12)
                 track.stsc = [struct.unpack_from(">III", payload,
                                                  b0 + 8 + 12 * k)[:2]
                               for k in range(n)]
             elif btype == b"stco" and track is not None:
                 (n,) = struct.unpack_from(">I", payload, b0 + 4)
+                n = min(n, (b1 - b0 - 8) // 4)
                 track.stco = [struct.unpack_from(">I", payload,
                                                  b0 + 8 + 4 * k)[0]
                               for k in range(n)]
@@ -137,13 +156,19 @@ def sample_table(track: Mp4Track) -> list[tuple[int, int, int]]:
     """Flatten the stts/stsz/stsc/stco tables -> one
     (timestamp_ms, byte_offset, byte_size) triple per sample — the real
     frame schedule a codec plugin would decode from."""
+    # total samples are bounded by the (box-size-capped) stsz table: a
+    # hostile stts entry declaring 2^32 samples must not expand past what
+    # the file actually holds sizes for (review finding)
+    max_samples = len(track.stsz)
     times = []
     t = 0
     for count, delta in track.stts:
-        for _ in range(count):
+        for _ in range(min(count, max_samples - len(times))):
             times.append(int(t * 1000 / track.timescale)
                          if track.timescale else 0)
             t += delta
+        if len(times) >= max_samples:
+            break
     # chunk layout: stsc runs give samples-per-chunk from each first_chunk
     offsets = []
     n_chunks = len(track.stco)
@@ -179,10 +204,13 @@ def _box(btype: bytes, body: bytes) -> bytes:
 
 def make_minimal_mp4(n_frames: int = 10, fps: int = 5,
                      frame_size: int = 32, seed: int = 0) -> bytes:
-    """Conformant single-video-track MP4: ftyp + mdat (deterministic fake
-    sample bytes — the codec payload slot) + moov with full sample
-    tables.  Parses with parse_mp4/sample_table; frame byte ranges in the
-    mdat are exact."""
+    """Single-video-track MP4 test fixture: ftyp + mdat (deterministic
+    fake sample bytes — the codec payload slot) + moov with full sample
+    tables, spec-shaped box layouts (84-byte tkhd v0, stsd present).
+    Frame byte ranges in the mdat are exact.  No external ISO-BMFF
+    validator exists in this sandbox, so conformance is asserted against
+    the spec's byte layouts and this module's parser, not a third-party
+    tool (unlike the image codecs, which cross-check vs Java ImageIO)."""
     timescale = 1000
     delta = timescale // fps
     duration = n_frames * delta
@@ -206,6 +234,17 @@ def make_minimal_mp4(n_frames: int = 10, fps: int = 5,
                 + struct.pack(">HH", 0x55C4, 0))
     hdlr = _box(b"hdlr", b"\x00\x00\x00\x00" + b"\x00" * 4 + b"vide"
                 + b"\x00" * 12 + b"fake\x00")
+    # stsd: mandatory sample description — one opaque 'fake' video entry
+    # (86-byte VisualSampleEntry shell; a real file would carry avc1+avcC)
+    vse = (b"\x00" * 6 + struct.pack(">H", 1)          # reserved + ref idx
+           + b"\x00" * 16
+           + struct.pack(">HH", 64, 64)                # width, height
+           + struct.pack(">II", 0x480000, 0x480000)    # dpi
+           + b"\x00" * 4 + struct.pack(">H", 1)        # frame count
+           + b"\x00" * 32                              # compressor name
+           + struct.pack(">Hh", 24, -1))               # depth, color table
+    stsd = _box(b"stsd", b"\x00\x00\x00\x00" + struct.pack(">I", 1)
+                + _box(b"fake", vse))
     stts = _box(b"stts", b"\x00\x00\x00\x00" + struct.pack(">I", 1)
                 + struct.pack(">II", n_frames, delta))
     stsz = _box(b"stsz", b"\x00\x00\x00\x00"
@@ -214,12 +253,20 @@ def make_minimal_mp4(n_frames: int = 10, fps: int = 5,
                 + struct.pack(">III", 1, n_frames, 1))
     stco = _box(b"stco", b"\x00\x00\x00\x00" + struct.pack(">I", 1)
                 + struct.pack(">I", mdat_off))
-    stbl = _box(b"stbl", stts + stsz + stsc + stco)
+    stbl = _box(b"stbl", stsd + stts + stsz + stsc + stco)
     minf = _box(b"minf", stbl)
     mdia = _box(b"mdia", mdhd + hdlr + minf)
+    # tkhd v0 body = 84 bytes: create/modify/id/reserved/duration (20)
+    # + reserved[8] + layer/altgroup/volume/reserved (8) + matrix[36]
+    # + width/height fixed-point (8) — review finding: the first cut
+    # dropped the reserved[8] block
     tkhd = _box(b"tkhd", b"\x00\x00\x00\x07"
-                + struct.pack(">IIII", 0, 0, 1, 0)
-                + struct.pack(">I", duration) + b"\x00" * 52)
+                + struct.pack(">IIIII", 0, 0, 1, 0, duration)
+                + b"\x00" * 8
+                + struct.pack(">HHHH", 0, 0, 0, 0)
+                + struct.pack(">9I", 0x10000, 0, 0, 0, 0x10000, 0, 0, 0,
+                              0x40000000)
+                + struct.pack(">II", 64 << 16, 64 << 16))
     trak = _box(b"trak", tkhd + mdia)
     moov = _box(b"moov", mvhd + trak)
     return ftyp + mdat + moov

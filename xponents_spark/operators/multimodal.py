@@ -112,9 +112,18 @@ def make_bmp(width: int, height: int, seed: int = 0,
         bgr = np.dstack([b, g, r])
     else:
         # dims come from the array, like make_png/make_jpeg — a mismatch
-        # with the width/height args would write a silently corrupt file
+        # with the width/height args would write a silently corrupt file;
+        # same for the channel count (4-channel input would over-fill
+        # every row against the 3-byte stride — review finding)
+        if pixels.ndim != 3 or pixels.shape[2] != 3:
+            raise ValueError(
+                f"make_bmp expects (h, w, 3) RGB pixels, got {pixels.shape}")
         height, width = pixels.shape[:2]
-        bgr = np.ascontiguousarray(pixels[:, :, ::-1]).astype(np.uint8)
+        bgr = np.ascontiguousarray(pixels[:, :, ::-1])
+        if bgr.dtype != np.uint8:
+            if bgr.min() < 0 or bgr.max() > 255:
+                raise ValueError("make_bmp pixel values outside [0, 255]")
+            bgr = bgr.astype(np.uint8)
     stride = (width * 3 + 3) & ~3
     rows = bytearray()
     pad = b"\x00" * (stride - width * 3)
@@ -674,10 +683,17 @@ def extract_media_features(df: DataFrame, decoder: str = "auto",
             # total over arbitrary tables: a supported mime whose payload
             # the decoder rejects (progressive JPEG, interlaced PNG,
             # truncated bytes) falls back to hash features instead of
-            # failing the Arrow stage mid-corpus (review finding)
+            # failing the Arrow stage mid-corpus.  Only MALFORMED-PAYLOAD
+            # error classes are caught — a TypeError/IndexError is a real
+            # decoder bug and must surface, not silently hash-feature the
+            # whole corpus (review finding)
+            import struct as _struct
+            import wave as _wave
+            import zlib as _zlib
             try:
                 return _real_decode(payload, mime, dim)
-            except Exception:
+            except (ValueError, NotImplementedError, EOFError,
+                    _struct.error, _zlib.error, _wave.Error):
                 return _fake_decode(payload, dim)
         return _real_decode(payload, mime, dim)
 
@@ -762,11 +778,16 @@ def sample_frames(df: DataFrame, every_ms: int = 1000,
                     except Exception:
                         samples = None       # opaque/corrupt: fall back
                 if samples:
+                    # first sample at/after each FIXED grid tick (0,
+                    # every_ms, 2*every_ms, ...): anchoring the next tick
+                    # to the taken sample's timestamp instead would drift
+                    # off-grid and undersample tracks whose fps sits just
+                    # under the tick rate (review finding)
                     next_tick = 0
                     for t_ms, off, size in samples:
                         if t_ms < next_tick:
                             continue
-                        next_tick = t_ms + every_ms
+                        next_tick = (t_ms // every_ms + 1) * every_ms
                         ids.append(mid)
                         ts.append(t_ms)
                         feats.append(_fake_decode(
