@@ -188,9 +188,12 @@ def bench_extraction_prebucketed(spark, turns_per_doc: int) -> dict:
 
         zero = lambda: run(prepare_input(src, meta))          # noqa: E731
         salted = lambda: run(salted_repartition(src, max(par * 2, 8)))  # noqa: E731
+        # identical warm-up count for BOTH variants so first-run JIT /
+        # worker-fork / page-cache cost cannot leak into either side of
+        # the published exchange_cost_sec delta (ADVICE r4)
         zero(); zero()                                        # warm
         best0 = min(timed(zero), timed(zero), timed(zero))
-        salted()                                              # warm
+        salted(); salted()                                    # warm
         best_s = min(timed(salted), timed(salted), timed(salted))
         return {"sec": round(best0, 3),
                 "turns_per_sec": round(n / best0, 1),

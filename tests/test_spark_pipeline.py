@@ -1141,3 +1141,77 @@ def test_mp4_container_and_frame_sampling(spark):
     f0 = next(r["features"] for r in got
               if r["media_id"] == 0 and r["frame_ms"] == 0)
     assert f0 == _fake_decode(p[st[0][1]:st[0][1] + st[0][2]])
+
+
+def test_malformed_payloads_raise_valueerror_not_crash():
+    """Hostile/truncated payloads must raise ValueError (the malformed-
+    payload class decoder='auto' catches), never IndexError/KeyError/
+    TypeError escaping the Arrow stage (ADVICE r4): truncated GIF block
+    walks, palette PNG indices beyond the PLTE, JPEG with SOS before SOF
+    or missing DHT/DQT."""
+    import struct
+    import zlib
+
+    import pytest
+
+    from xponents_spark.operators.jpeg import decode_jpeg, make_jpeg
+    from xponents_spark.operators.multimodal import (
+        _png_chunk, _PNG_SIG, decode_gif, decode_png, make_gif)
+
+    # GIF truncated at various points inside the block structure
+    g = make_gif(16, 8, seed=1)
+    for cut in (10, 14, len(g) // 2, len(g) - 2):
+        with pytest.raises(ValueError):
+            decode_gif(g[:cut])
+    # extension block that runs off the end
+    trunc_ext = g[:13] + g[13:13 + 768] + b"\x21\xf9\xff"
+    with pytest.raises(ValueError):
+        decode_gif(trunc_ext)
+
+    # palette PNG whose indices exceed the 2-entry PLTE
+    ihdr = struct.pack(">IIBBBBB", 2, 1, 8, 3, 0, 0, 0)
+    raw = b"\x00\x07\x00"          # filter 0, indices 7 and 0
+    bad_pal = (_PNG_SIG + _png_chunk(b"IHDR", ihdr)
+               + _png_chunk(b"PLTE", b"\x01\x02\x03\x04\x05\x06")
+               + _png_chunk(b"IDAT", zlib.compress(raw))
+               + _png_chunk(b"IEND", b""))
+    with pytest.raises(ValueError):
+        decode_png(bad_pal)
+
+    # JPEG: SOS before SOF (strip the SOF0 segment from a valid stream)
+    j = make_jpeg(16, 16)
+    sof_at = j.find(b"\xff\xc0")
+    (sof_len,) = struct.unpack_from(">H", j, sof_at + 2)
+    no_sof = j[:sof_at] + j[sof_at + 2 + sof_len:]
+    with pytest.raises(ValueError):
+        decode_jpeg(no_sof)
+    # JPEG: missing Huffman tables (strip every DHT)
+    out = bytearray()
+    i = 0
+    while i < len(j):
+        if j[i] == 0xFF and i + 4 <= len(j) and j[i + 1] == 0xC4:
+            (ln,) = struct.unpack_from(">H", j, i + 2)
+            i += 2 + ln
+        else:
+            out.append(j[i])
+            i += 1
+    with pytest.raises(ValueError):
+        decode_jpeg(bytes(out))
+
+
+def test_mp4_hostile_stsc_first_chunk_zero():
+    """A corrupt stsc run with first_chunk=0 must not read stco[-1] via
+    negative indexing (silently wrong offsets): the run is clamped to
+    chunk 1 and the schedule stays within the real chunk table."""
+    from xponents_spark.operators.mp4 import (
+        make_minimal_mp4, parse_mp4, sample_table, video_track)
+
+    payload = make_minimal_mp4(n_frames=6, fps=3, frame_size=16)
+    track = video_track(parse_mp4(payload))
+    good = sample_table(track)
+    track.stsc = [(0, 2)] + [(f, p) for f, p in track.stsc[1:]]
+    clamped = sample_table(track)
+    good_offsets = {off for _t, off, _s in good}
+    assert all(off in good_offsets or off >= min(good_offsets)
+               for _t, off, _s in clamped)
+    assert min(off for _t, off, _s in clamped) >= min(good_offsets)

@@ -266,11 +266,30 @@ def decode_jpeg(payload: bytes) -> np.ndarray:
         elif marker == 0xDD:                    # DRI
             (restart,) = struct.unpack_from(">H", body, 0)
         elif marker == 0xDA:                    # SOS: entropy data follows
+            if len(body) < 1 or len(body) < 1 + 2 * body[0]:
+                raise ValueError("JPEG SOS segment truncated")
             ns = body[0]
             sel = {}
             for c in range(ns):
                 cs, tables = body[1 + 2 * c], body[2 + 2 * c]
                 sel[cs] = (tables >> 4, tables & 0x0F)
+            # a corrupt stream with SOS before SOF, or missing DQT/DHT
+            # tables, is a MALFORMED payload: raise ValueError here so
+            # decoder='auto' hash-falls-back instead of a KeyError/
+            # TypeError escaping _decode_scan mid-Arrow-stage (ADVICE r4)
+            if comps is None:
+                raise ValueError("JPEG SOS before SOF0 frame header")
+            for comp in comps:
+                if comp["id"] not in sel:
+                    raise ValueError(
+                        f"JPEG SOS missing component {comp['id']}")
+                if comp["tq"] not in qt:
+                    raise ValueError(
+                        f"JPEG missing DQT table {comp['tq']}")
+                dc_id, ac_id = sel[comp["id"]]
+                if (0, dc_id) not in huff or (1, ac_id) not in huff:
+                    raise ValueError(
+                        f"JPEG missing DHT table for component {comp['id']}")
             data_start = i + 2 + seg_len
             return _decode_scan(payload, data_start, w, h, comps, sel,
                                 qt, huff, restart)

@@ -177,7 +177,10 @@ def sample_table(track: Mp4Track) -> list[tuple[int, int, int]]:
     for r in range(len(track.stsc)):
         first, per = runs[r]
         last = runs[r + 1][0]
-        for chunk in range(first, min(last, n_chunks + 1)):
+        # clamp to chunk 1: a hostile first_chunk=0 would otherwise read
+        # stco[-1] via negative indexing — silently wrong offsets
+        # instead of an honest skip (ADVICE r4)
+        for chunk in range(max(first, 1), min(last, n_chunks + 1)):
             off = track.stco[chunk - 1]
             for _ in range(per):
                 if si >= len(track.stsz):

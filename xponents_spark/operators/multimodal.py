@@ -288,7 +288,13 @@ def decode_png(payload: bytes) -> np.ndarray:
     if ctype == 3:
         if palette is None:
             raise ValueError("palette PNG without PLTE")
-        return palette[img[:, :, 0]]
+        idx = img[:, :, 0]
+        if idx.size and int(idx.max()) >= len(palette):
+            # spec violation, not a decoder bug: ValueError so that
+            # decoder='auto' hash-falls-back instead of IndexError
+            # escaping the Arrow stage (ADVICE r4)
+            raise ValueError("palette PNG index beyond PLTE size")
+        return palette[idx]
     if ctype == 0:
         return np.repeat(img, 3, axis=2)
     if ctype == 4:
@@ -458,6 +464,8 @@ def decode_gif_indices(payload: bytes) -> tuple[np.ndarray, bytes]:
     import struct
     if not payload or payload[:6] not in (b"GIF87a", b"GIF89a"):
         raise ValueError("not a GIF payload")
+    if len(payload) < 13:
+        raise ValueError("GIF truncated: incomplete screen descriptor")
     sw, sh, packed, _bg, _ar = struct.unpack_from("<HHBBB", payload, 6)
     i = 13
     palette = _GRAY_PALETTE
@@ -465,14 +473,21 @@ def decode_gif_indices(payload: bytes) -> tuple[np.ndarray, bytes]:
         n = 2 << (packed & 0x07)
         palette = payload[i:i + 3 * n].ljust(768, b"\x00")
         i += 3 * n
+    # every payload[i] below is bounds-guarded: a truncated stream is a
+    # MALFORMED payload (ValueError — decoder='auto' hash-falls-back),
+    # never an IndexError escaping the Arrow stage (ADVICE r4)
     while i < len(payload):
         b0 = payload[i]
         if b0 == 0x21:                        # 89a extension: skip
             i += 2
-            while payload[i]:
+            while i < len(payload) and payload[i]:
                 i += 1 + payload[i]
+            if i >= len(payload):
+                raise ValueError("GIF truncated in extension block")
             i += 1
         elif b0 == 0x2C:
+            if i + 10 > len(payload):
+                raise ValueError("GIF truncated in image descriptor")
             _l, _t, w, h, ipacked = struct.unpack_from("<HHHHB", payload, i + 1)
             i += 10
             if ipacked & 0x40:
@@ -481,13 +496,19 @@ def decode_gif_indices(payload: bytes) -> tuple[np.ndarray, bytes]:
                 n = 2 << (ipacked & 0x07)
                 palette = payload[i:i + 3 * n].ljust(768, b"\x00")
                 i += 3 * n
+            if i >= len(payload):
+                raise ValueError("GIF truncated before image data")
             min_code = payload[i]
             i += 1
             blocks = bytearray()
-            while payload[i]:
+            while i < len(payload) and payload[i]:
                 ln = payload[i]
+                if i + 1 + ln > len(payload):
+                    raise ValueError("GIF truncated in image data block")
                 blocks += payload[i + 1:i + 1 + ln]
                 i += 1 + ln
+            if i >= len(payload):
+                raise ValueError("GIF truncated: missing block terminator")
             idx = _lzw_decode_gif(bytes(blocks), min_code)[:w * h]
             if len(idx) < w * h:
                 raise ValueError("GIF pixel data truncated")
