@@ -1215,3 +1215,76 @@ def test_mp4_hostile_stsc_first_chunk_zero():
     assert all(off in good_offsets or off >= min(good_offsets)
                for _t, off, _s in clamped)
     assert min(off for _t, off, _s in clamped) >= min(good_offsets)
+
+
+def test_png_adam7_interlaced_roundtrip_and_conformance(tmp_path):
+    """Adam7 interlaced PNG (round 5): our encoder/decoder roundtrip
+    exactly on odd sizes, Java ImageIO reads OUR interlaced bitstream to
+    the same pixels, and our decoder pixel-exactly reads an interlaced
+    PNG written by ImageIO (progressive MODE_DEFAULT = Adam7 with real
+    per-row filter selection).  Skips without a JDK."""
+    import shutil as _shutil
+    import subprocess
+
+    import numpy as np
+    import pytest as _pytest
+
+    from xponents_spark.operators.multimodal import (decode_png,
+                                                     decode_text_png,
+                                                     make_png,
+                                                     make_text_png)
+
+    for w, h in ((1, 1), (2, 3), (7, 5), (9, 10), (33, 17)):
+        rng = np.random.RandomState(w * 100 + h)
+        px = rng.randint(0, 256, (h, w, 3), dtype=np.uint8)
+        assert np.array_equal(decode_png(make_png(w, h, pixels=px,
+                                                  interlace=True)), px)
+    for t in ("", "hello", "héllo wörld ✓", "x" * 100_000):
+        assert decode_text_png(make_text_png(t, interlace=True)) == t
+
+    if not (_shutil.which("javac") and _shutil.which("java")):
+        _pytest.skip("no JDK in environment")
+    (tmp_path / "ours.png").write_bytes(make_png(19, 11, seed=4,
+                                                 interlace=True))
+    (tmp_path / "Adam7Check.java").write_text(
+        'import javax.imageio.ImageIO;\n'
+        'import javax.imageio.*;\n'
+        'import javax.imageio.stream.*;\n'
+        'import java.awt.image.BufferedImage;\n'
+        'import java.io.File;\n'
+        'public class Adam7Check { public static void main(String[] a)'
+        ' throws Exception {\n'
+        '  BufferedImage img = ImageIO.read(new File("ours.png"));\n'
+        '  long s = 0;\n'
+        '  for (int y = 0; y < img.getHeight(); y++)\n'
+        '    for (int x = 0; x < img.getWidth(); x++)\n'
+        '      s += (img.getRGB(x, y) >> 8) & 0xFF;\n'
+        '  System.out.println(s);\n'
+        '  BufferedImage o = new BufferedImage(23, 13,'
+        ' BufferedImage.TYPE_INT_RGB);\n'
+        '  for (int y = 0; y < 13; y++)\n'
+        '    for (int x = 0; x < 23; x++)\n'
+        '      o.setRGB(x, y, (((x*17+y*5)%256) << 16) |'
+        ' (((x*7+y*29)%256) << 8) | ((x+y*y)%256));\n'
+        '  ImageWriter wr = ImageIO.getImageWritersByFormatName("png")'
+        '.next();\n'
+        '  ImageWriteParam p = wr.getDefaultWriteParam();\n'
+        '  p.setProgressiveMode(ImageWriteParam.MODE_DEFAULT);\n'
+        '  ImageOutputStream os = ImageIO.createImageOutputStream('
+        'new File("java7.png"));\n'
+        '  wr.setOutput(os);\n'
+        '  wr.write(null, new IIOImage(o, null, null), p);\n'
+        '  os.close();\n'
+        '}}\n')
+    subprocess.run(["javac", "Adam7Check.java"], cwd=tmp_path, check=True)
+    out = subprocess.run(["java", "Adam7Check"], cwd=tmp_path, check=True,
+                         capture_output=True, text=True)
+    ours = decode_png((tmp_path / "ours.png").read_bytes())
+    assert out.stdout.strip() == str(int(ours[:, :, 1].astype(np.int64).sum()))
+    payload = (tmp_path / "java7.png").read_bytes()
+    assert payload[28] == 1, "ImageIO did not write an interlaced PNG"
+    j = decode_png(payload)
+    y, x = np.mgrid[0:13, 0:23]
+    exp = np.dstack([(x * 17 + y * 5) % 256, (x * 7 + y * 29) % 256,
+                     (x + y * y) % 256]).astype(np.uint8)
+    assert np.array_equal(j, exp)

@@ -174,11 +174,18 @@ def _png_chunk(tag: bytes, body: bytes) -> bytes:
             + struct.pack(">I", _z.crc32(tag + body) & 0xFFFFFFFF))
 
 
+# Adam7 pass grid: (xoff, yoff, xstep, ystep) per pass, PNG spec §8.2
+_ADAM7 = [(0, 0, 8, 8), (4, 0, 8, 8), (0, 4, 4, 8), (2, 0, 4, 4),
+          (0, 2, 2, 4), (1, 0, 2, 2), (0, 1, 1, 2)]
+
+
 def make_png(width: int, height: int, seed: int = 0,
-             pixels: np.ndarray | None = None) -> bytes:
+             pixels: np.ndarray | None = None,
+             interlace: bool = False) -> bytes:
     """Deterministic 8-bit truecolor PNG: IHDR + zlib-compressed IDAT
     (filter 0 rows) + IEND with correct CRCs.  Same seeded gradient as
-    make_ppm, or caller-supplied RGB ``pixels`` (h, w, 3)."""
+    make_ppm, or caller-supplied RGB ``pixels`` (h, w, 3).
+    ``interlace=True`` emits the Adam7 seven-pass layout (round 5)."""
     import struct
     import zlib as _z
     if pixels is None:
@@ -188,8 +195,17 @@ def make_png(width: int, height: int, seed: int = 0,
         b = (((x + y) * 5 + seed * 7) % 256).astype(np.uint8)
         pixels = np.dstack([r, g, b])
     h, w = pixels.shape[:2]
-    ihdr = struct.pack(">IIBBBBB", w, h, 8, 2, 0, 0, 0)   # 8-bit RGB
-    rows = b"".join(b"\x00" + row.tobytes() for row in pixels)
+    ihdr = struct.pack(">IIBBBBB", w, h, 8, 2, 0, 0, int(interlace))
+    if interlace:
+        parts = []
+        for xoff, yoff, xstep, ystep in _ADAM7:
+            sub = pixels[yoff::ystep, xoff::xstep]
+            if sub.size == 0:
+                continue
+            parts += [b"\x00" + row.tobytes() for row in sub]
+        rows = b"".join(parts)
+    else:
+        rows = b"".join(b"\x00" + row.tobytes() for row in pixels)
     return (_PNG_SIG + _png_chunk(b"IHDR", ihdr)
             + _png_chunk(b"IDAT", _z.compress(rows, 6))
             + _png_chunk(b"IEND", b""))
@@ -274,17 +290,38 @@ def decode_png(payload: bytes) -> np.ndarray:
         raise ValueError("PNG has no IHDR")
     if depth != 8:
         raise ValueError(f"PNG bit depth {depth} not supported (8 only)")
-    if interlace:
-        raise ValueError("interlaced (Adam7) PNG not supported")
+    if interlace not in (0, 1):
+        raise ValueError(f"PNG interlace method {interlace} unknown")
     channels = {0: 1, 2: 3, 3: 1, 4: 2, 6: 4}.get(ctype)
     if channels is None:
         raise ValueError(f"PNG color type {ctype} not supported")
     raw = _z.decompress(bytes(idat))
-    stride = w * channels
-    if len(raw) != h * (stride + 1):
-        raise ValueError("PNG pixel data length mismatch")
-    flat = _png_unfilter(raw, w, h, channels, stride)
-    img = flat.reshape(h, w, channels)
+    if interlace:
+        # Adam7 (round 5): seven passes, each an independently-filtered
+        # sub-image scattered onto the (xoff::xstep, yoff::ystep) grid
+        img = np.zeros((h, w, channels), dtype=np.uint8)
+        pos = 0
+        for xoff, yoff, xstep, ystep in _ADAM7:
+            pw = (w - xoff + xstep - 1) // xstep
+            ph = (h - yoff + ystep - 1) // ystep
+            if pw <= 0 or ph <= 0:
+                continue
+            stride = pw * channels
+            need = ph * (stride + 1)
+            if pos + need > len(raw):
+                raise ValueError("PNG interlaced pixel data truncated")
+            flat = _png_unfilter(raw[pos:pos + need], pw, ph,
+                                 channels, stride)
+            pos += need
+            img[yoff::ystep, xoff::xstep] = flat.reshape(ph, pw, channels)
+        if pos != len(raw):
+            raise ValueError("PNG pixel data length mismatch")
+    else:
+        stride = w * channels
+        if len(raw) != h * (stride + 1):
+            raise ValueError("PNG pixel data length mismatch")
+        flat = _png_unfilter(raw, w, h, channels, stride)
+        img = flat.reshape(h, w, channels)
     if ctype == 3:
         if palette is None:
             raise ValueError("palette PNG without PLTE")
@@ -304,16 +341,19 @@ def decode_png(payload: bytes) -> np.ndarray:
     return img
 
 
-def make_text_png(text: str) -> bytes:
+def make_text_png(text: str, interlace: bool = False) -> bytes:
     """UTF-8 text packed into PNG RGB triplets (4-byte length prefix) —
-    the DEFLATE-compressed counterpart of make_text_gif's LZW."""
+    the DEFLATE-compressed counterpart of make_text_gif's LZW.
+    ``interlace=True`` routes the same bytes through the Adam7 seven-pass
+    layout, so the roundtrip additionally proves the de-interlace scatter
+    is exact."""
     data = text.encode("utf-8")
     data = len(data).to_bytes(4, "big") + data
     width = 256
     height = max(1, -(-len(data) // (width * 3)))
     data = data.ljust(width * height * 3, b"\x00")
     img = np.frombuffer(data, dtype=np.uint8).reshape(height, width, 3)
-    return make_png(width, height, pixels=img)
+    return make_png(width, height, pixels=img, interlace=interlace)
 
 
 def decode_text_png(payload: bytes) -> str:
