@@ -1288,3 +1288,91 @@ def test_png_adam7_interlaced_roundtrip_and_conformance(tmp_path):
     exp = np.dstack([(x * 17 + y * 5) % 256, (x * 7 + y * 29) % 256,
                      (x + y * y) % 256]).astype(np.uint8)
     assert np.array_equal(j, exp)
+
+
+def test_agile_encrypted_ooxml():
+    """ECMA-376 agile encryption ([MS-OFFCRYPTO] 2.3.4, round 5): AES
+    validated against FIPS-197 / SP 800-38A published vectors; full
+    docx roundtrip through the CFB EncryptionInfo/EncryptedPackage
+    container; wrong/missing password and HMAC tamper raise typed
+    errors; the conversion dispatcher degrades gracefully."""
+    import numpy as np
+    import pytest as _pytest
+
+    from xponents_spark.textract import convert_document_kind
+    from xponents_spark.textract.agile import (
+        AgileDecryptError, _decrypt_blocks, _encrypt_blocks, _expand_key,
+        aes_cbc_decrypt, aes_cbc_encrypt, decrypt_agile_package,
+        make_agile_encrypted)
+    from xponents_spark.textract.cfb import CfbReader
+    from xponents_spark.textract.office import make_simple_docx
+
+    # FIPS-197 Appendix C (AES-128/192/256 single block)
+    pt = bytes.fromhex("00112233445566778899aabbccddeeff")
+    vec = {
+        "000102030405060708090a0b0c0d0e0f":
+            "69c4e0d86a7b0430d8cdb78070b4c55a",
+        "000102030405060708090a0b0c0d0e0f1011121314151617":
+            "dda97ca4864cdfe06eaf70a0ec0d7191",
+        "000102030405060708090a0b0c0d0e0f"
+        "101112131415161718191a1b1c1d1e1f":
+            "8ea2b7ca516745bfeafc49904b496089"}
+    for k_hex, ct_hex in vec.items():
+        rks = _expand_key(bytes.fromhex(k_hex))
+        ct = _encrypt_blocks(
+            np.frombuffer(pt, dtype=np.uint8).reshape(1, 16), rks)
+        assert ct.tobytes().hex() == ct_hex
+        assert _decrypt_blocks(ct, rks).tobytes() == pt
+    # NIST SP 800-38A F.2.5 (CBC-AES256)
+    key = bytes.fromhex("603deb1015ca71be2b73aef0857d7781"
+                        "1f352c073b6108d72d9810a30914dff4")
+    iv = bytes.fromhex("000102030405060708090a0b0c0d0e0f")
+    pt4 = bytes.fromhex(
+        "6bc1bee22e409f96e93d7e117393172aae2d8a571e03ac9c9eb76fac45af8e51"
+        "30c81c46a35ce411e5fbc1191a0a52eff69f2445df4f9b17ad2b417be66c3710")
+    ct4 = aes_cbc_encrypt(key, iv, pt4)
+    assert ct4.hex().startswith("f58c4c04d6e5f1ba779eabfb5f7bfbd6")
+    assert aes_cbc_decrypt(key, iv, ct4) == pt4
+
+    for text in ("", "hello world", "ünïcode ✓ " * 300, "x" * 9000):
+        pkg = make_simple_docx(text)
+        enc = make_agile_encrypted(pkg, "s3cret-pw")
+        assert decrypt_agile_package(CfbReader(enc), "s3cret-pw") == pkg
+        got, kind = convert_document_kind(enc, "s3cret-pw")
+        exp, _k = convert_document_kind(pkg)
+        assert got == exp and kind == "docx"
+        assert convert_document_kind(enc, "wrong") == ("", "ooxml-encrypted")
+        assert convert_document_kind(enc, None) == ("", "ooxml-encrypted")
+
+    with _pytest.raises(AgileDecryptError, match="password"):
+        decrypt_agile_package(
+            CfbReader(make_agile_encrypted(make_simple_docx("x"), "pw")),
+            None)
+    # tamper inside the package ciphertext -> HMAC integrity failure
+    pkg = make_simple_docx("integrity check payload " * 50)
+    enc = make_agile_encrypted(pkg, "pw")
+    raw = CfbReader(enc).read_stream("EncryptedPackage")
+    idx = enc.rfind(raw[8:200])
+    bad = bytearray(enc)
+    bad[idx + 50] ^= 0xFF
+    with _pytest.raises(AgileDecryptError, match="HMAC"):
+        decrypt_agile_package(CfbReader(bytes(bad)), "pw")
+
+
+def test_agile_encrypted_docx_spark_stage(spark):
+    """convert_binary_docs carries the job password through to the agile
+    decrypt inside the Arrow stage."""
+    from xponents_spark.textract import convert_binary_docs
+    from xponents_spark.textract.agile import make_agile_encrypted
+    from xponents_spark.textract.office import make_simple_docx
+
+    texts = ["alpha doc", "beta ünïcode ✓", "gamma " * 400]
+    rows = [(i, make_agile_encrypted(make_simple_docx(t), "job-pw"))
+            for i, t in enumerate(texts)]
+    df = spark.createDataFrame(rows, "doc_id LONG, payload BINARY")
+    out = {r["doc_id"]: r["text"]
+           for r in convert_binary_docs(df, "payload", "text",
+                                        doc_password="job-pw").collect()}
+    from xponents_spark.textract import squeeze_whitespace
+    for i, t in enumerate(texts):
+        assert out[i] == squeeze_whitespace(t)
