@@ -223,35 +223,13 @@ def q_pdf_roundtrip(spark, sf_dir):
                                "payload", "text").select("doc_id", "text")
 
 
-def q_docx_roundtrip(spark, sf_dir):
-    """S1 office path: each document rendered to a deterministic DOCX
-    (binary), text layer recovered by the stdlib zip+XML extractor — output
-    must equal the source text (identity oracle, same contract as the PDF
-    roundtrip)."""
-    import pandas as pd
-    from pyspark.sql import types as T
-
-    from xponents_spark.textract import convert_binary_docs
-    from xponents_spark.textract.office import make_simple_docx
-
-    docs = _docs(spark, sf_dir).select("doc_id", "text")
-    schema = T.StructType([T.StructField("doc_id", T.LongType()),
-                           T.StructField("payload", T.BinaryType())])
-
-    def mk(batches):
-        for pdf in batches:
-            yield pd.DataFrame({
-                "doc_id": pdf["doc_id"],
-                "payload": [make_simple_docx(t) for t in pdf["text"].tolist()]})
-
-    return convert_binary_docs(docs.mapInPandas(mk, schema=schema),
-                               "payload", "text").select("doc_id", "text")
-
-
-def _binary_roundtrip(spark, sf_dir, make_fn):
-    """Shared S1 roundtrip harness: render each document to a binary
-    payload, recover the text layer, compare to the source (identity
-    oracle)."""
+def _payload_roundtrip(spark, sf_dir, makers, doc_password=None):
+    """Shared S1 multi-format roundtrip harness (round 5, VERDICT r4
+    item 2): render each document to ONE binary payload per format
+    (stage 1), recover every text layer through the production
+    convert_binary_docs Arrow stage (stage 2) — identity oracle per
+    (doc_id, format) row.  Merging formats into one driver row set keeps
+    every format gated inside the driver's query cap."""
     import pandas as pd
     from pyspark.sql import types as T
 
@@ -259,109 +237,184 @@ def _binary_roundtrip(spark, sf_dir, make_fn):
 
     docs = _docs(spark, sf_dir).select("doc_id", "text")
     schema = T.StructType([T.StructField("doc_id", T.LongType()),
+                           T.StructField("format", T.StringType()),
                            T.StructField("payload", T.BinaryType())])
 
     def mk(batches):
         for pdf in batches:
-            yield pd.DataFrame({
-                "doc_id": pdf["doc_id"],
-                "payload": [make_fn(t) for t in pdf["text"].tolist()]})
+            ids, fmts, payloads = [], [], []
+            for did, t in zip(pdf["doc_id"].tolist(), pdf["text"].tolist()):
+                for name, make_fn in makers:
+                    ids.append(did)
+                    fmts.append(name)
+                    payloads.append(make_fn(t))
+            yield pd.DataFrame({"doc_id": ids, "format": fmts,
+                                "payload": payloads})
 
-    return convert_binary_docs(docs.mapInPandas(mk, schema=schema),
-                               "payload", "text").select("doc_id", "text")
-
-
-def q_doc_roundtrip(spark, sf_dir):
-    """S1 legacy .doc path (round 3: no Tika — CFB container + [MS-DOC]
-    FIB/CLX/piece-table readers in pure stdlib): text -> Word97 binary ->
-    recovered text must equal the source."""
-    from xponents_spark.textract.office import make_simple_doc
-    return _binary_roundtrip(spark, sf_dir, make_simple_doc)
-
-
-def q_xls_roundtrip(spark, sf_dir):
-    """S1 legacy .xls path (BIFF8 record walk, SST shared strings incl.
-    round-4 Continue-record splits — forced here with a small record cap
-    so every document exercises the continuation path)."""
-    from xponents_spark.textract.office import make_simple_xls
-    return _binary_roundtrip(
-        spark, sf_dir, lambda t: make_simple_xls(t, max_record=512))
+    return (convert_binary_docs(docs.mapInPandas(mk, schema=schema),
+                                "payload", "text",
+                                doc_password=doc_password)
+            .select("doc_id", "format", "text"))
 
 
-def q_encrypted_doc_roundtrip(spark, sf_dir):
-    """S1 encrypted legacy .doc (round 4 — closes the documented cut):
-    each document encrypted with the Word97 RC4 password scheme
-    ([MS-OFFCRYPTO] 2.3.6), recovered through the Spark conversion stage
-    with the job-level password — identity oracle."""
+def q_office_roundtrip(spark, sf_dir):
+    """S1 office formats, one driver row set with a format column:
+    docx (zip+XML), legacy .doc (CFB + [MS-DOC] FIB/CLX piece table),
+    legacy .xls (BIFF8 SST with forced Continue-record splits)."""
+    from xponents_spark.textract.office import (make_simple_doc,
+                                                make_simple_docx,
+                                                make_simple_xls)
+    return _payload_roundtrip(spark, sf_dir, [
+        ("docx", make_simple_docx),
+        ("doc", make_simple_doc),
+        ("xls", lambda t: make_simple_xls(t, max_record=512))])
+
+
+def q_encrypted_office_roundtrip(spark, sf_dir):
+    """S1 encrypted Office, both generations ([MS-OFFCRYPTO]): legacy
+    Word97 RC4 (2.3.6) and round-5 agile AES-256-CBC/SHA-512 OOXML
+    (2.3.4), decrypted through the Spark conversion stage with the
+    job-level password — identity oracle per (doc_id, format) row."""
+    from xponents_spark.textract.agile import make_agile_encrypted
+    from xponents_spark.textract.office import (make_encrypted_doc,
+                                                make_simple_docx)
+    return _payload_roundtrip(spark, sf_dir, [
+        ("doc_rc4", lambda t: make_encrypted_doc(t, "gate-pw")),
+        ("docx_agile", lambda t: make_agile_encrypted(
+            make_simple_docx(t), "gate-pw", spin_count=1000))],
+        doc_password="gate-pw")
+
+
+def q_image_roundtrip(spark, sf_dir):
+    """Image codecs, one driver row set with a format column: GIF87a
+    (real LZW), 24-bit BMP, PNG (zlib DEFLATE + all 5 filters), and
+    round-5 Adam7 interlaced PNG — each document's text packed into
+    pixels and decoded back by the pure-python codec (conformance vs
+    Java ImageIO pinned in pytest; the driver gates losslessness over
+    every document's bytes)."""
     import pandas as pd
     from pyspark.sql import types as T
 
-    from xponents_spark.textract import convert_binary_docs
-    from xponents_spark.textract.office import make_encrypted_doc
+    from xponents_spark.operators.multimodal import (
+        decode_text_bmp, decode_text_gif, decode_text_png, make_text_bmp,
+        make_text_gif, make_text_png)
 
+    codecs = [("gif", make_text_gif, decode_text_gif),
+              ("bmp", make_text_bmp, decode_text_bmp),
+              ("png", make_text_png, decode_text_png),
+              ("png_adam7", lambda t: make_text_png(t, interlace=True),
+               decode_text_png)]
     docs = _docs(spark, sf_dir).select("doc_id", "text")
     schema = T.StructType([T.StructField("doc_id", T.LongType()),
-                           T.StructField("payload", T.BinaryType())])
-
-    def mk(batches):
-        for pdf in batches:
-            yield pd.DataFrame({
-                "doc_id": pdf["doc_id"],
-                "payload": [make_encrypted_doc(t, "gate-pw")
-                            for t in pdf["text"].tolist()]})
-
-    return convert_binary_docs(docs.mapInPandas(mk, schema=schema),
-                               "payload", "text",
-                               doc_password="gate-pw").select("doc_id", "text")
-
-
-def _image_text_roundtrip(spark, sf_dir, make_fn, decode_fn):
-    """Image-codec identity harness: each document's text packed into an
-    image payload (binary), decoded back by the pure-python codec — output
-    must equal the source text.  Same contract as the PDF/DOCX/.doc
-    roundtrips, but through PIXEL data (and for GIF, through a real LZW
-    compressor/decompressor)."""
-    import pandas as pd
-    from pyspark.sql import types as T
-
-    docs = _docs(spark, sf_dir).select("doc_id", "text")
-    schema = T.StructType([T.StructField("doc_id", T.LongType()),
+                           T.StructField("format", T.StringType()),
                            T.StructField("text", T.StringType())])
 
     def roundtrip(batches):
         for pdf in batches:
-            yield pd.DataFrame({
-                "doc_id": pdf["doc_id"],
-                "text": [decode_fn(make_fn(t)) for t in pdf["text"].tolist()]})
+            ids, fmts, texts = [], [], []
+            for did, t in zip(pdf["doc_id"].tolist(), pdf["text"].tolist()):
+                for name, mk, dec in codecs:
+                    ids.append(did)
+                    fmts.append(name)
+                    texts.append(dec(mk(t)))
+            yield pd.DataFrame({"doc_id": ids, "format": fmts,
+                                "text": texts})
 
     return docs.mapInPandas(roundtrip, schema=schema)
 
 
-def q_gif_roundtrip(spark, sf_dir):
-    """Multimodal decode slot, exercised on a COMPRESSED format (VERDICT
-    r3 item 5): GIF87a with a pure-python LZW codec — pixel-exact
-    conformance vs Java ImageIO pinned in pytest; here the driver gates
-    losslessness over every document's bytes."""
-    from xponents_spark.operators.multimodal import (decode_text_gif,
-                                                     make_text_gif)
-    return _image_text_roundtrip(spark, sf_dir, make_text_gif, decode_text_gif)
+def q_codec_fallback_rate(spark, sf_dir):
+    """decoder='auto' fallback-rate metric (VERDICT r4 item 6): codec
+    gaps are MEASURED per mime, not silent.  Each document contributes
+    one deterministic payload — valid PNG, Adam7 PNG (both real-decode),
+    a 16-bit PNG (declared unsupported -> fallback), or a truncated GIF
+    (malformed -> fallback) — and the query returns per-(mime,
+    decode_path) row counts from the status-bearing Arrow stage."""
+    import struct as _struct
+
+    import pandas as pd
+    from pyspark.sql import types as T
+
+    from xponents_spark.operators.multimodal import (
+        _PNG_SIG, _png_chunk, extract_media_features, make_text_gif,
+        make_text_png)
+
+    def sixteen_bit_png() -> bytes:
+        ihdr = _struct.pack(">IIBBBBB", 4, 4, 16, 2, 0, 0, 0)
+        return (_PNG_SIG + _png_chunk(b"IHDR", ihdr)
+                + _png_chunk(b"IEND", b""))
+
+    docs = _docs(spark, sf_dir).select("doc_id", "text")
+    schema = T.StructType([
+        T.StructField("media_id", T.LongType()),
+        T.StructField("payload", T.BinaryType()),
+        T.StructField("meta", T.MapType(T.StringType(), T.StringType()))])
+
+    def mk(batches):
+        for pdf in batches:
+            ids, payloads, metas = [], [], []
+            for did, t in zip(pdf["doc_id"].tolist(), pdf["text"].tolist()):
+                kind = did % 4
+                if kind == 0:
+                    p, mime = make_text_png(t), "image/png"
+                elif kind == 1:
+                    p, mime = make_text_png(t, interlace=True), "image/png"
+                elif kind == 2:
+                    p, mime = sixteen_bit_png(), "image/png"
+                else:
+                    p, mime = make_text_gif(t)[:30], "image/gif"
+                ids.append(did)
+                payloads.append(p)
+                metas.append({"mime": mime})
+            yield pd.DataFrame({"media_id": ids, "payload": payloads,
+                                "meta": metas})
+
+    media = docs.mapInPandas(mk, schema=schema)
+    out = extract_media_features(media, decoder="auto", with_status=True)
+    return out.groupBy("mime", "decode_path").agg(F.count("*").alias("n"))
 
 
-def q_png_roundtrip(spark, sf_dir):
-    """PNG decode slot made REAL (round 4 — the #1 format a crawl
-    pipeline hits): DEFLATE via stdlib zlib + full filter reconstruction;
-    two-way pixel-exact conformance vs Java ImageIO pinned in pytest;
-    here the driver gates losslessness over every document's bytes."""
-    from xponents_spark.operators.multimodal import (decode_text_png,
-                                                     make_text_png)
-    return _image_text_roundtrip(spark, sf_dir, make_text_png, decode_text_png)
+def q_mp4_sample_schedule(spark, sf_dir):
+    """MP4 container parse driver-gated (VERDICT r4 item 5): each
+    document seeds a make_minimal_mp4 fixture (n_frames = 4 + doc_id%5,
+    fps 5, 32-byte samples); the query parses the REAL ISO-BMFF sample
+    tables (stts/stsz/stsc/stco) and projects the exact per-sample
+    (timestamp_ms, byte_offset, byte_size) schedule.  The oracle states
+    the spec-determined layout arithmetic (first mdat payload byte at
+    offset 32) independently of the parser."""
+    import pandas as pd
+    from pyspark.sql import types as T
 
+    from xponents_spark.operators.mp4 import (make_minimal_mp4, parse_mp4,
+                                              sample_table, video_track)
 
-def q_bmp_roundtrip(spark, sf_dir):
-    """Uncompressed 24-bit BMP counterpart of the GIF roundtrip."""
-    from xponents_spark.operators.multimodal import (decode_text_bmp,
-                                                     make_text_bmp)
-    return _image_text_roundtrip(spark, sf_dir, make_text_bmp, decode_text_bmp)
+    docs = _docs(spark, sf_dir).select("doc_id")
+    schema = T.StructType([
+        T.StructField("doc_id", T.LongType()),
+        T.StructField("sample_idx", T.IntegerType()),
+        T.StructField("t_ms", T.IntegerType()),
+        T.StructField("byte_offset", T.LongType()),
+        T.StructField("byte_size", T.IntegerType())])
+
+    def run(batches):
+        for pdf in batches:
+            ids, ks, ts, offs, sizes = [], [], [], [], []
+            for did in pdf["doc_id"].tolist():
+                payload = make_minimal_mp4(n_frames=4 + int(did) % 5,
+                                           fps=5, frame_size=32,
+                                           seed=int(did))
+                track = video_track(parse_mp4(payload))
+                for k, (t_ms, off, size) in enumerate(sample_table(track)):
+                    ids.append(did)
+                    ks.append(k)
+                    ts.append(t_ms)
+                    offs.append(off)
+                    sizes.append(size)
+            yield pd.DataFrame({"doc_id": ids, "sample_idx": ks,
+                                "t_ms": ts, "byte_offset": offs,
+                                "byte_size": sizes})
+
+    return docs.mapInPandas(run, schema=schema)
 
 
 def q_jpeg_fidelity(spark, sf_dir):
@@ -521,9 +574,33 @@ def q_characterize(spark, sf_dir):
         "doc_id", "n_chars", "is_lower", "is_upper", "has_cjk", "has_mideast")
 
 
+_PLANT_OFFSET = 1_000_000
+_PLANT_N = 25
+
+
+def _emb_with_planted(spark, sf_dir):
+    """Gate embedding corpus with PLANTED near-duplicates (VERDICT r4
+    item 4): the provided test embeddings are unstructured gaussians
+    whose max pairwise cosine is ~0.51, so a 0.8-threshold near-dup row
+    was vacuously empty.  Planting an exact copy (vec_id + 1e6) of each
+    of the first 25 vectors makes the expected pair set DETERMINISTIC:
+    identical vectors share every LSH bucket in every table (guaranteed
+    candidates), exact verification scores them at cosine 1.0, and no
+    natural or copy-cross pair can reach the 0.8 bar."""
+    emb = _emb(spark, sf_dir).select("vec_id", "embedding")
+    planted = (emb.filter(F.col("vec_id") < _PLANT_N)
+               .select((F.col("vec_id") + _PLANT_OFFSET).alias("vec_id"),
+                       "embedding"))
+    return emb.unionByName(planted)
+
+
 def q_embedding_near_dups(spark, sf_dir):
+    """LSH + exact-verify embedding near-dups over the planted corpus —
+    upgraded from rows-only to a full VALUES oracle (the planted pairs
+    are the exact expected output; see _emb_with_planted)."""
     from xponents_spark.operators.similarity import embedding_near_dups
-    return (embedding_near_dups(_emb(spark, sf_dir), threshold=0.8)
+    return (embedding_near_dups(_emb_with_planted(spark, sf_dir),
+                                threshold=0.8)
             .select("vec_a", "vec_b"))
 
 
@@ -680,29 +757,32 @@ def _ann_recall(spark, sf_dir, approx_fn) -> DataFrame:
         [(int(total), round(hit / total, 4))], "n_truth INT, recall DOUBLE")
 
 
-def q_ann_lsh_floor(spark, sf_dir):
-    """Aggregate recall of multi-table multi-probe LSH vs brute force,
-    asserted against a pinned floor (deterministic embeddings + seeds ->
-    stable value: measured 0.54 with L=8/bits=8/probes=8 on gaussians,
-    floor 0.5 — raised from round 3's single-table 0.25)."""
-    r = _ann_recall(spark, sf_dir, q_ann_lsh)
-    return r.select("n_truth", (F.col("recall") >= 0.5).alias("meets_floor"))
+def q_ann_recall_floors(spark, sf_dir):
+    """All ANN recall-floor invariants in ONE driver row (round 5,
+    VERDICT r4 item 2: the per-scheme floor queries fell past the
+    driver's query cap; merged they always execute).
 
+    Gaussian floors (the provided structure-free test embeddings, ANN's
+    worst case): multi-table multi-probe LSH recall@5 vs brute force,
+    measured 0.54 at L=8/bits=8/probes=8, floor 0.5; IVF n=32/nprobe=8
+    measured ~0.65, floor 0.5.
 
-def q_ann_ivf_floor(spark, sf_dir):
-    r = _ann_recall(spark, sf_dir, q_ann_ivf)
-    return r.select("n_truth", (F.col("recall") >= 0.50).alias("meets_floor"))
-
-
-def q_ann_planted_recall(spark, sf_dir):
-    """ANN on PLANTED cluster structure (VERDICT r1 item 8): the provided
-    test embeddings are unstructured gaussians (ANN's worst case), so this
-    query synthesizes deterministic clustered vectors and asserts IVF and
-    LSH recall@5 against brute force at floors real corpora justify."""
+    Planted-cluster floors (deterministic clustered vectors — the
+    geometry real corpora justify): IVF >= 0.9 (clusters are exactly its
+    model) and L=12 multi-table LSH >= 0.9 (each independent table
+    re-rolls the hyperplanes; the miss probability decays exponentially
+    in L — VERDICT r3 item 4).  BENCH/BASELINE.md carries the honest
+    recall/cost grid."""
     from xponents_spark.operators.similarity import (cosine_topk_bruteforce,
                                                      cosine_topk_ivf,
                                                      cosine_topk_lsh)
-    from xponents_spark.sources.transcripts import synthesize_clustered_embeddings
+    from xponents_spark.sources.transcripts import \
+        synthesize_clustered_embeddings
+
+    g = _ann_recall(spark, sf_dir, q_ann_lsh).collect()[0]
+    lsh_ok = g["recall"] >= 0.5
+    n_truth = int(g["n_truth"])
+    ivf_ok = _ann_recall(spark, sf_dir, q_ann_ivf).collect()[0]["recall"] >= 0.5
 
     emb = synthesize_clustered_embeddings(spark).cache()
     qs = [(int(r["vec_id"]), list(r["embedding"]))
@@ -715,19 +795,14 @@ def q_ann_planted_recall(spark, sf_dir):
         return truth.join(approx.select("query_id", "vec_id"),
                           ["query_id", "vec_id"]).count() / total
 
-    # floors from the measured deterministic values: IVF 0.90+ (clusters are
-    # exactly its geometry); multi-table LSH 0.94 at L=12/bits=8/probes=6
-    # (31.3% candidate fraction) — round 4 replaces the single-table
-    # multi-probe scheme that plateaued at 0.56 regardless of probes
-    # (VERDICT r3 item 4): each independent table re-rolls the hyperplanes,
-    # so P(neighbor missed by all L tables) decays exponentially in L.
-    # BENCH/BASELINE.md quality table carries the honest recall/cost grid.
-    r_ivf = recall(cosine_topk_ivf(emb, qs, k=5, n_centroids=32, nprobe=8))
-    r_lsh = recall(cosine_topk_lsh(emb, qs, k=5, bits=8, probes=6, tables=12))
+    p_ivf = recall(cosine_topk_ivf(emb, qs, k=5, n_centroids=32, nprobe=8))
+    p_lsh = recall(cosine_topk_lsh(emb, qs, k=5, bits=8, probes=6, tables=12))
     emb.unpersist()
     return spark.createDataFrame(
-        [(int(total), r_ivf >= 0.9, r_lsh >= 0.9)],
-        "n_truth INT, ivf_meets_floor BOOLEAN, lsh_meets_floor BOOLEAN")
+        [(n_truth, bool(lsh_ok), bool(ivf_ok),
+          p_ivf >= 0.9, p_lsh >= 0.9)],
+        "n_truth INT, lsh_meets_floor BOOLEAN, ivf_meets_floor BOOLEAN, "
+        "planted_ivf_meets_floor BOOLEAN, planted_lsh_meets_floor BOOLEAN")
 
 
 def q_ann_ivf_indexed_consistency(spark, sf_dir):
@@ -763,9 +838,11 @@ def q_ann_ivf_indexed_consistency(spark, sf_dir):
 
 def q_embedding_near_dup_sound(spark, sf_dir):
     """Soundness of the LSH+verify near-dup: every emitted pair really has
-    exact cosine >= threshold (recomputed from raw embeddings)."""
+    exact cosine >= threshold (recomputed from raw embeddings).  Runs on
+    the planted corpus so the soundness check scores REAL pairs (>=25),
+    not a vacuously empty set."""
     from xponents_spark.operators.similarity import embedding_near_dups
-    emb = _emb(spark, sf_dir)
+    emb = _emb_with_planted(spark, sf_dir)
     got = embedding_near_dups(emb, threshold=0.8).select("vec_a", "vec_b")
     dot = F.expr("aggregate(zip_with(ea, eb, (x, y) -> x * y), "
                  "CAST(0.0 AS DOUBLE), (acc, v) -> acc + v)")
@@ -784,6 +861,13 @@ def q_embedding_near_dup_sound(spark, sf_dir):
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
+    """Exactly 50 entries (round 5): the round-4 driver executed only the
+    first 50 of 54 registered queries, silently dropping the IVF/embedding
+    invariants (VERDICT r4 item 2).  Multi-format roundtrips are merged
+    into single row sets with a ``format`` column and the three ANN floor
+    checks into one row, so EVERY operator and EVERY invariant holds a
+    driver-gated row inside the cap.  Each approximate (rows-only) query
+    is immediately followed by its driver-checkable invariant."""
     return {
         "transcripts_synth": q_transcripts,
         "main_content": q_main_content,
@@ -796,17 +880,16 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "country_histogram": q_country_histogram,
         "conv_geography": q_conv_geography,
         "conv_scoped_places": q_conv_scoped_places,
+        "conv_scoped_invariants": q_conv_scoped_invariants,
         "match_label_histogram": q_label_histogram,
         "gazetteer_etl": q_gazetteer_etl,
         "pdf_text_recovery": q_pdf_roundtrip,
-        "docx_text_recovery": q_docx_roundtrip,
-        "doc_text_recovery": q_doc_roundtrip,
-        "xls_text_recovery": q_xls_roundtrip,
-        "encrypted_doc_recovery": q_encrypted_doc_roundtrip,
-        "gif_text_recovery": q_gif_roundtrip,
-        "bmp_text_recovery": q_bmp_roundtrip,
-        "png_text_recovery": q_png_roundtrip,
+        "office_text_recovery": q_office_roundtrip,
+        "encrypted_office_recovery": q_encrypted_office_roundtrip,
+        "image_text_recovery": q_image_roundtrip,
         "jpeg_fidelity_check": q_jpeg_fidelity,
+        "codec_fallback_rate": q_codec_fallback_rate,
+        "mp4_sample_schedule": q_mp4_sample_schedule,
         "exact_dedup": q_exact_dedup,
         "prefix_dedup": q_prefix_dedup,
         "token_stats": q_token_stats,
@@ -821,24 +904,20 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "event_hourly_windows": q_event_hourly,
         "characterize": q_characterize,
         "ngram_jaccard_pairs": q_ngram_jaccard,
+        "minhash_near_dups": q_minhash_dedup,   # rows-only
+        "minhash_recall_check": q_minhash_recall_check,
+        "simhash_near_dups": q_simhash_dedup,   # rows-only
+        "simhash_complete_check": q_simhash_complete_check,
+        "winnow_near_dups": q_winnow_dedup,     # rows-only
+        "winnow_dup_check": q_winnow_dup_check,
+        "near_dup_groups": q_near_dup_groups,
         "ann_cosine_topk": q_ann_topk,
         "cosine_pairs": q_cosine_pairs,
-        "embedding_near_dups": q_embedding_near_dups,   # rows-only (LSH approx)
         "ann_lsh_topk": q_ann_lsh,          # rows-only (approximate op)
         "ann_ivf_topk": q_ann_ivf,          # rows-only (approximate op)
-        "minhash_near_dups": q_minhash_dedup,   # rows-only
-        "simhash_near_dups": q_simhash_dedup,   # rows-only
-        "winnow_near_dups": q_winnow_dedup,     # rows-only
-        "near_dup_groups": q_near_dup_groups,
-        # driver-checkable invariants over the approximate / two-pass ops
-        "conv_scoped_invariants": q_conv_scoped_invariants,
-        "minhash_recall_check": q_minhash_recall_check,
-        "winnow_dup_check": q_winnow_dup_check,
-        "simhash_complete_check": q_simhash_complete_check,
-        "ann_lsh_recall_floor": q_ann_lsh_floor,
-        "ann_ivf_recall_floor": q_ann_ivf_floor,
-        "ann_planted_recall": q_ann_planted_recall,
+        "ann_recall_floors": q_ann_recall_floors,
         "ann_ivf_indexed_consistency": q_ann_ivf_indexed_consistency,
+        "embedding_near_dups": q_embedding_near_dups,
         "embedding_near_dup_sound": q_embedding_near_dup_sound,
     }
 
@@ -896,14 +975,34 @@ def oracle_sql() -> dict[str, str]:
         "match_label_histogram": O.label_histogram_oracle(),
         "gazetteer_etl": O.gazetteer_etl_oracle(),
         "pdf_text_recovery": "SELECT doc_id, text FROM documents",
-        "docx_text_recovery": "SELECT doc_id, text FROM documents",
-        "doc_text_recovery": "SELECT doc_id, text FROM documents",
-        "xls_text_recovery": "SELECT doc_id, text FROM documents",
-        "encrypted_doc_recovery": "SELECT doc_id, text FROM documents",
-        "gif_text_recovery": "SELECT doc_id, text FROM documents",
-        "bmp_text_recovery": "SELECT doc_id, text FROM documents",
-        "png_text_recovery": "SELECT doc_id, text FROM documents",
+        "office_text_recovery": (
+            "SELECT d.doc_id, f.format, d.text FROM documents d "
+            "CROSS JOIN (VALUES ('docx'), ('doc'), ('xls')) f(format)"),
+        "encrypted_office_recovery": (
+            "SELECT d.doc_id, f.format, d.text FROM documents d "
+            "CROSS JOIN (VALUES ('doc_rc4'), ('docx_agile')) f(format)"),
+        "image_text_recovery": (
+            "SELECT d.doc_id, f.format, d.text FROM documents d "
+            "CROSS JOIN (VALUES ('gif'), ('bmp'), ('png'), ('png_adam7')) "
+            "f(format)"),
         "jpeg_fidelity_check": O.EMPTY_JPEG_VIOLATIONS,
+        "codec_fallback_rate": (
+            "SELECT mime, decode_path, COUNT(*) AS n FROM ("
+            "  SELECT CASE WHEN doc_id % 4 = 3 THEN 'image/gif'"
+            "              ELSE 'image/png' END AS mime,"
+            "         CASE WHEN doc_id % 4 IN (0, 1) THEN 'real'"
+            "              ELSE 'fallback' END AS decode_path"
+            "  FROM documents) GROUP BY mime, decode_path"),
+        "mp4_sample_schedule": (
+            # spec-determined fixture layout: ftyp is 24 bytes, so the
+            # first mdat payload byte sits at offset 32; fps=5 at
+            # timescale 1000 -> 200 ms per sample; 32-byte samples
+            "SELECT d.doc_id, CAST(t.k AS INTEGER) AS sample_idx, "
+            "CAST(t.k * 200 AS INTEGER) AS t_ms, "
+            "CAST(32 + t.k * 32 AS BIGINT) AS byte_offset, "
+            "CAST(32 AS INTEGER) AS byte_size "
+            "FROM documents d CROSS JOIN generate_series(0, 7) t(k) "
+            "WHERE t.k <= 3 + d.doc_id % 5"),
         "exact_dedup": O.EXACT_DEDUP_ORACLE,
         "prefix_dedup": O.PREFIX_DEDUP_ORACLE,
         "token_stats": O.TOKEN_STATS_ORACLE,
@@ -928,10 +1027,18 @@ def oracle_sql() -> dict[str, str]:
         "winnow_dup_check": O.EMPTY_PAIR_VIOLATIONS,
         "near_dup_groups": O.NEAR_DUP_GROUPS_ORACLE,
         "simhash_complete_check": O.EMPTY_PAIR_VIOLATIONS,
-        "ann_lsh_recall_floor": "SELECT 50 AS n_truth, true AS meets_floor",
-        "ann_ivf_recall_floor": "SELECT 50 AS n_truth, true AS meets_floor",
-        "ann_planted_recall": ("SELECT 50 AS n_truth, true AS ivf_meets_floor, "
-                               "true AS lsh_meets_floor"),
+        "ann_recall_floors": (
+            "SELECT 50 AS n_truth, true AS lsh_meets_floor, "
+            "true AS ivf_meets_floor, true AS planted_ivf_meets_floor, "
+            "true AS planted_lsh_meets_floor"),
+        "embedding_near_dups": (
+            # planted exact copies are the deterministic expected output:
+            # identical vectors collide in every LSH table and verify at
+            # cosine 1.0; max natural pair is ~0.51 < 0.8 (see
+            # _emb_with_planted)
+            f"SELECT CAST(vec_id AS BIGINT) AS vec_a, "
+            f"CAST(vec_id + {_PLANT_OFFSET} AS BIGINT) AS vec_b "
+            f"FROM embeddings WHERE vec_id < {_PLANT_N}"),
         "embedding_near_dup_sound": O.EMPTY_VEC_VIOLATIONS,
         "ann_ivf_indexed_consistency": O.EMPTY_IVF_VIOLATIONS,
     }

@@ -1376,3 +1376,24 @@ def test_agile_encrypted_docx_spark_stage(spark):
     from xponents_spark.textract import squeeze_whitespace
     for i, t in enumerate(texts):
         assert out[i] == squeeze_whitespace(t)
+
+
+def test_conv_scoped_requires_shared_work_dir_on_cluster():
+    """work_dir=None uses a DRIVER-LOCAL tempdir; on a non-local master
+    the pass-1 checkpoint table would be invisible to executors, so the
+    call must refuse loudly (round 5 cluster contract)."""
+    import pytest as _pytest
+
+    from xponents_spark.pipeline import extract_conversation_scoped
+
+    class _Ctx:
+        master = "spark://prod-cluster:7077"
+
+    class _Sess:
+        sparkContext = _Ctx()
+
+    class _DF:
+        sparkSession = _Sess()
+
+    with _pytest.raises(ValueError, match="shared storage"):
+        extract_conversation_scoped(_DF())

@@ -1,5 +1,5 @@
 #!/usr/bin/env python
-"""Round-4 scaling protocol (BASELINE.json north_rule: throughput scaling
+"""Round-5 scaling protocol (BASELINE.json north_rule: throughput scaling
 efficiency >= 0.8 from N to 4N executors).
 
 CONTRACTED PAIR — the literal north-rule deployment shape, UNCONTENDED on
@@ -30,7 +30,7 @@ captured inside each run.  The contract number is the MEDIAN raw
 efficiency across windows; per-window values + CPU-idle evidence are all
 recorded.
 
-Writes BENCH/scaling_r04.json and prints a summary line.
+Writes BENCH/scaling_r05.json and prints a summary line.
 """
 
 from __future__ import annotations
@@ -46,7 +46,7 @@ HERE = os.path.dirname(os.path.abspath(__file__))
 REPO = os.path.dirname(HERE)
 sys.path.insert(0, REPO)
 
-TRIALS = int(os.environ.get("PROTO_TRIALS", "5"))
+TRIALS = int(os.environ.get("PROTO_TRIALS", "9"))
 TURNS = os.environ.get("BENCH_TURNS", "400000")
 PARTITIONS = os.environ.get("PROBE_PARTITIONS", "96")
 
@@ -192,7 +192,7 @@ def main():
         "windows": windows,
         "saturated_pair": sat,
     }
-    path = os.path.join(REPO, "BENCH", "scaling_r04.json")
+    path = os.path.join(REPO, "BENCH", "scaling_r05.json")
     with open(path, "w") as fh:
         json.dump(summary, fh, indent=2)
     print(json.dumps({k: summary[k] for k in

@@ -719,7 +719,8 @@ def _real_decode(payload: bytes, mime: str, dim: int) -> list[float]:
 
 
 def extract_media_features(df: DataFrame, decoder: str = "auto",
-                           dim: int = _FEATURE_DIM) -> DataFrame:
+                           dim: int = _FEATURE_DIM,
+                           with_status: bool = False) -> DataFrame:
     """binary payload -> feature vector (array<double>), one Arrow stage.
 
     ``decoder='auto'`` (default): mimes with a real decoder in this
@@ -729,20 +730,28 @@ def extract_media_features(df: DataFrame, decoder: str = "auto",
     NotImplementedError mid-Arrow-stage on the first PNG).
     ``decoder='real'``: strict — unsupported mimes raise, the opt-in for
     pipelines that must not silently hash-feature a codec gap.
-    ``decoder='fake'``: hash features for every mime (plumbing tests)."""
-    out_schema = T.StructType([
+    ``decoder='fake'``: hash features for every mime (plumbing tests).
+
+    ``with_status=True`` adds a ``decode_path`` column
+    ('real' | 'fallback' | 'hash') so the fallback RATE is measurable
+    per mime instead of silent (VERDICT r4 item 6): 'fallback' marks a
+    supported mime whose payload the real decoder rejected."""
+    fields = [
         T.StructField("media_id", T.LongType(), False),
         T.StructField("mime", T.StringType(), True),
         T.StructField("features", T.ArrayType(T.DoubleType()), False),
-    ])
+    ]
+    if with_status:
+        fields.append(T.StructField("decode_path", T.StringType(), False))
+    out_schema = T.StructType(fields)
 
     def one(payload, mime):
         if decoder == "fake" or (decoder == "auto"
                                  and mime not in _REAL_MIMES):
-            return _fake_decode(payload, dim)
+            return _fake_decode(payload, dim), "hash"
         if decoder == "auto":
             # total over arbitrary tables: a supported mime whose payload
-            # the decoder rejects (progressive JPEG, interlaced PNG,
+            # the decoder rejects (progressive JPEG, 16-bit PNG,
             # truncated bytes) falls back to hash features instead of
             # failing the Arrow stage mid-corpus.  Only MALFORMED-PAYLOAD
             # error classes are caught — a TypeError/IndexError is a real
@@ -752,21 +761,24 @@ def extract_media_features(df: DataFrame, decoder: str = "auto",
             import wave as _wave
             import zlib as _zlib
             try:
-                return _real_decode(payload, mime, dim)
+                return _real_decode(payload, mime, dim), "real"
             except (ValueError, NotImplementedError, EOFError,
                     _struct.error, _zlib.error, _wave.Error):
-                return _fake_decode(payload, dim)
-        return _real_decode(payload, mime, dim)
+                return _fake_decode(payload, dim), "fallback"
+        return _real_decode(payload, mime, dim), "real"
 
     def run(batches):
         for pdf in batches:
             mimes = [m["mime"] if m is not None else None for m in pdf["meta"]]
-            feats = [one(p, m) for p, m in zip(pdf["payload"], mimes)]
-            yield pd.DataFrame({
+            pairs = [one(p, m) for p, m in zip(pdf["payload"], mimes)]
+            cols = {
                 "media_id": pdf["media_id"],
                 "mime": mimes,
-                "features": feats,
-            })
+                "features": [f for f, _s in pairs],
+            }
+            if with_status:
+                cols["decode_path"] = [s for _f, s in pairs]
+            yield pd.DataFrame(cols)
 
     return df.mapInPandas(run, schema=out_schema)
 
