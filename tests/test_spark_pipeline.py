@@ -1397,3 +1397,50 @@ def test_conv_scoped_requires_shared_work_dir_on_cluster():
 
     with _pytest.raises(ValueError, match="shared storage"):
         extract_conversation_scoped(_DF())
+
+
+def test_decoder_malformed_payload_fuzz():
+    """Fuzz contract behind decoder='auto' totality: ANY truncation/
+    corruption of a valid payload must raise only the malformed-payload
+    classes the auto decoder catches — never IndexError/KeyError/
+    RuntimeError escaping the Arrow stage.  (Round-5 fuzz found and
+    fixed: GIF LZW first-code IndexError, stdlib-wave RuntimeError leak,
+    JPEG DHT/SOF truncation IndexError and zero-dimension/zero-sampling
+    ZeroDivisionError.)"""
+    import random
+    import struct as _struct
+    import wave as _wave
+    import zlib as _zlib
+
+    from xponents_spark.operators.jpeg import decode_jpeg, make_jpeg
+    from xponents_spark.operators.multimodal import (
+        decode_bmp, decode_gif, decode_png, decode_ppm, decode_wav,
+        make_bmp, make_gif, make_png, make_ppm, make_wav)
+
+    allowed = (ValueError, NotImplementedError, EOFError,
+               _struct.error, _zlib.error, _wave.Error)
+    rng = random.Random(42)
+    cases = [(make_gif(24, 8, seed=1), decode_gif),
+             (make_png(24, 8, seed=1), decode_png),
+             (make_png(24, 8, seed=1, interlace=True), decode_png),
+             (make_bmp(24, 8, seed=1), decode_bmp),
+             (make_ppm(24, 8, seed=1), decode_ppm),
+             (make_wav(100), decode_wav),
+             (make_jpeg(24, 16), decode_jpeg)]
+    for valid, dec in cases:
+        for _trial in range(800):
+            b = bytearray(valid)
+            op = rng.randrange(3)
+            if op == 0:
+                b = b[:rng.randrange(len(b))]
+            elif op == 1:
+                for _ in range(rng.randrange(1, 6)):
+                    b[rng.randrange(len(b))] = rng.randrange(256)
+            else:
+                b = b[:rng.randrange(4, len(b))]
+                if len(b):
+                    b[rng.randrange(len(b))] = rng.randrange(256)
+            try:
+                dec(bytes(b))
+            except allowed:
+                pass

@@ -229,6 +229,8 @@ def decode_jpeg(payload: bytes) -> np.ndarray:
                 bits = list(body[p + 1:p + 17])
                 n = sum(bits)
                 vals = list(body[p + 17:p + 17 + n])
+                if len(bits) < 16 or len(vals) < n:
+                    raise ValueError("JPEG DHT segment truncated")
                 huff[(tc_th >> 4, tc_th & 0x0F)] = _build_decode_table(bits, vals)
                 p += 17 + n
         elif marker == 0xDB:                    # DQT
@@ -242,7 +244,13 @@ def decode_jpeg(payload: bytes) -> np.ndarray:
                 qt[pq_tq & 0x0F] = tbl.reshape(8, 8)
                 p += 65
         elif marker == 0xC0:                    # SOF0 baseline
+            if len(body) < 6:
+                raise ValueError("JPEG SOF0 segment truncated")
             prec, h, w, nc = body[0], *struct.unpack_from(">HH", body, 1), body[5]
+            if len(body) < 6 + 3 * nc:
+                raise ValueError("JPEG SOF0 component list truncated")
+            if w == 0 or h == 0:
+                raise ValueError("JPEG frame with zero dimension")
             if prec != 8:
                 raise ValueError("only 8-bit JPEG supported")
             if nc not in (1, 3):
@@ -256,8 +264,11 @@ def decode_jpeg(payload: bytes) -> np.ndarray:
             comps = []
             for c in range(nc):
                 cid, hv, tq = body[6 + 3 * c:9 + 3 * c]
-                comps.append({"id": cid, "h": hv >> 4, "v": hv & 0x0F,
-                              "tq": tq})
+                hs, vs = hv >> 4, hv & 0x0F
+                if not (1 <= hs <= 4 and 1 <= vs <= 4):
+                    raise ValueError(
+                        f"JPEG sampling factors {hs}x{vs} out of range")
+                comps.append({"id": cid, "h": hs, "v": vs, "tq": tq})
         elif marker in (0xC1, 0xC2, 0xC3, 0xC5, 0xC6, 0xC7,
                         0xC9, 0xCA, 0xCB, 0xCD, 0xCE, 0xCF):
             raise ValueError(

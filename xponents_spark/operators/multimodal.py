@@ -452,6 +452,9 @@ def _lzw_decode_gif(data: bytes, min_code_size: int = 8) -> bytes:
         if code == end:
             break
         if prev is None:
+            if code >= len(table):
+                raise ValueError(
+                    f"corrupt LZW stream: first code {code} beyond table")
             entry = table[code]
         elif code < len(table):
             entry = table[code]
@@ -638,11 +641,19 @@ def decode_wav(payload: bytes) -> tuple[np.ndarray, int]:
     """PCM WAV -> (float64 samples in [-1, 1] mono-mixed, sample rate).
     Stdlib ``wave`` — no external codecs."""
     import wave
-    with wave.open(io.BytesIO(payload), "rb") as wf:
-        rate = wf.getframerate()
-        nch = wf.getnchannels()
-        width = wf.getsampwidth()
-        raw = wf.readframes(wf.getnframes())
+    try:
+        with wave.open(io.BytesIO(payload), "rb") as wf:
+            rate = wf.getframerate()
+            nch = wf.getnchannels()
+            width = wf.getsampwidth()
+            raw = wf.readframes(wf.getnframes())
+    except (wave.Error, EOFError):
+        raise
+    except Exception as e:
+        # stdlib wave leaks bare RuntimeError/struct noise on hostile
+        # headers (fuzz finding, round 5): convert at the boundary so
+        # decoder='auto' sees the malformed-payload class
+        raise ValueError(f"malformed WAV payload: {e}")
     if width == 2:
         arr = np.frombuffer(raw, dtype=np.int16).astype(np.float64) / 32768.0
     elif width == 1:
