@@ -327,22 +327,24 @@ def q_codec_fallback_rate(spark, sf_dir):
     """decoder='auto' fallback-rate metric (VERDICT r4 item 6): codec
     gaps are MEASURED per mime, not silent.  Each document contributes
     one deterministic payload — valid PNG, Adam7 PNG (both real-decode),
-    a 16-bit PNG (declared unsupported -> fallback), or a truncated GIF
-    (malformed -> fallback) — and the query returns per-(mime,
-    decode_path) row counts from the status-bearing Arrow stage."""
-    import struct as _struct
-
+    a progressive (SOF2) JPEG (declared unsupported -> fallback), or a
+    truncated GIF (malformed -> fallback) — and the query returns
+    per-(mime, decode_path) row counts from the status-bearing Arrow
+    stage."""
     import pandas as pd
     from pyspark.sql import types as T
 
-    from xponents_spark.operators.multimodal import (
-        _PNG_SIG, _png_chunk, extract_media_features, make_text_gif,
-        make_text_png)
+    from xponents_spark.operators.jpeg import make_jpeg
+    from xponents_spark.operators.multimodal import (extract_media_features,
+                                                     make_text_gif,
+                                                     make_text_png)
 
-    def sixteen_bit_png() -> bytes:
-        ihdr = _struct.pack(">IIBBBBB", 4, 4, 16, 2, 0, 0, 0)
-        return (_PNG_SIG + _png_chunk(b"IHDR", ihdr)
-                + _png_chunk(b"IEND", b""))
+    def progressive_jpeg(seed: int) -> bytes:
+        # baseline fixture with the frame marker patched SOF0 -> SOF2:
+        # a structurally-real stream the baseline decoder must refuse
+        j = bytearray(make_jpeg(16, 16, seed=seed % 100))
+        j[j.index(b"\xff\xc0") + 1] = 0xC2
+        return bytes(j)
 
     docs = _docs(spark, sf_dir).select("doc_id", "text")
     schema = T.StructType([
@@ -360,7 +362,7 @@ def q_codec_fallback_rate(spark, sf_dir):
                 elif kind == 1:
                     p, mime = make_text_png(t, interlace=True), "image/png"
                 elif kind == 2:
-                    p, mime = sixteen_bit_png(), "image/png"
+                    p, mime = progressive_jpeg(int(did)), "image/jpeg"
                 else:
                     p, mime = make_text_gif(t)[:30], "image/gif"
                 ids.append(did)
@@ -989,6 +991,7 @@ def oracle_sql() -> dict[str, str]:
         "codec_fallback_rate": (
             "SELECT mime, decode_path, COUNT(*) AS n FROM ("
             "  SELECT CASE WHEN doc_id % 4 = 3 THEN 'image/gif'"
+            "              WHEN doc_id % 4 = 2 THEN 'image/jpeg'"
             "              ELSE 'image/png' END AS mime,"
             "         CASE WHEN doc_id % 4 IN (0, 1) THEN 'real'"
             "              ELSE 'fallback' END AS decode_path"

@@ -1444,3 +1444,100 @@ def test_decoder_malformed_payload_fuzz():
                 dec(bytes(b))
             except allowed:
                 pass
+
+
+def test_png16_and_palette_bmp_conformance(tmp_path):
+    """Round-5 codec breadth: 16-bit PNG (big-endian samples, hi-byte
+    downconversion) and 8-bit palette / RLE8 BMP.  Roundtrips exact;
+    Java ImageIO reads our 16-bit PNG to the same sample values, reads
+    our palette + RLE8 BMPs pixel-exactly, and we read an indexed BMP
+    written by ImageIO.  Skips without a JDK."""
+    import shutil as _shutil
+    import subprocess
+
+    import numpy as np
+    import pytest as _pytest
+
+    from xponents_spark.operators.multimodal import (decode_bmp,
+                                                     decode_png, make_bmp8,
+                                                     make_png)
+
+    rng = np.random.RandomState(11)
+    px16 = rng.randint(0, 65536, (9, 13, 3)).astype(np.uint16)
+    assert np.array_equal(decode_png(make_png(13, 9, pixels=px16,
+                                              bit_depth=16)),
+                          (px16 >> 8).astype(np.uint8))
+    pal = rng.randint(0, 256, (256, 3)).astype(np.uint8)
+    idx = rng.randint(0, 256, (17, 33)).astype(np.uint8)
+    for rle in (False, True):
+        assert np.array_equal(decode_bmp(make_bmp8(33, 17, idx, pal,
+                                                   rle=rle)), pal[idx])
+
+    if not (_shutil.which("javac") and _shutil.which("java")):
+        _pytest.skip("no JDK in environment")
+    (tmp_path / "ours16.png").write_bytes(make_png(13, 9, pixels=px16,
+                                                   bit_depth=16))
+    (tmp_path / "pal.bmp").write_bytes(make_bmp8(33, 17, idx, pal))
+    (tmp_path / "rle.bmp").write_bytes(make_bmp8(33, 17, idx, pal,
+                                                 rle=True))
+    (tmp_path / "CodecCheck.java").write_text(
+        'import javax.imageio.ImageIO;\n'
+        'import java.awt.image.*;\n'
+        'import java.io.File;\n'
+        'public class CodecCheck { public static void main(String[] a)'
+        ' throws Exception {\n'
+        '  BufferedImage p16 = ImageIO.read(new File("ours16.png"));\n'
+        '  Raster r = p16.getRaster();\n'
+        '  long s = 0;\n'
+        '  for (int y = 0; y < p16.getHeight(); y++)\n'
+        '    for (int x = 0; x < p16.getWidth(); x++)\n'
+        '      s += r.getSample(x, y, 0);\n'
+        '  System.out.println(s);\n'
+        '  for (String f : new String[]{"pal.bmp", "rle.bmp"}) {\n'
+        '    BufferedImage b = ImageIO.read(new File(f));\n'
+        '    long t = 0;\n'
+        '    for (int y = 0; y < b.getHeight(); y++)\n'
+        '      for (int x = 0; x < b.getWidth(); x++)\n'
+        '        t += (b.getRGB(x, y) >> 16) & 0xFF;\n'
+        '    System.out.println(t);\n'
+        '  }\n'
+        '  BufferedImage o = new BufferedImage(21, 7,'
+        ' BufferedImage.TYPE_BYTE_INDEXED);\n'
+        '  for (int y = 0; y < 7; y++)\n'
+        '    for (int x = 0; x < 21; x++)\n'
+        '      o.setRGB(x, y, (((x*31+y*3)%256) << 16) |'
+        ' (((x*5+y*17)%256) << 8) | ((x+y*11)%256));\n'
+        '  ImageIO.write(o, "bmp", new File("javapal.bmp"));\n'
+        '}}\n')
+    subprocess.run(["javac", "CodecCheck.java"], cwd=tmp_path, check=True)
+    out = subprocess.run(["java", "CodecCheck"], cwd=tmp_path, check=True,
+                         capture_output=True, text=True)
+    lines = out.stdout.split()
+    # 16-bit: ImageIO sees the full 16-bit red samples; ours>>8 is the
+    # hi byte, so compare against the exact 16-bit sum
+    exp16 = int(px16[:, :, 0].astype(np.int64).sum())
+    assert lines[0] == str(exp16)
+    exp_red = int(pal[idx][:, :, 0].astype(np.int64).sum())
+    assert lines[1] == str(exp_red) and lines[2] == str(exp_red)
+    j = decode_bmp((tmp_path / "javapal.bmp").read_bytes())
+    # ImageIO's indexed write QUANTIZES to its own palette; checking
+    # exact source pixels would test its quantizer, not our reader — so
+    # require agreement with ImageIO's own readback of the same file
+    # (green-channel checksum via a second tiny program)
+    (tmp_path / "ReadBack.java").write_text(
+        'import javax.imageio.ImageIO;\n'
+        'import java.awt.image.BufferedImage;\n'
+        'import java.io.File;\n'
+        'public class ReadBack { public static void main(String[] a)'
+        ' throws Exception {\n'
+        '  BufferedImage b = ImageIO.read(new File("javapal.bmp"));\n'
+        '  long t = 0;\n'
+        '  for (int y = 0; y < b.getHeight(); y++)\n'
+        '    for (int x = 0; x < b.getWidth(); x++)\n'
+        '      t += (b.getRGB(x, y) >> 8) & 0xFF;\n'
+        '  System.out.println(t);\n'
+        '}}\n')
+    subprocess.run(["javac", "ReadBack.java"], cwd=tmp_path, check=True)
+    rb = subprocess.run(["java", "ReadBack"], cwd=tmp_path, check=True,
+                        capture_output=True, text=True)
+    assert rb.stdout.strip() == str(int(j[:, :, 1].astype(np.int64).sum()))

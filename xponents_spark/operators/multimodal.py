@@ -136,10 +136,50 @@ def make_bmp(width: int, height: int, seed: int = 0,
     return head + info + bytes(rows)
 
 
+def _bmp_rle8(payload: bytes, off: int, w: int, h: int) -> np.ndarray:
+    """BI_RLE8 decompression -> (h, w) palette indices, bottom-up rows.
+    Escapes: 00 00 = end of line, 00 01 = end of bitmap, 00 02 dx dy =
+    delta, 00 n>=3 = absolute run (word-aligned)."""
+    img = np.zeros((h, w), dtype=np.uint8)
+    x, y = 0, 0
+    i = off
+    n = len(payload)
+    while i + 1 < n:
+        cnt, val = payload[i], payload[i + 1]
+        i += 2
+        if cnt:
+            if y >= h:
+                raise ValueError("BMP RLE8 run beyond image height")
+            end = min(x + cnt, w)
+            img[y, x:end] = val
+            x = end
+        elif val == 0:                         # end of line
+            x, y = 0, y + 1
+        elif val == 1:                         # end of bitmap
+            return img
+        elif val == 2:                         # delta
+            if i + 2 > n:
+                raise ValueError("BMP RLE8 truncated delta")
+            x = min(x + payload[i], w)
+            y += payload[i + 1]
+            i += 2
+        else:                                  # absolute mode, val pixels
+            if i + val > n:
+                raise ValueError("BMP RLE8 truncated absolute run")
+            if y >= h:
+                raise ValueError("BMP RLE8 run beyond image height")
+            end = min(x + val, w)
+            img[y, x:end] = np.frombuffer(payload, dtype=np.uint8,
+                                          count=end - x, offset=i)
+            x = end
+            i += val + (val & 1)               # word-aligned
+    raise ValueError("BMP RLE8 stream missing end-of-bitmap")
+
+
 def decode_bmp(payload: bytes) -> np.ndarray:
-    """24-bit BI_RGB BMP -> uint8 (h, w, 3) RGB.  Handles bottom-up and
-    top-down row order and 4-byte row padding; other depths/compressions
-    raise (they need a palette/RLE path this pipeline does not claim)."""
+    """BMP -> uint8 (h, w, 3) RGB.  24-bit BI_RGB (bottom-up or
+    top-down, 4-byte row padding), and — round 5 — 8-bit palette
+    BI_RGB and BI_RLE8 compressed; other depths/compressions raise."""
     import struct
     if not payload or not payload.startswith(b"BM"):
         raise ValueError("not a BMP payload")
@@ -148,11 +188,36 @@ def decode_bmp(payload: bytes) -> np.ndarray:
     if hdr_size < 40:
         raise ValueError(f"BMP header size {hdr_size} unsupported")
     planes, bpp, comp = struct.unpack_from("<HHI", payload, 26)
-    if bpp != 24 or comp != 0:
-        raise ValueError(f"only 24-bit BI_RGB supported (bpp={bpp}, "
-                         f"compression={comp})")
     top_down = h < 0
     h = abs(h)
+    if w <= 0 or h == 0:
+        raise ValueError("BMP with non-positive dimensions")
+    if bpp == 8 and comp in (0, 1):
+        (clr_used,) = struct.unpack_from("<I", payload, 46)
+        n_colors = clr_used or 256
+        pal_off = 14 + hdr_size
+        pal_raw = payload[pal_off:pal_off + 4 * n_colors]
+        if len(pal_raw) < 4 * n_colors:
+            raise ValueError("BMP color table truncated")
+        pal = (np.frombuffer(pal_raw, dtype=np.uint8)
+               .reshape(n_colors, 4)[:, :3][:, ::-1])   # BGRX -> RGB
+        pal = np.vstack([pal, np.zeros((256 - n_colors, 3), np.uint8)])
+        if comp == 1:                          # BI_RLE8 (bottom-up only)
+            if top_down:
+                raise ValueError("top-down RLE8 BMP is not legal")
+            idx = _bmp_rle8(payload, off, w, h)[::-1]
+        else:
+            stride = (w + 3) & ~3
+            if len(payload) - off < stride * h:
+                raise ValueError("BMP pixel array truncated")
+            idx = (np.frombuffer(payload, dtype=np.uint8, count=stride * h,
+                                 offset=off).reshape(h, stride)[:, :w])
+            idx = idx if top_down else idx[::-1]
+        return np.ascontiguousarray(pal[idx])
+    if bpp != 24 or comp != 0:
+        raise ValueError(f"unsupported BMP (bpp={bpp}, "
+                         f"compression={comp}): 24-bit BI_RGB and 8-bit "
+                         f"palette/RLE8 only")
     stride = (w * 3 + 3) & ~3
     if len(payload) - off < stride * h:
         raise ValueError("BMP pixel array truncated")
@@ -160,6 +225,45 @@ def decode_bmp(payload: bytes) -> np.ndarray:
                         offset=off).reshape(h, stride)[:, :w * 3]
     img = arr.reshape(h, w, 3)[:, :, ::-1]     # BGR -> RGB
     return np.ascontiguousarray(img if top_down else img[::-1])
+
+
+def make_bmp8(width: int, height: int, indices: np.ndarray,
+              palette: np.ndarray, rle: bool = False) -> bytes:
+    """8-bit palette BMP writer (BI_RGB, or BI_RLE8 when ``rle``):
+    ``indices`` (h, w) uint8, ``palette`` (n, 3) RGB.  Bottom-up rows,
+    spec-shaped color table (BGRX)."""
+    import struct
+    if indices.shape != (height, width):
+        raise ValueError("indices must be (height, width)")
+    n_colors = len(palette)
+    pal = np.zeros((n_colors, 4), dtype=np.uint8)
+    pal[:, :3] = np.asarray(palette, dtype=np.uint8)[:, ::-1]   # RGB->BGRX
+    body = bytearray()
+    if rle:
+        for row in indices[::-1]:
+            x = 0
+            row = row.tolist()
+            while x < width:
+                run = 1
+                while (x + run < width and row[x + run] == row[x]
+                       and run < 255):
+                    run += 1
+                body += bytes((run, row[x]))
+                x += run
+            body += b"\x00\x00"                # end of line
+        body += b"\x00\x01"                    # end of bitmap
+        comp = 1
+    else:
+        stride = (width + 3) & ~3
+        pad = b"\x00" * (stride - width)
+        for row in indices[::-1]:
+            body += row.astype(np.uint8).tobytes() + pad
+        comp = 0
+    off = 14 + 40 + 4 * n_colors
+    info = struct.pack("<IiiHHIIiiII", 40, width, height, 1, 8, comp,
+                       len(body), 2835, 2835, n_colors, 0)
+    head = struct.pack("<2sIHHI", b"BM", off + len(body), 0, 0, off)
+    return head + info + pal.tobytes() + bytes(body)
 
 
 # --- PNG: REAL decode via stdlib zlib (DEFLATE) + filter reconstruction ---
@@ -181,21 +285,29 @@ _ADAM7 = [(0, 0, 8, 8), (4, 0, 8, 8), (0, 4, 4, 8), (2, 0, 4, 4),
 
 def make_png(width: int, height: int, seed: int = 0,
              pixels: np.ndarray | None = None,
-             interlace: bool = False) -> bytes:
-    """Deterministic 8-bit truecolor PNG: IHDR + zlib-compressed IDAT
+             interlace: bool = False, bit_depth: int = 8) -> bytes:
+    """Deterministic truecolor PNG: IHDR + zlib-compressed IDAT
     (filter 0 rows) + IEND with correct CRCs.  Same seeded gradient as
     make_ppm, or caller-supplied RGB ``pixels`` (h, w, 3).
-    ``interlace=True`` emits the Adam7 seven-pass layout (round 5)."""
+    ``interlace=True`` emits the Adam7 seven-pass layout (round 5);
+    ``bit_depth=16`` writes big-endian 16-bit samples (uint16 pixels, or
+    uint8 widened to hi-byte=value)."""
     import struct
     import zlib as _z
+    if bit_depth not in (8, 16):
+        raise ValueError("make_png supports bit_depth 8 or 16")
     if pixels is None:
         y, x = np.mgrid[0:height, 0:width]
         r = ((x * 7 + seed) % 256).astype(np.uint8)
         g = ((y * 11 + seed * 3) % 256).astype(np.uint8)
         b = (((x + y) * 5 + seed * 7) % 256).astype(np.uint8)
         pixels = np.dstack([r, g, b])
+    if bit_depth == 16:
+        if pixels.dtype != np.uint16:
+            pixels = pixels.astype(np.uint16) << 8
+        pixels = pixels.astype(">u2")
     h, w = pixels.shape[:2]
-    ihdr = struct.pack(">IIBBBBB", w, h, 8, 2, 0, 0, int(interlace))
+    ihdr = struct.pack(">IIBBBBB", w, h, bit_depth, 2, 0, 0, int(interlace))
     if interlace:
         parts = []
         for xoff, yoff, xstep, ystep in _ADAM7:
@@ -288,40 +400,47 @@ def decode_png(payload: bytes) -> np.ndarray:
             break
     if w is None:
         raise ValueError("PNG has no IHDR")
-    if depth != 8:
-        raise ValueError(f"PNG bit depth {depth} not supported (8 only)")
+    if depth not in (8, 16):
+        raise ValueError(f"PNG bit depth {depth} not supported (8/16 only)")
     if interlace not in (0, 1):
         raise ValueError(f"PNG interlace method {interlace} unknown")
     channels = {0: 1, 2: 3, 3: 1, 4: 2, 6: 4}.get(ctype)
     if channels is None:
         raise ValueError(f"PNG color type {ctype} not supported")
+    if depth == 16 and ctype == 3:
+        raise ValueError("16-bit palette PNG is not a legal combination")
+    sb = depth // 8                            # bytes per sample
+    bpp = channels * sb                        # filter bpp = bytes/pixel
     raw = _z.decompress(bytes(idat))
     if interlace:
-        # Adam7 (round 5): seven passes, each an independently-filtered
-        # sub-image scattered onto the (xoff::xstep, yoff::ystep) grid
-        img = np.zeros((h, w, channels), dtype=np.uint8)
+        # Adam7: seven passes, each an independently-filtered sub-image
+        # scattered onto the (xoff::xstep, yoff::ystep) grid (round 5)
+        img = np.zeros((h, w, channels, sb), dtype=np.uint8)
         pos = 0
         for xoff, yoff, xstep, ystep in _ADAM7:
             pw = (w - xoff + xstep - 1) // xstep
             ph = (h - yoff + ystep - 1) // ystep
             if pw <= 0 or ph <= 0:
                 continue
-            stride = pw * channels
+            stride = pw * bpp
             need = ph * (stride + 1)
             if pos + need > len(raw):
                 raise ValueError("PNG interlaced pixel data truncated")
-            flat = _png_unfilter(raw[pos:pos + need], pw, ph,
-                                 channels, stride)
+            flat = _png_unfilter(raw[pos:pos + need], pw, ph, bpp, stride)
             pos += need
-            img[yoff::ystep, xoff::xstep] = flat.reshape(ph, pw, channels)
+            img[yoff::ystep, xoff::xstep] = \
+                flat.reshape(ph, pw, channels, sb)
         if pos != len(raw):
             raise ValueError("PNG pixel data length mismatch")
     else:
-        stride = w * channels
+        stride = w * bpp
         if len(raw) != h * (stride + 1):
             raise ValueError("PNG pixel data length mismatch")
-        flat = _png_unfilter(raw, w, h, channels, stride)
-        img = flat.reshape(h, w, channels)
+        flat = _png_unfilter(raw, w, h, bpp, stride)
+        img = flat.reshape(h, w, channels, sb)
+    # 16-bit samples are big-endian; the RGB contract is 8-bit, so keep
+    # the high byte (the standard 16->8 downconversion)
+    img = img[:, :, :, 0]
     if ctype == 3:
         if palette is None:
             raise ValueError("palette PNG without PLTE")
