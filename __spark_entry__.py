@@ -327,10 +327,10 @@ def q_codec_fallback_rate(spark, sf_dir):
     """decoder='auto' fallback-rate metric (VERDICT r4 item 6): codec
     gaps are MEASURED per mime, not silent.  Each document contributes
     one deterministic payload — valid PNG, Adam7 PNG (both real-decode),
-    a progressive (SOF2) JPEG (declared unsupported -> fallback), or a
-    truncated GIF (malformed -> fallback) — and the query returns
-    per-(mime, decode_path) row counts from the status-bearing Arrow
-    stage."""
+    an arithmetic-coded (SOF9) JPEG (declared unsupported -> fallback;
+    progressive SOF2 decodes for real since round 5), or a truncated
+    GIF (malformed -> fallback) — and the query returns per-(mime,
+    decode_path) row counts from the status-bearing Arrow stage."""
     import pandas as pd
     from pyspark.sql import types as T
 
@@ -339,11 +339,12 @@ def q_codec_fallback_rate(spark, sf_dir):
                                                      make_text_gif,
                                                      make_text_png)
 
-    def progressive_jpeg(seed: int) -> bytes:
-        # baseline fixture with the frame marker patched SOF0 -> SOF2:
-        # a structurally-real stream the baseline decoder must refuse
+    def arithmetic_jpeg(seed: int) -> bytes:
+        # baseline fixture with the frame marker patched SOF0 -> SOF9
+        # (arithmetic coding): a structurally-real stream the Huffman
+        # decoder must refuse
         j = bytearray(make_jpeg(16, 16, seed=seed % 100))
-        j[j.index(b"\xff\xc0") + 1] = 0xC2
+        j[j.index(b"\xff\xc0") + 1] = 0xC9
         return bytes(j)
 
     docs = _docs(spark, sf_dir).select("doc_id", "text")
@@ -362,7 +363,7 @@ def q_codec_fallback_rate(spark, sf_dir):
                 elif kind == 1:
                     p, mime = make_text_png(t, interlace=True), "image/png"
                 elif kind == 2:
-                    p, mime = progressive_jpeg(int(did)), "image/jpeg"
+                    p, mime = arithmetic_jpeg(int(did)), "image/jpeg"
                 else:
                     p, mime = make_text_gif(t)[:30], "image/gif"
                 ids.append(did)

@@ -1541,3 +1541,75 @@ def test_png16_and_palette_bmp_conformance(tmp_path):
     rb = subprocess.run(["java", "ReadBack"], cwd=tmp_path, check=True,
                         capture_output=True, text=True)
     assert rb.stdout.strip() == str(int(j[:, :, 1].astype(np.int64).sum()))
+
+
+def test_progressive_jpeg_conformance(tmp_path):
+    """Progressive JPEG (T.81 Annex G, round 5): spectral-selection +
+    successive-approximation scans accumulate coefficients, EOB runs,
+    AC refinement, libjpeg-style triangle chroma upsampling.
+    Conformance: ImageIO writes a progressive (SOF2, 4:2:0) stream and
+    our decode matches ImageIO's own decode of the same file within
+    IDCT rounding (max abs diff <= 4).  Skips without a JDK."""
+    import shutil as _shutil
+    import subprocess
+
+    import numpy as np
+    import pytest as _pytest
+
+    from xponents_spark.operators.jpeg import decode_jpeg
+
+    if not (_shutil.which("javac") and _shutil.which("java")):
+        _pytest.skip("no JDK in environment")
+    w, h = 48, 32
+    (tmp_path / "ProgWrite.java").write_text(
+        'import javax.imageio.*;\n'
+        'import javax.imageio.stream.*;\n'
+        'import java.awt.image.BufferedImage;\n'
+        'import java.io.File;\n'
+        'public class ProgWrite { public static void main(String[] a)'
+        ' throws Exception {\n'
+        f'  int w = {w}, h = {h};\n'
+        '  BufferedImage o = new BufferedImage(w, h,'
+        ' BufferedImage.TYPE_INT_RGB);\n'
+        '  for (int y = 0; y < h; y++)\n'
+        '    for (int x = 0; x < w; x++)\n'
+        '      o.setRGB(x, y, (((x*7+y*3)%256) << 16) |'
+        ' (((x*2+y*11)%256) << 8) | ((x+y*5)%256));\n'
+        '  ImageWriter wr = ImageIO.getImageWritersByFormatName("jpeg")'
+        '.next();\n'
+        '  ImageWriteParam p = wr.getDefaultWriteParam();\n'
+        '  p.setProgressiveMode(ImageWriteParam.MODE_DEFAULT);\n'
+        '  p.setCompressionMode(ImageWriteParam.MODE_EXPLICIT);\n'
+        '  p.setCompressionQuality(0.9f);\n'
+        '  ImageOutputStream os = ImageIO.createImageOutputStream('
+        'new File("prog.jpg"));\n'
+        '  wr.setOutput(os);\n'
+        '  wr.write(null, new IIOImage(o, null, null), p);\n'
+        '  os.close();\n'
+        '  BufferedImage back = ImageIO.read(new File("prog.jpg"));\n'
+        '  java.io.DataOutputStream d = new java.io.DataOutputStream('
+        'new java.io.FileOutputStream("prog.rgb"));\n'
+        '  for (int y = 0; y < h; y++)\n'
+        '    for (int x = 0; x < w; x++) {\n'
+        '      int v = back.getRGB(x, y);\n'
+        '      d.writeByte((v>>16)&0xFF); d.writeByte((v>>8)&0xFF);'
+        ' d.writeByte(v&0xFF);\n'
+        '    }\n'
+        '  d.close();\n'
+        '}}\n')
+    subprocess.run(["javac", "ProgWrite.java"], cwd=tmp_path, check=True)
+    subprocess.run(["java", "ProgWrite"], cwd=tmp_path, check=True)
+    payload = (tmp_path / "prog.jpg").read_bytes()
+    assert b"\xff\xc2" in payload, "ImageIO did not write SOF2"
+    ours = decode_jpeg(payload)
+    theirs = np.frombuffer((tmp_path / "prog.rgb").read_bytes(),
+                           dtype=np.uint8).reshape(h, w, 3)
+    diff = np.abs(ours.astype(int) - theirs.astype(int))
+    assert diff.max() <= 4, (diff.max(), diff.mean())
+    # a baseline-shaped scan inside an SOF2 frame is malformed
+    import pytest as _p2
+    from xponents_spark.operators.jpeg import make_jpeg
+    bad = bytearray(make_jpeg(16, 16))
+    bad[bad.index(b"\xff\xc0") + 1] = 0xC2
+    with _p2.raises(ValueError):
+        decode_jpeg(bytes(bad))

@@ -1,11 +1,14 @@
-"""Baseline JPEG (ITU-T.81 sequential DCT, 8-bit) — pure python/numpy.
+"""JPEG (ITU-T.81, 8-bit) — pure python/numpy.
 
-Decoder: marker walk (SOI/APPn/DQT/DHT/SOF0/DRI/SOS/RSTn/EOI), canonical
-Huffman tables from BITS/HUFFVAL, bit reader with 0xFF00 byte unstuffing,
-per-MCU entropy decode (DC prediction + AC run/length zigzag), dequant,
-8x8 IDCT as two numpy matrix products, chroma upsampling, YCbCr->RGB.
-Supports 4:4:4 and 4:2:0 (and any h/v factor combination the SOF
-declares), grayscale, and restart intervals.
+Decoder: marker walk (SOI/APPn/DQT/DHT/SOF0/SOF2/DRI/SOS/RSTn/EOI),
+canonical Huffman tables from BITS/HUFFVAL, bit reader with 0xFF00 byte
+unstuffing, per-MCU entropy decode (DC prediction + AC run/length
+zigzag), dequant, 8x8 IDCT as two numpy matrix products, libjpeg-style
+triangle chroma upsampling, YCbCr->RGB.  Supports baseline sequential
+(SOF0) AND — round 5 — progressive (SOF2, Annex G: spectral selection +
+successive approximation, DC/AC first + refinement scans, EOB runs),
+4:4:4 and 4:2:0 (any h/v factor combination the SOF declares),
+grayscale, and restart intervals.  Arithmetic coding and 12-bit raise.
 
 Encoder: the deterministic test-image counterpart — Annex K example
 quantization + Huffman tables, 4:4:4, interchange format.  JPEG is lossy,
@@ -211,6 +214,7 @@ def decode_jpeg(payload: bytes) -> np.ndarray:
     comps = None
     w = h = None
     restart = 0
+    progressive = False
     i = 2
     while i + 4 <= len(payload):
         if payload[i] != 0xFF:
@@ -243,9 +247,10 @@ def decode_jpeg(payload: bytes) -> np.ndarray:
                 tbl[_ZZ] = np.frombuffer(body[p + 1:p + 65], dtype=np.uint8)
                 qt[pq_tq & 0x0F] = tbl.reshape(8, 8)
                 p += 65
-        elif marker == 0xC0:                    # SOF0 baseline
+        elif marker in (0xC0, 0xC2):            # SOF0 baseline / SOF2 progressive
+            progressive = marker == 0xC2
             if len(body) < 6:
-                raise ValueError("JPEG SOF0 segment truncated")
+                raise ValueError("JPEG SOF segment truncated")
             prec, h, w, nc = body[0], *struct.unpack_from(">HH", body, 1), body[5]
             if len(body) < 6 + 3 * nc:
                 raise ValueError("JPEG SOF0 component list truncated")
@@ -269,11 +274,11 @@ def decode_jpeg(payload: bytes) -> np.ndarray:
                     raise ValueError(
                         f"JPEG sampling factors {hs}x{vs} out of range")
                 comps.append({"id": cid, "h": hs, "v": vs, "tq": tq})
-        elif marker in (0xC1, 0xC2, 0xC3, 0xC5, 0xC6, 0xC7,
+        elif marker in (0xC1, 0xC3, 0xC5, 0xC6, 0xC7,
                         0xC9, 0xCA, 0xCB, 0xCD, 0xCE, 0xCF):
             raise ValueError(
                 f"JPEG SOF{marker - 0xC0}: only baseline sequential "
-                f"(SOF0) supported")
+                f"(SOF0) and progressive (SOF2) supported")
         elif marker == 0xDD:                    # DRI
             (restart,) = struct.unpack_from(">H", body, 0)
         elif marker == 0xDA:                    # SOS: entropy data follows
@@ -289,7 +294,13 @@ def decode_jpeg(payload: bytes) -> np.ndarray:
             # decoder='auto' hash-falls-back instead of a KeyError/
             # TypeError escaping _decode_scan mid-Arrow-stage (ADVICE r4)
             if comps is None:
-                raise ValueError("JPEG SOS before SOF0 frame header")
+                raise ValueError("JPEG SOS before SOF frame header")
+            if progressive:
+                # Annex G: hand the walk to the multi-scan decoder from
+                # this SOS marker on (its scans validate their own
+                # table needs — a DC-only scan needs no AC table)
+                return _decode_progressive(payload, i, w, h, comps,
+                                           qt, huff, restart)
             for comp in comps:
                 if comp["id"] not in sel:
                     raise ValueError(
@@ -357,13 +368,42 @@ def _decode_scan(payload, pos, w, h, comps, sel, qt, huff, restart):
                         x0 = (mx * c["h"] + bx) * 8
                         planes[ci][y0:y0 + 8, x0:x0 + 8] = block
             n_mcu += 1
-    # upsample to full resolution and convert
+    return _planes_to_rgb(planes, comps, hmax, vmax, w, h)
+
+
+def _up2(a: np.ndarray, axis: int) -> np.ndarray:
+    """Factor-2 triangle upsampling along ``axis`` (libjpeg 'fancy'
+    h2v1/h2v2 filter, 3:1 weights with edge clamping): decoders built on
+    libjpeg (ImageIO included) use this, so matching it keeps subsampled
+    cross-conformance within IDCT rounding instead of ~60 gray levels at
+    chroma edges."""
+    n = a.shape[axis]
+    idx = np.arange(n)
+    prev = a.take(np.maximum(idx - 1, 0), axis=axis)
+    nxt = a.take(np.minimum(idx + 1, n - 1), axis=axis)
+    even = (3 * a + prev) / 4
+    odd = (3 * a + nxt) / 4
+    out = np.stack([even, odd], axis=axis + 1)
+    shape = list(a.shape)
+    shape[axis] *= 2
+    return out.reshape(shape)
+
+
+def _planes_to_rgb(planes, comps, hmax, vmax, w, h) -> np.ndarray:
+    """Shared reconstruction tail: chroma upsampling + YCbCr->RGB (or
+    grayscale replication)."""
     full = []
     for ci, c in enumerate(comps):
         p = planes[ci]
-        if c["h"] != hmax or c["v"] != vmax:
-            p = np.repeat(np.repeat(p, vmax // c["v"], axis=0),
-                          hmax // c["h"], axis=1)
+        fy, fx = vmax // c["v"], hmax // c["h"]
+        if fy == 2:
+            p = _up2(p, 0)
+        elif fy > 1:
+            p = np.repeat(p, fy, axis=0)
+        if fx == 2:
+            p = _up2(p, 1)
+        elif fx > 1:
+            p = np.repeat(p, fx, axis=1)
         full.append(p[:h, :w])
     if len(full) == 1:
         g = np.clip(full[0], 0, 255).astype(np.uint8)
@@ -373,6 +413,256 @@ def _decode_scan(payload, pos, w, h, comps, sel, qt, huff, restart):
     g = y - 0.344136 * cb - 0.714136 * cr
     b = y + 1.772 * cb
     return np.clip(np.dstack([r, g, b]), 0, 255).astype(np.uint8)
+
+
+def _next_marker(payload: bytes, pos: int) -> int:
+    """First real marker at/after ``pos``: skips entropy data, stuffed
+    0xFF00 bytes, fill 0xFFs, and restart markers."""
+    n = len(payload)
+    while pos + 1 < n:
+        if payload[pos] != 0xFF:
+            pos += 1
+            continue
+        nxt = payload[pos + 1]
+        if nxt == 0x00 or 0xD0 <= nxt <= 0xD7:
+            pos += 2
+        elif nxt == 0xFF:
+            pos += 1
+        else:
+            return pos
+    raise ValueError("JPEG entropy stream ends without a marker")
+
+
+def _decode_progressive(payload, pos, w, h, comps, qt, huff, restart):
+    """Progressive DCT decode (ITU-T.81 Annex G, round 5): scans
+    accumulate DCT coefficients — DC first/refinement (interleaved or
+    single-component), AC first with EOB runs, AC successive-
+    approximation refinement — then one dequant+IDCT reconstruction.
+    ``pos`` points at the first SOS marker; DHT/DQT/DRI may appear
+    between scans and update the live tables."""
+    hmax = max(c["h"] for c in comps)
+    vmax = max(c["v"] for c in comps)
+    mcux = -(-w // (8 * hmax))
+    mcuy = -(-h // (8 * vmax))
+    coefs = []
+    for c in comps:
+        # MCU-padded block grid (interleaved scans cover it fully);
+        # non-interleaved scans address the ceil(comp_size/8) prefix
+        coefs.append(np.zeros((mcuy * c["v"], mcux * c["h"], 64),
+                              dtype=np.int64))
+        comp_w = -(-w * c["h"] // hmax)        # ceil(w * h_i / hmax)
+        comp_h = -(-h * c["v"] // vmax)
+        c["bw"], c["bh"] = -(-comp_w // 8), -(-comp_h // 8)
+
+    while pos + 1 < len(payload):
+        marker = payload[pos + 1]
+        if marker == 0xD9:                      # EOI
+            break
+        (seg_len,) = struct.unpack_from(">H", payload, pos + 2)
+        body = payload[pos + 4:pos + 2 + seg_len]
+        if marker == 0xC4:                      # DHT between scans
+            p = 0
+            while p < len(body):
+                tc_th = body[p]
+                bits = list(body[p + 1:p + 17])
+                n = sum(bits)
+                vals = list(body[p + 17:p + 17 + n])
+                if len(bits) < 16 or len(vals) < n:
+                    raise ValueError("JPEG DHT segment truncated")
+                huff[(tc_th >> 4, tc_th & 0x0F)] = \
+                    _build_decode_table(bits, vals)
+                p += 17 + n
+            pos += 2 + seg_len
+        elif marker == 0xDD:
+            (restart,) = struct.unpack_from(">H", body, 0)
+            pos += 2 + seg_len
+        elif marker == 0xDA:
+            if len(body) < 4 or len(body) < 4 + 2 * body[0]:
+                raise ValueError("JPEG SOS segment truncated")
+            ns = body[0]
+            scomps, tsel = [], {}
+            for c in range(ns):
+                cs, tables = body[1 + 2 * c], body[2 + 2 * c]
+                match = [x for x in comps if x["id"] == cs]
+                if not match:
+                    raise ValueError(f"JPEG scan references unknown "
+                                     f"component {cs}")
+                scomps.append(match[0])
+                tsel[cs] = (tables >> 4, tables & 0x0F)
+            ss, se, ahal = body[1 + 2 * ns:4 + 2 * ns]
+            ah, al = ahal >> 4, ahal & 0x0F
+            if ss > se or se > 63:
+                raise ValueError(f"JPEG bad spectral band {ss}..{se}")
+            if ss == 0 and se != 0:
+                raise ValueError("progressive DC scan must have Se=0 "
+                                 "(a baseline-shaped 0..63 scan in a "
+                                 "SOF2 frame is malformed)")
+            if ss > 0 and ns != 1:
+                raise ValueError("progressive AC scan must be "
+                                 "single-component")
+            data_start = pos + 2 + seg_len
+            _progressive_scan(payload, data_start, comps, scomps, tsel,
+                              coefs, huff, restart, mcux, mcuy,
+                              ss, se, ah, al)
+            pos = _next_marker(payload, data_start)
+        elif marker in (0xD8, 0x01):            # length-less markers
+            pos += 2
+        else:                                   # APPn/COM/DQT etc.
+            pos += 2 + seg_len
+
+    planes = []
+    for ci, c in enumerate(comps):
+        if c["tq"] not in qt:
+            raise ValueError(f"JPEG missing DQT table {c['tq']}")
+        q = qt[c["tq"]]                         # (8, 8), natural order
+        grid = coefs[ci]
+        by, bx = grid.shape[:2]
+        plane = np.zeros((by * 8, bx * 8), dtype=np.float64)
+        for yb in range(by):
+            for xb in range(bx):
+                blk = grid[yb, xb]
+                if not blk.any():
+                    plane[yb * 8:yb * 8 + 8, xb * 8:xb * 8 + 8] = 128
+                    continue
+                coef = np.zeros(64)
+                coef[_ZZ] = blk                 # zigzag -> natural
+                plane[yb * 8:yb * 8 + 8, xb * 8:xb * 8 + 8] = \
+                    _idct2(coef.reshape(8, 8) * q) + 128
+        planes.append(plane)
+    return _planes_to_rgb(planes, comps, hmax, vmax, w, h)
+
+
+def _progressive_scan(payload, data_start, comps, scomps, tsel, coefs,
+                      huff, restart, mcux, mcuy, ss, se, ah, al):
+    br = _BitReader(payload, data_start)
+    eobrun = 0
+    n_units = 0
+
+    def check(tbl_key, what):
+        if tbl_key not in huff:
+            raise ValueError(f"JPEG missing {what} table {tbl_key[1]}")
+        return huff[tbl_key]
+
+    if ss == 0:                                 # DC scan
+        pred = {c["id"]: 0 for c in scomps}
+        interleaved = len(scomps) > 1
+        if interleaved:
+            units = [(my, mx) for my in range(mcuy) for mx in range(mcux)]
+        else:
+            c = scomps[0]
+            units = [(by, bx) for by in range(c["bh"])
+                     for bx in range(c["bw"])]
+        for uy, ux in units:
+            if restart and n_units and n_units % restart == 0:
+                br.sync_restart()
+                pred = {c["id"]: 0 for c in scomps}
+            for c in scomps:
+                ci = comps.index(c)
+                if interleaved:
+                    blocks = [(uy * c["v"] + by, ux * c["h"] + bx)
+                              for by in range(c["v"])
+                              for bx in range(c["h"])]
+                else:
+                    blocks = [(uy, ux)]
+                for yb, xb in blocks:
+                    cell = coefs[ci][yb, xb]
+                    if ah == 0:
+                        dc_t = check((0, tsel[c["id"]][0]), "DC")
+                        t = br.decode(dc_t)
+                        if t > 15:
+                            raise ValueError(
+                                f"JPEG DC category {t} out of range")
+                        diff = _extend(br.read_bits(t), t) if t else 0
+                        pred[c["id"]] += diff
+                        cell[0] = pred[c["id"]] << al
+                    else:
+                        if br.read_bit():
+                            cell[0] |= 1 << al
+            n_units += 1
+        return
+
+    # AC scan: single component, raster over its block grid
+    c = scomps[0]
+    ci = comps.index(c)
+    ac_t = check((1, tsel[c["id"]][1]), "AC")
+    for by in range(c["bh"]):
+        for bx in range(c["bw"]):
+            if restart and n_units and n_units % restart == 0:
+                br.sync_restart()
+                eobrun = 0
+            n_units += 1
+            cell = coefs[ci][by, bx]
+            if ah == 0:                         # first AC pass
+                if eobrun:
+                    eobrun -= 1
+                    continue
+                k = ss
+                while k <= se:
+                    rs = br.decode(ac_t)
+                    r, s = rs >> 4, rs & 0x0F
+                    if s == 0:
+                        if r == 15:
+                            k += 16
+                            continue
+                        eobrun = (1 << r) - 1
+                        if r:
+                            eobrun += br.read_bits(r)
+                        break
+                    k += r
+                    if k > se:
+                        raise ValueError("AC index out of band")
+                    cell[k] = _extend(br.read_bits(s), s) << al
+                    k += 1
+            else:                               # AC refinement
+                eobrun = _refine_ac(cell, br, ac_t, ss, se, al, eobrun)
+
+
+def _refine_ac(cell, br, ac_t, ss, se, al, eobrun) -> int:
+    """AC successive-approximation refinement for one block
+    (T.81 G.1.2.3): returns the updated EOB run.  NB the EOB-run count
+    here INCLUDES the current block (eobrun = 1 << r), unlike the
+    first-pass scan where it excludes it — the remainder of the current
+    block still carries correction bits for its nonzero history."""
+    p1 = 1 << al
+    m1 = -1 << al
+    k = ss
+    if eobrun == 0:
+        while k <= se:
+            rs = br.decode(ac_t)
+            r, s = rs >> 4, rs & 0x0F
+            newval = 0
+            if s == 0:
+                if r != 15:
+                    eobrun = 1 << r
+                    if r:
+                        eobrun += br.read_bits(r)
+                    break
+                # r == 15 (ZRL): skip 16 zero-history coefficients via
+                # the advance loop below
+            else:
+                if s != 1:
+                    raise ValueError("AC refinement with s != 1")
+                newval = p1 if br.read_bit() else m1
+            while k <= se:
+                if cell[k] != 0:
+                    if br.read_bit() and (cell[k] & p1) == 0:
+                        cell[k] += p1 if cell[k] > 0 else m1
+                else:
+                    if r == 0:
+                        break
+                    r -= 1
+                k += 1
+            if newval and k <= se:
+                cell[k] = newval
+            k += 1
+    if eobrun > 0:
+        while k <= se:
+            if cell[k] != 0:
+                if br.read_bit() and (cell[k] & p1) == 0:
+                    cell[k] += p1 if cell[k] > 0 else m1
+            k += 1
+        eobrun -= 1
+    return eobrun
 
 
 # --- encoder (deterministic test images; Annex K tables, 4:4:4) -----------
