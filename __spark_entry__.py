@@ -271,17 +271,21 @@ def q_office_roundtrip(spark, sf_dir):
 
 
 def q_encrypted_office_roundtrip(spark, sf_dir):
-    """S1 encrypted Office, both generations ([MS-OFFCRYPTO]): legacy
-    Word97 RC4 (2.3.6) and round-5 agile AES-256-CBC/SHA-512 OOXML
-    (2.3.4), decrypted through the Spark conversion stage with the
-    job-level password — identity oracle per (doc_id, format) row."""
-    from xponents_spark.textract.agile import make_agile_encrypted
+    """S1 encrypted Office, all three generations ([MS-OFFCRYPTO]):
+    legacy Word97 RC4 (2.3.6), round-5 agile AES-256-CBC/SHA-512 OOXML
+    (2.3.4.10) and standard/CryptoAPI AES-128-ECB/SHA-1 OOXML (2.3.4.5),
+    decrypted through the Spark conversion stage with the job-level
+    password — identity oracle per (doc_id, format) row."""
+    from xponents_spark.textract.agile import (make_agile_encrypted,
+                                               make_standard_encrypted)
     from xponents_spark.textract.office import (make_encrypted_doc,
                                                 make_simple_docx)
     return _payload_roundtrip(spark, sf_dir, [
         ("doc_rc4", lambda t: make_encrypted_doc(t, "gate-pw")),
         ("docx_agile", lambda t: make_agile_encrypted(
-            make_simple_docx(t), "gate-pw", spin_count=1000))],
+            make_simple_docx(t), "gate-pw", spin_count=1000)),
+        ("docx_standard", lambda t: make_standard_encrypted(
+            make_simple_docx(t), "gate-pw"))],
         doc_password="gate-pw")
 
 
@@ -983,7 +987,8 @@ def oracle_sql() -> dict[str, str]:
             "CROSS JOIN (VALUES ('docx'), ('doc'), ('xls')) f(format)"),
         "encrypted_office_recovery": (
             "SELECT d.doc_id, f.format, d.text FROM documents d "
-            "CROSS JOIN (VALUES ('doc_rc4'), ('docx_agile')) f(format)"),
+            "CROSS JOIN (VALUES ('doc_rc4'), ('docx_agile'), "
+            "('docx_standard')) f(format)"),
         "image_text_recovery": (
             "SELECT d.doc_id, f.format, d.text FROM documents d "
             "CROSS JOIN (VALUES ('gif'), ('bmp'), ('png'), ('png_adam7')) "

@@ -1613,3 +1613,33 @@ def test_progressive_jpeg_conformance(tmp_path):
     bad[bad.index(b"\xff\xc0") + 1] = 0xC2
     with _p2.raises(ValueError):
         decode_jpeg(bytes(bad))
+
+
+def test_standard_encrypted_ooxml():
+    """Standard/CryptoAPI OOXML encryption ([MS-OFFCRYPTO] 2.3.4.5,
+    round 5): binary EncryptionInfo descriptor, SHA-1 50k-spin + 0x36/
+    0x5C expansion key derivation (2.3.4.7), AES-ECB package; wrong/
+    missing password raise; the dispatcher recovers the inner docx and
+    degrades without a password."""
+    import pytest as _pytest
+
+    from xponents_spark.textract import convert_document_kind
+    from xponents_spark.textract.agile import (AgileDecryptError,
+                                               decrypt_ooxml_package,
+                                               make_standard_encrypted)
+    from xponents_spark.textract.cfb import CfbReader
+    from xponents_spark.textract.office import make_simple_docx
+
+    for text in ("", "standard scheme", "ünïcode ✓ " * 300):
+        pkg = make_simple_docx(text)
+        enc = make_standard_encrypted(pkg, "std-pw")
+        assert decrypt_ooxml_package(CfbReader(enc), "std-pw") == pkg
+        got, kind = convert_document_kind(enc, "std-pw")
+        exp, _k = convert_document_kind(pkg)
+        assert got == exp and kind == "docx"
+        assert convert_document_kind(enc, None) == ("", "ooxml-encrypted")
+    enc = make_standard_encrypted(make_simple_docx("x"), "pw", key_bits=256)
+    assert decrypt_ooxml_package(
+        CfbReader(enc), "pw") == make_simple_docx("x")
+    with _pytest.raises(AgileDecryptError, match="verification"):
+        decrypt_ooxml_package(CfbReader(enc), "wrong")

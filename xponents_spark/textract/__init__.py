@@ -155,14 +155,15 @@ def convert_document_kind(payload: bytes,
         except Exception:
             names = set()
         if "EncryptionInfo" in names and "EncryptedPackage" in names:
-            # agile-encrypted OOXML ([MS-OFFCRYPTO] 2.3.4, round 5): the
-            # CFB wraps an AES-CBC-encrypted docx/xlsx zip; decrypt with
-            # the job password and recurse on the inner package.  Same
-            # degrade contract as doc-encrypted: a protected file must
-            # not fail the 100 TB task
-            from .agile import AgileDecryptError, decrypt_agile_package
+            # encrypted OOXML ([MS-OFFCRYPTO] 2.3.4, round 5): the CFB
+            # wraps an AES-encrypted docx/xlsx zip (agile 4.4 CBC or
+            # standard/CryptoAPI x.2 ECB); decrypt with the job password
+            # and recurse on the inner package.  Same degrade contract
+            # as doc-encrypted: a protected file must not fail the
+            # 100 TB task
+            from .agile import AgileDecryptError, decrypt_ooxml_package
             try:
-                pkg = decrypt_agile_package(r, doc_password)
+                pkg = decrypt_ooxml_package(r, doc_password)
             except AgileDecryptError:
                 return "", "ooxml-encrypted"
             text, inner = convert_document_kind(pkg, doc_password)

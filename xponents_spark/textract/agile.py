@@ -383,3 +383,141 @@ def decrypt_agile_package(reader, password: str | None) -> bytes:
     if len(out) < size:
         raise AgileDecryptError("EncryptedPackage shorter than declared size")
     return bytes(out[:size])
+
+
+# --- [MS-OFFCRYPTO] 2.3.4.5 "standard" (CryptoAPI) encryption ------------
+# The pre-agile OOXML scheme (Office 2007 default): binary EncryptionInfo
+# header (version 3.2/4.2), SHA-1 50k-spin key derivation (2.3.4.7),
+# AES-ECB over the package.  ECB has no chaining, so decrypt vectorizes
+# over every block at once.
+
+_STD_SPIN = 50_000
+_ALG_AES128, _ALG_AES192, _ALG_AES256 = 0x660E, 0x660F, 0x6610
+_ALG_SHA1 = 0x8004
+
+
+def _ecb(key: bytes, data: bytes, encrypt: bool) -> bytes:
+    if len(data) % 16:
+        raise ValueError("ECB input must be 16-byte aligned")
+    if not data:
+        return b""
+    blocks = np.frombuffer(data, dtype=np.uint8).reshape(-1, 16)
+    rks = _expand_key(key)
+    out = (_encrypt_blocks(blocks, rks) if encrypt
+           else _decrypt_blocks(blocks, rks))
+    return out.tobytes()
+
+
+def _std_derive_key(password: str, salt: bytes, key_bytes: int) -> bytes:
+    """2.3.4.7: SHA-1 spin then the 0x36/0x5C XOR-pad expansion."""
+    h = hashlib.sha1(salt + password.encode("utf-16-le")).digest()
+    for i in range(_STD_SPIN):
+        h = hashlib.sha1(struct.pack("<I", i) + h).digest()
+    h = hashlib.sha1(h + struct.pack("<I", 0)).digest()
+    x1 = hashlib.sha1(bytes(0x36 ^ b for b in h.ljust(64, b"\x00"))).digest()
+    x2 = hashlib.sha1(bytes(0x5C ^ b for b in h.ljust(64, b"\x00"))).digest()
+    return (x1 + x2)[:key_bytes]
+
+
+def make_standard_encrypted(package: bytes, password: str,
+                            key_bits: int = 128,
+                            seed: bytes = b"xponents-std") -> bytes:
+    """OOXML package -> standard-encryption CFB container
+    (EncryptionInfo version 4.2 binary descriptor + AES-ECB
+    EncryptedPackage).  Deterministic for fixtures."""
+    from .cfb import write_cfb
+    alg = {128: _ALG_AES128, 192: _ALG_AES192, 256: _ALG_AES256}[key_bits]
+    key_bytes = key_bits // 8
+    rnd = _h(seed + package)
+    salt = rnd[:16]
+    verifier = rnd[16:32]
+    key = _std_derive_key(password, salt, key_bytes)
+
+    enc_verifier = _ecb(key, verifier, True)
+    vhash = hashlib.sha1(verifier).digest()            # 20 bytes
+    enc_vhash = _ecb(key, vhash.ljust(32, b"\x00"), True)
+
+    # EncryptionHeader (2.3.2): flags(fCryptoAPI|fAES), sizeExtra, AlgID,
+    # AlgIDHash, KeySize(bits), ProviderType, reserved1/2, CSP name
+    csp = "Microsoft Enhanced RSA and AES Cryptographic Provider\x00"
+    header = struct.pack("<8I", 0x24, 0, alg, _ALG_SHA1, key_bits,
+                         0x18, 0, 0) + csp.encode("utf-16-le")
+    verifier_blob = (struct.pack("<I", 16) + salt + enc_verifier
+                     + struct.pack("<I", 20) + enc_vhash)
+    info = (struct.pack("<HHII", 4, 2, 0x24, len(header))
+            + header + verifier_blob)
+
+    body = bytearray(struct.pack("<Q", len(package)))
+    pkg = package
+    if len(pkg) % 16:
+        pkg = pkg + b"\x00" * (16 - len(pkg) % 16)
+    body += _ecb(key, pkg, True)
+    return write_cfb({"EncryptionInfo": info,
+                      "EncryptedPackage": bytes(body)})
+
+
+def _decrypt_standard_package(info: bytes, enc_package: bytes,
+                              password: str | None) -> bytes:
+    if password is None:
+        raise AgileDecryptError("password required")
+    if len(info) < 12:
+        raise AgileDecryptError("EncryptionInfo truncated")
+    _maj, _min, flags, hdr_len = struct.unpack_from("<HHII", info, 0)
+    hdr = info[12:12 + hdr_len]
+    if len(hdr) < 32:
+        raise AgileDecryptError("EncryptionHeader truncated")
+    _flags2, _extra, alg, alg_hash, key_bits = struct.unpack_from(
+        "<5I", hdr, 0)
+    if alg not in (_ALG_AES128, _ALG_AES192, _ALG_AES256):
+        raise AgileDecryptError(
+            f"standard encryption AlgID 0x{alg:04X} unsupported (AES only"
+            f" — RC4 CryptoAPI streams are a different, legacy scheme)")
+    if alg_hash != _ALG_SHA1:
+        raise AgileDecryptError(
+            f"standard encryption hash 0x{alg_hash:04X} unsupported")
+    key_bytes = key_bits // 8
+    p = 12 + hdr_len
+    if len(info) < p + 4:
+        raise AgileDecryptError("EncryptionVerifier truncated")
+    (salt_size,) = struct.unpack_from("<I", info, p)
+    if salt_size != 16 or len(info) < p + 4 + 16 + 16 + 4 + 32:
+        raise AgileDecryptError("EncryptionVerifier malformed")
+    salt = info[p + 4:p + 20]
+    enc_verifier = info[p + 20:p + 36]
+    (vhash_size,) = struct.unpack_from("<I", info, p + 36)
+    enc_vhash = info[p + 40:p + 72]
+    key = _std_derive_key(password, salt, key_bytes)
+    verifier = _ecb(key, enc_verifier, False)
+    vhash = _ecb(key, enc_vhash, False)[:vhash_size]
+    if hashlib.sha1(verifier).digest()[:vhash_size] != vhash:
+        raise AgileDecryptError("password verification failed")
+    if len(enc_package) < 8:
+        raise AgileDecryptError("EncryptedPackage truncated")
+    (size,) = struct.unpack_from("<Q", enc_package, 0)
+    ct_len = ((size + 15) // 16) * 16
+    if 8 + ct_len > len(enc_package):
+        raise AgileDecryptError("EncryptedPackage shorter than declared size")
+    return _ecb(key, enc_package[8:8 + ct_len], False)[:size]
+
+
+def decrypt_ooxml_package(reader, password: str | None) -> bytes:
+    """Unified encrypted-OOXML entry: dispatch on the EncryptionInfo
+    version — 4.4 = agile (XML descriptor), minor version 2 = standard/
+    CryptoAPI (binary descriptor).  Raises AgileDecryptError on
+    missing/wrong password or unsupported schemes (extensible, RC4
+    CryptoAPI)."""
+    try:
+        info = reader.read_stream("EncryptionInfo")
+        enc_package = reader.read_stream("EncryptedPackage")
+    except Exception as e:
+        raise AgileDecryptError(f"unreadable encryption streams: {e}")
+    if len(info) < 4:
+        raise AgileDecryptError("EncryptionInfo truncated")
+    major, minor = struct.unpack_from("<HH", info, 0)
+    if (major, minor) == (4, 4):
+        return decrypt_agile_package(reader, password)
+    if minor == 2 and major in (2, 3, 4):
+        return _decrypt_standard_package(info, enc_package, password)
+    raise AgileDecryptError(
+        f"EncryptionInfo version {major}.{minor} unsupported "
+        f"(agile 4.4 and standard x.2 implemented; extensible x.3 not)")
