@@ -843,9 +843,9 @@ def _real_decode(payload: bytes, mime: str, dim: int) -> list[float]:
     raise NotImplementedError(
         f"decode for {mime!r} requires ffmpeg — not in this container; "
         f"supported formats ({', '.join(_REAL_MIMES)}) decode for real "
-        f"(incl. PNG's DEFLATE, GIF87a's LZW, and baseline JPEG's "
-        f"Huffman+DCT, pure python/stdlib), or use decoder='fake' for "
-        f"plumbing tests")
+        f"(incl. PNG's DEFLATE with Adam7/16-bit, GIF87a's LZW, palette/"
+        f"RLE8 BMP, and baseline + progressive JPEG, pure python/"
+        f"stdlib), or use decoder='fake' for plumbing tests")
 
 
 def extract_media_features(df: DataFrame, decoder: str = "auto",
