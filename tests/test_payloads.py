@@ -151,3 +151,54 @@ def test_pdf_uncompressed_stream_and_non_pdf():
     assert extract_pdf_text(doc) == "plain"
     assert convert_document(b"<html><body><p>hi there</p></body></html>") == "hi there"
     assert convert_document(b"\xef\xbb\xbfbom text") == "bom text"
+
+
+def test_interlaced_gif_roundtrip_and_conformance(tmp_path):
+    """Interlaced GIF (round 5): the Appendix-E four-pass row scatter must
+    invert exactly — an interlaced encode decodes pixel-identical to the
+    progressive one — and Java ImageIO (independent decoder) must agree
+    with our decode of our interlaced writer, pixel for pixel."""
+    import shutil as _shutil
+    import subprocess
+
+    import numpy as np
+    import pytest as _pytest
+
+    from xponents_spark.operators.multimodal import (
+        _gif_interlace_rows, decode_gif, decode_gif_indices, make_gif)
+
+    # pass order is a permutation for awkward heights (1, 2, 3, 5, 9, 13)
+    for h in (1, 2, 3, 5, 8, 9, 13, 16):
+        order = _gif_interlace_rows(h)
+        assert sorted(order) == list(range(h))
+    for w, h in ((16, 13), (7, 5), (1, 9), (33, 1)):
+        plain = make_gif(w, h, seed=3)
+        inter = make_gif(w, h, seed=3, interlace=True)
+        assert plain != inter or h == 1
+        a, _ = decode_gif_indices(plain)
+        b, _ = decode_gif_indices(inter)
+        assert np.array_equal(a, b)
+    if not (_shutil.which("javac") and _shutil.which("java")):
+        _pytest.skip("no JDK in environment")
+    g = make_gif(16, 13, seed=3, interlace=True)
+    (tmp_path / "i.gif").write_bytes(g)
+    (tmp_path / "GifCheckI.java").write_text(
+        'import javax.imageio.ImageIO;\n'
+        'import java.awt.image.BufferedImage;\n'
+        'import java.io.File;\n'
+        'public class GifCheckI { public static void main(String[] a)'
+        ' throws Exception {\n'
+        '  BufferedImage img = ImageIO.read(new File(a[0]));\n'
+        '  StringBuilder sb = new StringBuilder();\n'
+        '  for (int y = 0; y < img.getHeight(); y++)\n'
+        '    for (int x = 0; x < img.getWidth(); x++)\n'
+        '      sb.append((img.getRGB(x, y) >> 16) & 0xFF).append(",");\n'
+        '  System.out.println(sb);\n'
+        '}}\n')
+    subprocess.run(["javac", "GifCheckI.java"], cwd=tmp_path, check=True)
+    out = subprocess.run(["java", "GifCheckI", "i.gif"], cwd=tmp_path,
+                         check=True, capture_output=True, text=True)
+    theirs = np.array([int(v) for v in
+                       out.stdout.strip().rstrip(",").split(",")],
+                      dtype=np.int64).reshape(13, 16)
+    assert np.array_equal(theirs, decode_gif(g)[:, :, 0])

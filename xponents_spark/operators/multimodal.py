@@ -593,22 +593,40 @@ def _lzw_decode_gif(data: bytes, min_code_size: int = 8) -> bytes:
 _GRAY_PALETTE = bytes(v for i in range(256) for v in (i, i, i))
 
 
+def _gif_interlace_rows(height: int) -> list[int]:
+    """Row transmission order for an interlaced GIF image (GIF89a spec
+    Appendix E): four passes at (start, step) = (0,8), (4,8), (2,4),
+    (1,2).  Index k of the returned list is the SOURCE row of the k-th
+    transmitted row."""
+    order = []
+    for start, step in ((0, 8), (4, 8), (2, 4), (1, 2)):
+        order.extend(range(start, height, step))
+    return order
+
+
 def make_gif(width: int, height: int, seed: int = 0,
              indices: bytes | None = None,
-             palette: bytes = _GRAY_PALETTE) -> bytes:
-    """Deterministic GIF87a: 256-color global palette, one non-interlaced
-    image, REAL LZW-compressed pixel data (conformance checked against an
-    independent browser decoder — tests/test_spark_pipeline.py)."""
+             palette: bytes = _GRAY_PALETTE,
+             interlace: bool = False) -> bytes:
+    """Deterministic GIF87a: 256-color global palette, one image, REAL
+    LZW-compressed pixel data (conformance checked against an independent
+    browser decoder — tests/test_spark_pipeline.py).  ``interlace=True``
+    transmits rows in the four-pass Appendix-E order (round 5), so the
+    decode roundtrip additionally proves the de-interlace scatter."""
     import struct
     if indices is None:
         y, x = np.mgrid[0:height, 0:width]
         indices = ((x * 7 + y * 11 + seed) % 256).astype(np.uint8).tobytes()
     if len(indices) != width * height:
         raise ValueError("indices must be width*height bytes")
+    if interlace:
+        img = np.frombuffer(indices, dtype=np.uint8).reshape(height, width)
+        indices = img[_gif_interlace_rows(height)].tobytes()
     out = bytearray(b"GIF87a")
     out += struct.pack("<HHBBB", width, height, 0xF7, 0, 0)   # GCT 256
     out += palette
-    out += struct.pack("<BHHHHB", 0x2C, 0, 0, width, height, 0)
+    out += struct.pack("<BHHHHB", 0x2C, 0, 0, width, height,
+                       0x40 if interlace else 0)
     out.append(8)                                             # min code size
     lzw = _lzw_encode_gif(indices, 8)
     for i in range(0, len(lzw), 255):
@@ -622,7 +640,8 @@ def make_gif(width: int, height: int, seed: int = 0,
 def decode_gif_indices(payload: bytes) -> tuple[np.ndarray, bytes]:
     """GIF87a/89a -> (uint8 index array (h, w), active 768-byte palette).
     Parses the logical screen descriptor, global/local color tables, skips
-    89a extension blocks, LZW-decodes the first non-interlaced image."""
+    89a extension blocks, LZW-decodes the first image; interlaced images
+    (round 5) are de-scattered via the Appendix-E four-pass row order."""
     import struct
     if not payload or payload[:6] not in (b"GIF87a", b"GIF89a"):
         raise ValueError("not a GIF payload")
@@ -652,8 +671,6 @@ def decode_gif_indices(payload: bytes) -> tuple[np.ndarray, bytes]:
                 raise ValueError("GIF truncated in image descriptor")
             _l, _t, w, h, ipacked = struct.unpack_from("<HHHHB", payload, i + 1)
             i += 10
-            if ipacked & 0x40:
-                raise ValueError("interlaced GIF not supported")
             if ipacked & 0x80:
                 n = 2 << (ipacked & 0x07)
                 palette = payload[i:i + 3 * n].ljust(768, b"\x00")
@@ -674,7 +691,12 @@ def decode_gif_indices(payload: bytes) -> tuple[np.ndarray, bytes]:
             idx = _lzw_decode_gif(bytes(blocks), min_code)[:w * h]
             if len(idx) < w * h:
                 raise ValueError("GIF pixel data truncated")
-            return np.frombuffer(idx, dtype=np.uint8).reshape(h, w), palette
+            img = np.frombuffer(idx, dtype=np.uint8).reshape(h, w)
+            if ipacked & 0x40:                # interlaced: scatter rows back
+                out_img = np.empty_like(img)
+                out_img[_gif_interlace_rows(h)] = img
+                img = out_img
+            return img, palette
         elif b0 == 0x3B:
             break
         else:
