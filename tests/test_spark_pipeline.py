@@ -1643,3 +1643,81 @@ def test_standard_encrypted_ooxml():
         CfbReader(enc), "pw") == make_simple_docx("x")
     with _pytest.raises(AgileDecryptError, match="verification"):
         decrypt_ooxml_package(CfbReader(enc), "wrong")
+
+
+def test_semantic_dedup_planted_groups(spark):
+    """SemDeDup (arXiv:2303.09540) cluster-scoped dedup: planted near-dup
+    groups each collapse to ONE survivor (the member farthest from its
+    centroid, ties min id), components match an exact all-pairs union-find
+    recomputed in the test, results are deterministic, and the physical
+    plan has exactly ONE Exchange (the groupBy(list_id) — assignment rides
+    the scan)."""
+    import numpy as np
+
+    from xponents_spark.operators.similarity import semantic_dedup
+
+    rng = np.random.RandomState(7)
+    bases = rng.standard_normal((4, 64))
+    bases /= np.linalg.norm(bases, axis=1, keepdims=True)
+    rows, truth_vecs = [], []
+    vid = 0
+    for b, base in enumerate(bases):
+        for g in range(3):                      # 3 dup groups per base
+            anchor = base + 0.35 * rng.standard_normal(64) * (g + 1) / 3
+            for c in range(g + 1):              # group sizes 1, 2, 3
+                v = anchor + 0.005 * rng.standard_normal(64)
+                rows.append((vid, [float(x) for x in v]))
+                truth_vecs.append(v)
+                vid += 1
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    out = semantic_dedup(df, threshold=0.995, n_centroids=4).collect()
+    assert len(out) == vid and len({r["vec_id"] for r in out}) == vid
+
+    # exact recomputation: within-cluster all-pairs union-find
+    mat = np.array(truth_vecs)
+    mat /= np.linalg.norm(mat, axis=1, keepdims=True)
+    cluster = {r["vec_id"]: r["list_id"] for r in out}
+    parent = list(range(vid))
+
+    def find(i):
+        while parent[i] != i:
+            parent[i] = parent[parent[i]]
+            i = parent[i]
+        return i
+
+    for i in range(vid):
+        for j in range(i + 1, vid):
+            if cluster[i] == cluster[j] and mat[i] @ mat[j] >= 0.995:
+                parent[max(find(i), find(j))] = min(find(i), find(j))
+    expect_comp = {i: find(i) for i in range(vid)}
+    got_comp = {}
+    for r in out:
+        got_comp.setdefault(r["rep_id"], set()).add(r["vec_id"])
+    exp_groups = {}
+    for i, root in expect_comp.items():
+        exp_groups.setdefault(root, set()).add(i)
+    assert sorted(got_comp.values(), key=min) == \
+        sorted(exp_groups.values(), key=min)
+
+    # keep rule: exactly one keeper per component = lowest centroid_cos
+    by_rep = {}
+    for r in out:
+        by_rep.setdefault(r["rep_id"], []).append(r)
+    for rep, members in by_rep.items():
+        keepers = [r for r in members if r["keep"]]
+        assert len(keepers) == 1 and keepers[0]["vec_id"] == rep
+        lo = min(members, key=lambda r: (r["centroid_cos"], r["vec_id"]))
+        assert lo["vec_id"] == rep
+    # at least one multi-member group actually collapsed
+    assert any(len(m) > 1 for m in by_rep.values())
+    assert sum(1 for r in out if r["keep"]) < vid
+
+    # determinism across runs
+    out2 = semantic_dedup(df, threshold=0.995, n_centroids=4).collect()
+    key = lambda r: r["vec_id"]  # noqa: E731
+    assert sorted(out, key=key) == sorted(out2, key=key)
+
+    # plan: exactly one Exchange
+    plan = semantic_dedup(df, threshold=0.995, n_centroids=4) \
+        ._jdf.queryExecution().executedPlan().toString()
+    assert plan.count("Exchange") == 1, plan

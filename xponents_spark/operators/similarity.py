@@ -416,3 +416,104 @@ def cosine_topk_ivf(df: DataFrame, queries: list[tuple[int, list[float]]],
                 Window.partitionBy("query_id")
                       .orderBy(F.col("sim").desc(), F.col("vec_id").asc())))
             .filter(F.col("rank") <= k))
+
+
+def semantic_dedup(df: DataFrame, threshold: float = 0.9,
+                   n_centroids: int = 16, id_col: str = "vec_id",
+                   vec_col: str = "embedding",
+                   centroids: np.ndarray | None = None,
+                   block: int = 1024) -> DataFrame:
+    """SemDeDup cluster-scoped semantic deduplication (Abbas et al. 2023,
+    arXiv:2303.09540 — public method): k-means-cluster the embeddings,
+    then find duplicate GROUPS only WITHIN each cluster (pairs with
+    cosine >= ``threshold``, closed under connected components) and keep
+    one representative per group — per the paper, the member FARTHEST
+    from its centroid (lowest centroid cosine; ties break on min id),
+    which preserves diversity.  Cross-cluster pairs are never compared:
+    cost is sum(m_c^2) over cluster sizes instead of n^2.
+
+    Spark shape: ONE shuffle — ``applyInPandas`` grouped by ``list_id``
+    (the same key the persisted IVF index clusters by, so on an indexed
+    table even that exchange disappears).  Within a group the pairwise
+    cosine runs in numpy ``block``-row chunks (memory O(block x m), time
+    the paper's own quadratic-in-cluster cost) and duplicate groups come
+    from a cluster-local union-find — no driver-side iteration, no
+    Spark-level fixpoint.  At 10^12 rows, n_centroids scales with the
+    corpus (the paper uses ~n/20k clusters) so per-cluster m stays
+    bounded; a skewed giant cluster is the documented failure mode and
+    shows up directly in the group-size metrics this returns.
+
+    Returns one row per input vector: (vec_id, list_id, centroid_cos,
+    rep_id, keep) where ``rep_id`` is the kept representative of the
+    row's duplicate component (``rep_id == vec_id`` for keepers and
+    singletons) and ``keep`` marks the survivor set.  Deterministic given
+    the input: centroids train with a fixed seed over a hash-mod sample.
+    """
+    if centroids is None:
+        centroids = train_ivf_centroids(df, n_centroids, id_col=id_col,
+                                        vec_col=vec_col)
+    cent = np.asarray(centroids, dtype=np.float64)
+
+    # assignment rides the scan (mapInPandas, no join-back shuffle): the
+    # ONLY exchange in the plan is the groupBy(list_id) below
+    assign_schema = T.StructType([
+        T.StructField(id_col, T.LongType(), False),
+        T.StructField(vec_col, df.schema[vec_col].dataType, False),
+        T.StructField("list_id", T.IntegerType(), False),
+    ])
+
+    def assign(batches):
+        for pdf in batches:
+            mat = _unit(np.array(pdf[vec_col].tolist(), dtype=np.float64))
+            lists = (mat @ cent.T).argmax(axis=1).astype(np.int32)
+            yield pd.DataFrame({id_col: pdf[id_col], vec_col: pdf[vec_col],
+                                "list_id": lists})
+
+    assigned = df.select(id_col, vec_col).mapInPandas(assign, assign_schema)
+    schema = T.StructType([
+        T.StructField(id_col, T.LongType(), False),
+        T.StructField("list_id", T.IntegerType(), False),
+        T.StructField("centroid_cos", T.DoubleType(), False),
+        T.StructField("rep_id", T.LongType(), False),
+        T.StructField("keep", T.BooleanType(), False),
+    ])
+
+    def dedup_cluster(pdf: pd.DataFrame) -> pd.DataFrame:
+        ids = pdf[id_col].to_numpy()
+        order = np.argsort(ids)                  # determinism across runs
+        ids = ids[order]
+        mat = _unit(np.array(pdf[vec_col].iloc[order].tolist(),
+                             dtype=np.float64))
+        list_id = int(pdf["list_id"].iloc[0])
+        ccos = mat @ cent[list_id]
+        m = len(ids)
+        parent = np.arange(m)
+
+        def find(i: int) -> int:
+            root = i
+            while parent[root] != root:
+                root = parent[root]
+            while parent[i] != root:             # path compression
+                parent[i], i = root, parent[i]
+            return root
+
+        for lo in range(0, m, block):
+            sims = mat[lo:lo + block] @ mat.T
+            for a, b in zip(*np.nonzero(sims >= threshold)):
+                ga, gb = find(lo + int(a)), find(int(b))
+                if ga != gb:
+                    parent[max(ga, gb)] = min(ga, gb)
+        roots = np.array([find(i) for i in range(m)])
+        rep = np.empty(m, dtype=np.int64)
+        for r in np.unique(roots):
+            members = np.nonzero(roots == r)[0]
+            # paper's keep rule: lowest centroid cosine, ties -> min id
+            best = members[np.lexsort((ids[members], ccos[members]))[0]]
+            rep[members] = ids[best]
+        return pd.DataFrame({id_col: ids,
+                             "list_id": np.full(m, list_id, dtype=np.int32),
+                             "centroid_cos": ccos,
+                             "rep_id": rep,
+                             "keep": rep == ids})
+
+    return assigned.groupBy("list_id").applyInPandas(dedup_cluster, schema)
