@@ -234,6 +234,21 @@ def bench_queries(spark) -> dict[str, float]:
         # (BENCH_r02 recorded ~2x slowdowns even on pure-JVM queries like
         # token_stats vs r01 — more samples, better floor)
         out[name] = round(min(timed(run), timed(run), timed(run)), 3)
+
+    # semantic_dedup lives outside queries() (the driver gate sits at its
+    # 50-query cap); bench it directly over the embeddings table
+    from xponents_spark.operators.similarity import (semantic_dedup,
+                                                     train_ivf_centroids)
+    emb = spark.read.parquet(os.path.join(SF_DIR, "embeddings.parquet"))
+    cents = train_ivf_centroids(emb, n_centroids=16)   # train once, offline
+
+    def run_sem():
+        (semantic_dedup(emb, threshold=0.95, n_centroids=16, centroids=cents)
+         .write.mode("overwrite").format("noop").save())
+
+    run_sem()
+    out["semantic_dedup"] = round(min(timed(run_sem), timed(run_sem),
+                                      timed(run_sem)), 3)
     return out
 
 

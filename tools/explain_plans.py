@@ -113,6 +113,15 @@ def main():
                      "run-length walk is array_sort + aggregate in-row)",
                      formatted(gopher_quality_filter_single_pass(docs))))
 
+    from xponents_spark.operators.similarity import (semantic_dedup,
+                                                     train_ivf_centroids)
+    cents = train_ivf_centroids(emb, n_centroids=8)
+    sections.append(("semantic dedup / SemDeDup (expect: scan -> "
+                     "MapInPandas assignment -> ONE Exchange on list_id "
+                     "-> FlatMapGroupsInPandas; no join-back for the "
+                     "cluster id)",
+                     formatted(semantic_dedup(emb, centroids=cents))))
+
     os.makedirs("BENCH", exist_ok=True)
     with open("BENCH/PLANS.md", "w") as fh:
         fh.write("# Physical plans (evidence snapshot)\n\n"
