@@ -1721,3 +1721,68 @@ def test_semantic_dedup_planted_groups(spark):
     plan = semantic_dedup(df, threshold=0.995, n_centroids=4) \
         ._jdf.queryExecution().executedPlan().toString()
     assert plan.count("Exchange") == 1, plan
+
+
+def test_c4_quality_filter(spark):
+    """C4 gate (Raffel et al. 2020 §2.2): line retention (terminal punct,
+    >=5 words, no 'javascript'), page drops (<3 sentences, lorem ipsum,
+    curly brace, badwords), verified against a pure-Python
+    reimplementation of the paper's rules; plan = one Project, zero
+    Exchange."""
+    import re
+
+    from xponents_spark.operators.textstats import c4_quality_filter
+
+    good = ("This is a perfectly reasonable sentence about places.\n"
+            "Another line with enough words to keep here.\n"
+            "Questions also count as terminal punctuation, right?")
+    docs = [
+        (0, good),
+        (1, "Too short.\nTiny line!\nNo.\n"),                # <5 words/line
+        (2, good + "\nEnable JavaScript to view this page properly."),
+        (3, good.replace("places", "lorem ipsum text")),      # page drop
+        (4, good + "\nfunction f() { return 1; }"),           # curly brace
+        (5, "word " * 30),                                    # no terminal punct
+        (6, good + "\nthis has the frowned word in it today."),
+        (7, "One good sentence with plenty of words right here.\n"
+            "Second keeps as well with many words in it.\n"),  # 2 sentences
+    ]
+    df = spark.createDataFrame(docs, "doc_id long, text string")
+    out = {r["doc_id"]: r for r in
+           c4_quality_filter(df, badwords=("frowned",)).collect()}
+
+    def py_c4(text):
+        kept = [l for l in text.split("\n")
+                if re.search(r'[.!?]["\'”’]?$', l.strip())
+                and len(l.strip().split()) >= 5
+                and "javascript" not in l.lower()]
+        clean = "\n".join(kept)
+        n_sent = len([s for s in re.split(r"[.!?]", clean) if s.strip()])
+        reasons = []
+        if n_sent < 3:
+            reasons.append("too-few-sentences")
+        if "lorem ipsum" in text.lower():
+            reasons.append("lorem-ipsum")
+        if "{" in text:
+            reasons.append("curly-brace")
+        if "frowned" in [w.lower() for w in text.split()]:
+            reasons.append("badword")
+        return clean, n_sent, "|".join(reasons)
+
+    for doc_id, text in docs:
+        clean, n_sent, reasons = py_c4(text)
+        r = out[doc_id]
+        assert r["text_clean"] == clean, (doc_id, r["text_clean"], clean)
+        assert r["n_sentences"] == n_sent, (doc_id, r["n_sentences"], n_sent)
+        assert r["reasons"] == reasons, (doc_id, r["reasons"], reasons)
+        assert r["keep"] == (reasons == ""), doc_id
+    # javascript is a LINE filter, not a page drop: doc 2 keeps, minus
+    # that line
+    assert out[0]["keep"] and out[2]["keep"]
+    assert "JavaScript" not in out[2]["text_clean"]
+    assert out[2]["n_lines_kept"] == out[2]["n_lines"] - 1
+    assert not any(out[i]["keep"] for i in (1, 3, 4, 5, 6, 7))
+
+    plan = c4_quality_filter(df)._jdf.queryExecution() \
+        .executedPlan().toString()
+    assert "Exchange" not in plan and "Python" not in plan, plan

@@ -394,3 +394,59 @@ def gopher_quality_filter_single_pass(
         F.col(id_col),
         (reasons == "").alias("keep"),
         reasons.alias("reasons"))
+
+
+def c4_quality_filter(df: DataFrame, text_col: str = "text",
+                      id_col: str = "doc_id",
+                      badwords: tuple[str, ...] = (),
+                      min_words_per_line: int = 5,
+                      min_sentences: int = 3) -> DataFrame:
+    """The C4 cleaning gate (Raffel et al. 2020, §2.2 — public method),
+    complementing the Gopher gate: line-level retention (keep only lines
+    ending in terminal punctuation — period/!/?/closing quote — with at
+    least ``min_words_per_line`` words and no 'javascript'), then
+    page-level drops (fewer than ``min_sentences`` sentences after line
+    cleaning, 'lorem ipsum', a curly brace, or any token in the caller's
+    ``badwords`` set — the paper uses a public blocklist; pass your own).
+    The paper's three-sentence-span corpus dedup is the separate
+    ``duplicated_spans``/``remove_duplicated_spans`` operator.
+
+    Plan shape: ONE Project over the scan — zero Exchange, zero joins;
+    line filtering and sentence counting are higher-order array
+    expressions inside whole-stage codegen, the same single-pass shape as
+    ``gopher_quality_filter_single_pass``.
+
+    Returns (doc_id, keep, reasons, n_lines, n_lines_kept, n_sentences,
+    text_clean): ``text_clean`` is the retained-line text the paper would
+    feed downstream; page-level ``keep`` applies to it.
+    """
+    t = text_col
+    kept = (
+        f"filter(split({t}, '\\n'), l -> "
+        "trim(l) rlike '[.!?][\"\\u0027\\u201d\\u2019]?$' "
+        f"AND size(split(trim(l), '\\\\s+')) >= {min_words_per_line} "
+        "AND NOT lower(l) LIKE '%javascript%')"
+    )
+    clean = f"array_join({kept}, '\\n')"
+    n_sent = (f"size(filter(split({clean}, '[.!?]'), "
+              "s -> length(trim(s)) > 0))")
+    checks = [
+        (F.expr(n_sent) < min_sentences, "too-few-sentences"),
+        (F.lower(F.col(t)).contains("lorem ipsum"), "lorem-ipsum"),
+        (F.col(t).contains("{"), "curly-brace"),
+    ]
+    if badwords:
+        bad_arr = ", ".join(f"'{w.lower()}'" for w in badwords)
+        checks.append((F.expr(
+            f"exists(split(lower({t}), '\\\\s+'), x -> x IN ({bad_arr}))"),
+            "badword"))
+    reasons = F.concat_ws("|", *[
+        F.when(cond, F.lit(name)) for cond, name in checks])
+    return df.select(
+        F.col(id_col),
+        (reasons == "").alias("keep"),
+        reasons.alias("reasons"),
+        F.expr(f"size(split({t}, '\\n'))").cast("long").alias("n_lines"),
+        F.expr(f"size({kept})").cast("long").alias("n_lines_kept"),
+        F.expr(n_sent).cast("long").alias("n_sentences"),
+        F.expr(clean).alias("text_clean"))
