@@ -249,6 +249,18 @@ def bench_queries(spark) -> dict[str, float]:
     run_sem()
     out["semantic_dedup"] = round(min(timed(run_sem), timed(run_sem),
                                       timed(run_sem)), 3)
+
+    # c4_quality_filter: also outside the gate cap; single-Project JVM gate
+    from xponents_spark.operators.textstats import c4_quality_filter
+    docs = spark.read.parquet(os.path.join(SF_DIR, "documents.parquet"))
+
+    def run_c4():
+        (c4_quality_filter(docs)
+         .write.mode("overwrite").format("noop").save())
+
+    run_c4()
+    out["c4_quality_filter"] = round(min(timed(run_c4), timed(run_c4),
+                                         timed(run_c4)), 3)
     return out
 
 
