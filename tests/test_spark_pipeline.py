@@ -1786,3 +1786,73 @@ def test_c4_quality_filter(spark):
     plan = c4_quality_filter(df)._jdf.queryExecution() \
         .executedPlan().toString()
     assert "Exchange" not in plan and "Python" not in plan, plan
+
+
+def test_ngram_repetition_full_family(spark):
+    """Full Gopher Table-A1 repetition family: top-{2,3,4}-gram and
+    dup-{5..10}-gram char fractions match a brute-force Python
+    recomputation; the shared tagged explode produces all nine signals;
+    the full gate composes base + extended reasons."""
+    from collections import Counter
+
+    from xponents_spark.operators.textstats import (
+        gopher_quality_filter, gopher_quality_filter_full,
+        ngram_repetition_stats)
+
+    docs = [
+        (0, "the cat sat on the mat while the cat sat on the hat"),
+        (1, "alpha beta gamma delta " * 12),        # heavy 4-gram repeats
+        (2, "unique words only here appear once each time now"),
+        (3, ""),                                    # empty: NULL fractions
+        (4, "x " * 80),                             # degenerate: clamps at 1
+    ]
+    df = spark.createDataFrame(docs, "doc_id long, text string")
+    out = {r["doc_id"]: r for r in ngram_repetition_stats(df).collect()}
+
+    def brute(text, n):
+        w = text.split()
+        grams = [" ".join(w[i:i + n]) for i in range(len(w) - n + 1)]
+        if not text:
+            return None, None
+        c = Counter(grams)
+        top = max(((cnt, g) for g, cnt in c.items()), default=(0, ""))
+        top_frac = min(top[0] * len(top[1]) / len(text), 1.0)
+        dup = sum((cnt - 1) * len(g) for g, cnt in c.items() if cnt > 1)
+        return top_frac, min(dup / len(text), 1.0)
+
+    for doc_id, text in docs:
+        r = out[doc_id]
+        for n in (2, 3, 4):
+            exp, _ = brute(text, n)
+            got = r[f"top_{n}gram_char_frac"]
+            assert (got is None and exp is None) or \
+                abs(got - exp) < 1e-12, (doc_id, n, got, exp)
+        for n in (5, 6, 7, 8, 9, 10):
+            _, exp = brute(text, n)
+            got = r[f"dup_{n}gram_char_frac"]
+            assert (got is None and exp is None) or \
+                abs(got - exp) < 1e-12, (doc_id, n, got, exp)
+
+    # parity: top-2/dup-5 agree with the original two-signal operator on
+    # non-empty docs (empty docs: the new op yields NULL; the original's
+    # least() quirk yields 1.0 and its oracle pins that, so it stays)
+    from xponents_spark.operators.textstats import repetition_stats
+    orig = {r["doc_id"]: r for r in repetition_stats(df).collect()}
+    for doc_id, text in docs:
+        if not text:
+            assert out[doc_id]["top_2gram_char_frac"] is None
+            continue
+        for a, b in (("top_2gram_char_frac",) * 2,
+                     ("dup_5gram_char_frac",) * 2):
+            x, y = out[doc_id][a], orig[doc_id][b]
+            assert (x is None and y is None) or abs(x - y) < 1e-12
+
+    # full gate: repeated-4-gram doc fails a check the base gate lacks
+    full = {r["doc_id"]: r for r in gopher_quality_filter_full(df).collect()}
+    base = {r["doc_id"]: r for r in gopher_quality_filter(df).collect()}
+    assert "top-4gram" in full[1]["reasons"]
+    assert "top-4gram" not in base[1]["reasons"]
+    for d in full.values():          # keep iff reasons empty, base subsumed
+        assert d["keep"] == (d["reasons"] == "")
+        assert set(filter(None, base[d["doc_id"]]["reasons"].split("|"))) \
+            <= set(filter(None, d["reasons"].split("|")))

@@ -450,3 +450,117 @@ def c4_quality_filter(df: DataFrame, text_col: str = "text",
         F.expr(f"size({kept})").cast("long").alias("n_lines_kept"),
         F.expr(n_sent).cast("long").alias("n_sentences"),
         F.expr(clean).alias("text_clean"))
+
+
+def ngram_repetition_stats(df: DataFrame, text_col: str = "text",
+                           id_col: str = "doc_id",
+                           top_ns: tuple[int, ...] = (2, 3, 4),
+                           dup_ns: tuple[int, ...] = (5, 6, 7, 8, 9, 10)
+                           ) -> DataFrame:
+    """The FULL Gopher n-gram repetition family (Rae et al. 2021 Table A1):
+    ``top_{n}gram_char_frac`` for each n in ``top_ns`` (characters covered
+    by all occurrences of the most frequent word n-gram / length) and
+    ``dup_{n}gram_char_frac`` for each n in ``dup_ns`` (characters in
+    repeated occurrences of all duplicated n-grams / length).
+    ``repetition_stats`` keeps its original two-signal shape for the
+    driver oracle; this is the superset.
+
+    Scale shape: every n shares ONE tagged explode — rows are
+    (id, n, gram) structs — so all nine signals ride a single
+    (id, n, gram) exchange with map-side partial aggregation plus one
+    (id) rollup, instead of len(top_ns)+len(dup_ns) separate wide passes.
+    Same clamp-at-1.0 contract as ``repetition_stats``; empty docs yield
+    NULL fractions here (repetition_stats' gram fractions return 1.0 on
+    empty docs via the least(NULL, 1.0) quirk — pinned by its oracle, so
+    that operator keeps its shape)."""
+    ns = sorted(set(top_ns) | set(dup_ns))
+    text = F.col(text_col)
+    base = df.select(F.col(id_col), F.length(text).alias("n_chars"),
+                     _tokens(text_col).alias("w"))
+    arms = ", ".join(
+        f"CASE WHEN size(w) >= {n} THEN "
+        f"transform(sequence(1, size(w) - {n - 1}), "
+        f"i -> struct({n} AS n, concat_ws(' ', slice(w, i, {n})) AS gram)) "
+        "ELSE array() END" for n in ns)
+    grams = (base.select(
+        id_col, F.explode(F.expr(f"flatten(array({arms}))")).alias("t"))
+        .select(id_col, F.col("t.n").alias("n"), F.col("t.gram").alias("gram")))
+    counts = grams.groupBy(id_col, "n", "gram").agg(F.count("*").alias("cnt"))
+    aggs = []
+    for n in top_ns:
+        aggs.append(
+            F.max(F.when(F.col("n") == n,
+                         F.struct(F.col("cnt"), F.col("gram"))))
+             .alias(f"_top{n}"))
+    for n in dup_ns:
+        aggs.append(
+            F.sum(F.when((F.col("n") == n) & (F.col("cnt") > 1),
+                         (F.col("cnt") - 1) * F.length("gram")).otherwise(0))
+             .alias(f"_dup{n}_chars"))
+    per_doc = counts.groupBy(id_col).agg(*aggs)
+    nc = F.nullif(F.col("n_chars").cast("double"), F.lit(0.0))
+    cols = [F.col(id_col)]
+
+    def _clamped(num):
+        # least() ignores NULLs (least(NULL, 1.0) = 1.0), so guard: empty
+        # docs yield NULL fractions, unlike repetition_stats' 1.0 quirk
+        return F.when(nc.isNotNull(), F.least(num / nc, F.lit(1.0)))
+
+    for n in top_ns:
+        cols.append(_clamped(
+            (F.coalesce(F.col(f"_top{n}.cnt"), F.lit(0))
+             * F.coalesce(F.length(f"_top{n}.gram"), F.lit(0)))
+            .cast("double")).alias(f"top_{n}gram_char_frac"))
+    for n in dup_ns:
+        cols.append(_clamped(
+            F.coalesce(f"_dup{n}_chars", F.lit(0)).cast("double"))
+            .alias(f"dup_{n}gram_char_frac"))
+    return (base.select(id_col, "n_chars")
+            .join(per_doc, id_col, "left").select(*cols))
+
+
+# full published repetition thresholds (Rae et al. 2021 Table A1)
+GOPHER_THRESHOLDS_FULL = dict(GOPHER_THRESHOLDS, **{
+    "max_dup_line_char_frac": 0.20,
+    "max_top3gram_char_frac": 0.18,
+    "max_top4gram_char_frac": 0.16,
+    "max_dup6gram_char_frac": 0.14,
+    "max_dup7gram_char_frac": 0.13,
+    "max_dup8gram_char_frac": 0.12,
+    "max_dup9gram_char_frac": 0.11,
+    "max_dup10gram_char_frac": 0.10,
+})
+
+
+def gopher_quality_filter_full(df: DataFrame, text_col: str = "text",
+                               id_col: str = "doc_id",
+                               thresholds: dict | None = None) -> DataFrame:
+    """The Gopher gate with the COMPLETE Table-A1 repetition family: the
+    base ``gopher_quality_filter`` checks plus dup-line-char and
+    top-3/4-gram and dup-6..10-gram fractions (``ngram_repetition_stats``
+    — one extra tagged explode, not eight extra wide passes).  Reasons
+    merge with the base gate's; a doc keeps iff every check passes."""
+    t = thresholds or GOPHER_THRESHOLDS_FULL
+    base_gate = gopher_quality_filter(df, text_col, id_col, t)
+    rs = repetition_stats(df, text_col, id_col).select(
+        id_col, "dup_line_char_frac")
+    ng = ngram_repetition_stats(df, text_col, id_col)
+    j = base_gate.join(rs, id_col).join(ng, id_col)
+    checks = [
+        (F.col("dup_line_char_frac") > t["max_dup_line_char_frac"],
+         "dup-line-chars"),
+    ]
+    for n in (3, 4):
+        checks.append((F.col(f"top_{n}gram_char_frac")
+                       > t[f"max_top{n}gram_char_frac"], f"top-{n}gram"))
+    for n in (6, 7, 8, 9, 10):
+        checks.append((F.col(f"dup_{n}gram_char_frac")
+                       > t[f"max_dup{n}gram_char_frac"], f"dup-{n}grams"))
+    extra = F.concat_ws("|", *[
+        F.when(cond, F.lit(name)) for cond, name in checks])
+    reasons = F.concat_ws("|", F.nullif(F.col("reasons"), F.lit("")),
+                          F.nullif(extra, F.lit("")))
+    return j.select(
+        F.col(id_col),
+        (reasons == "").alias("keep"),
+        reasons.alias("reasons"))
