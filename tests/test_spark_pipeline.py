@@ -1856,3 +1856,48 @@ def test_ngram_repetition_full_family(spark):
         assert d["keep"] == (d["reasons"] == "")
         assert set(filter(None, base[d["doc_id"]]["reasons"].split("|"))) \
             <= set(filter(None, d["reasons"].split("|")))
+
+
+def test_paragraph_repetition_stats(spark):
+    """Paragraph duplicate signals (Gopher Table A1): blank-line-split
+    non-empty paragraphs, dup fraction + dup char fraction vs a Python
+    recomputation; the full gate flags dup-paras."""
+    import re
+    from collections import Counter
+
+    from xponents_spark.operators.textstats import (
+        gopher_quality_filter_full, paragraph_repetition_stats)
+
+    para = "This paragraph repeats again and again in the page."
+    docs = [
+        (0, "first unique paragraph here.\n\nsecond distinct one there."),
+        (1, "\n\n".join([para] * 4 + ["one lonely different paragraph."])),
+        (2, "single block only, no blank lines at all"),
+        (3, ""),
+        (4, "a\n\n\n\na\n\n  \n\nb"),   # 3+ newlines, whitespace-only seg
+    ]
+    df = spark.createDataFrame(docs, "doc_id long, text string")
+    out = {r["doc_id"]: r for r in
+           paragraph_repetition_stats(df).collect()}
+
+    for doc_id, text in docs:
+        paras = [p.strip() for p in re.split(r"\n{2,}", text)]
+        paras = [p for p in paras if p]
+        c = Counter(paras)
+        r = out[doc_id]
+        assert r["n_paras"] == len(paras), (doc_id, r["n_paras"], len(paras))
+        if not paras:
+            assert r["dup_para_frac"] is None
+        else:
+            exp = sum(v - 1 for v in c.values() if v > 1) / len(paras)
+            assert abs(r["dup_para_frac"] - exp) < 1e-12, (doc_id,)
+        if not text:
+            assert r["dup_para_char_frac"] is None
+        else:
+            expc = sum((v - 1) * len(p) for p, v in c.items()
+                       if v > 1) / len(text)
+            assert abs(r["dup_para_char_frac"] - expc) < 1e-12, (doc_id,)
+
+    full = {r["doc_id"]: r for r in gopher_quality_filter_full(df).collect()}
+    assert "dup-paras" in full[1]["reasons"]
+    assert "dup-paras" not in full[0]["reasons"]

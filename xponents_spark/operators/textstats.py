@@ -522,6 +522,8 @@ def ngram_repetition_stats(df: DataFrame, text_col: str = "text",
 # full published repetition thresholds (Rae et al. 2021 Table A1)
 GOPHER_THRESHOLDS_FULL = dict(GOPHER_THRESHOLDS, **{
     "max_dup_line_char_frac": 0.20,
+    "max_dup_para_frac": 0.30,
+    "max_dup_para_char_frac": 0.20,
     "max_top3gram_char_frac": 0.18,
     "max_top4gram_char_frac": 0.16,
     "max_dup6gram_char_frac": 0.14,
@@ -545,10 +547,15 @@ def gopher_quality_filter_full(df: DataFrame, text_col: str = "text",
     rs = repetition_stats(df, text_col, id_col).select(
         id_col, "dup_line_char_frac")
     ng = ngram_repetition_stats(df, text_col, id_col)
-    j = base_gate.join(rs, id_col).join(ng, id_col)
+    ps = paragraph_repetition_stats(df, text_col, id_col).select(
+        id_col, "dup_para_frac", "dup_para_char_frac")
+    j = base_gate.join(rs, id_col).join(ng, id_col).join(ps, id_col)
     checks = [
         (F.col("dup_line_char_frac") > t["max_dup_line_char_frac"],
          "dup-line-chars"),
+        (F.col("dup_para_frac") > t["max_dup_para_frac"], "dup-paras"),
+        (F.col("dup_para_char_frac") > t["max_dup_para_char_frac"],
+         "dup-para-chars"),
     ]
     for n in (3, 4):
         checks.append((F.col(f"top_{n}gram_char_frac")
@@ -564,3 +571,39 @@ def gopher_quality_filter_full(df: DataFrame, text_col: str = "text",
         F.col(id_col),
         (reasons == "").alias("keep"),
         reasons.alias("reasons"))
+
+
+def paragraph_repetition_stats(df: DataFrame, text_col: str = "text",
+                               id_col: str = "doc_id") -> DataFrame:
+    """Gopher Table-A1 paragraph-level duplicate signals: paragraphs are
+    non-empty segments split on blank lines (2+ newlines);
+    ``dup_para_frac`` counts occurrences beyond each paragraph's first /
+    total paragraphs, ``dup_para_char_frac`` their characters /
+    length(text).  Same relational explode -> (id, para) groupBy shape as
+    the line signals in ``repetition_stats`` — the exchange carries
+    paragraph hashes' worth of data with map-side partial aggregation,
+    never a per-doc quadratic pass.  Empty docs yield NULL fractions."""
+    text = F.col(text_col)
+    base = df.select(F.col(id_col), F.length(text).alias("n_chars"))
+    paras = df.select(
+        F.col(id_col),
+        F.explode(F.expr(
+            f"filter(transform(split({text_col}, '\\n{{2,}}'), "
+            "p -> trim(p)), p -> p != '')")).alias("para"))
+    agg = (paras.groupBy(id_col, "para").agg(F.count("*").alias("cnt"))
+           .groupBy(id_col).agg(
+               F.sum("cnt").alias("para_total"),
+               F.sum(F.when(F.col("cnt") > 1, F.col("cnt") - 1)
+                     .otherwise(0)).alias("para_dup"),
+               F.sum(F.when(F.col("cnt") > 1,
+                            (F.col("cnt") - 1) * F.length("para"))
+                     .otherwise(0)).alias("para_dup_chars")))
+    nc = F.nullif(F.col("n_chars").cast("double"), F.lit(0.0))
+    return (base.join(agg, id_col, "left").select(
+        F.col(id_col),
+        F.coalesce("para_total", F.lit(0)).cast("long").alias("n_paras"),
+        (F.coalesce("para_dup", F.lit(0)).cast("double")
+         / F.nullif(F.col("para_total").cast("double"), F.lit(0.0)))
+        .alias("dup_para_frac"),
+        (F.coalesce("para_dup_chars", F.lit(0)).cast("double") / nc)
+        .alias("dup_para_char_frac")))
