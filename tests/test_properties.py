@@ -221,3 +221,38 @@ def test_mmap_scan_equals_phrase_index(data):
         mmapstore._FILES.pop(os.path.join(tmpdir, "tagger.mmap"), None)
         shutil.rmtree(tmpdir, ignore_errors=True)
 
+
+
+@settings(max_examples=200, deadline=None)
+@given(st.integers(min_value=1, max_value=400))
+def test_gif_interlace_order_is_permutation(h):
+    from xponents_spark.operators.multimodal import _gif_interlace_rows
+    order = _gif_interlace_rows(h)
+    assert sorted(order) == list(range(h))
+
+
+@settings(max_examples=60, deadline=None)
+@given(st.lists(
+    st.tuples(
+        st.floats(min_value=-180, max_value=180, allow_nan=False),
+        st.floats(min_value=-90, max_value=90, allow_nan=False),
+        st.text(max_size=80)),
+    max_size=25))
+def test_shapefile_shard_roundtrip_property(rows):
+    """Pure-python shard writer/reader: any (lon, lat, label) list
+    roundtrips — coordinates exactly (IEEE doubles on disk), labels to
+    the 64-byte truncated utf-8 the DBF field stores."""
+    import tempfile
+
+    from xponents_spark.formats import (_write_shard,
+                                        read_shapefile_points)
+    with tempfile.TemporaryDirectory() as d:
+        base = os.path.join(d, "s")
+        _write_shard(rows, base)
+        got = read_shapefile_points(base)
+        assert len(got) == len(rows)
+        for (lon, lat, label), (x, y, lb) in zip(rows, got):
+            assert x == lon and y == lat
+            exp = label.encode("utf-8", "replace")[:64] \
+                .decode("utf-8", "replace").rstrip()
+            assert lb == exp

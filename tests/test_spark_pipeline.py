@@ -1901,3 +1901,36 @@ def test_paragraph_repetition_stats(spark):
     full = {r["doc_id"]: r for r in gopher_quality_filter_full(df).collect()}
     assert "dup-paras" in full[1]["reasons"]
     assert "dup-paras" not in full[0]["reasons"]
+
+
+def test_c4_filter_idempotent(spark):
+    """C4 line filtering is a projection: running the gate on its own
+    text_clean output changes nothing (kept lines still end in terminal
+    punct with >=5 words and no javascript), and a kept page stays kept
+    (sentence count is computed on the cleaned text both times)."""
+    import random
+
+    from xponents_spark.operators.textstats import c4_quality_filter
+
+    rng = random.Random(11)
+    words = ("alpha", "beta", "gamma", "delta", "epsilon", "zeta", "eta",
+             "javascript", "lorem", "{brace}", "word")
+    docs = []
+    for i in range(60):
+        lines = []
+        for _ in range(rng.randint(0, 8)):
+            n = rng.randint(1, 9)
+            line = " ".join(rng.choice(words) for _ in range(n))
+            line += rng.choice([".", "!", "?", '."', "", " ", ":"])
+            lines.append(line)
+        docs.append((i, "\n".join(lines)))
+    df = spark.createDataFrame(docs, "doc_id long, text string")
+    first = c4_quality_filter(df).select("doc_id", "keep", "text_clean")
+    again = c4_quality_filter(
+        first.withColumnRenamed("text_clean", "text"), text_col="text")
+    a = {r["doc_id"]: r for r in first.collect()}
+    b = {r["doc_id"]: r for r in again.collect()}
+    for i in a:
+        assert b[i]["text_clean"] == a[i]["text_clean"], i
+        if a[i]["keep"]:
+            assert b[i]["keep"], i
