@@ -202,3 +202,47 @@ def test_interlaced_gif_roundtrip_and_conformance(tmp_path):
                        out.stdout.strip().rstrip(",").split(",")],
                       dtype=np.int64).reshape(13, 16)
     assert np.array_equal(theirs, decode_gif(g)[:, :, 0])
+
+
+def test_mp4_edit_list_presentation_mapping():
+    """elst (ISO 14496-12 §8.6.6): empty edits delay presentation, a
+    media_time offset drops leading samples and rebases timestamps, dwell
+    (rate 0) delays like an empty edit; byte offsets/sizes always follow
+    the ORIGINAL sample indices; hostile entry counts are box-bounded."""
+    import struct
+
+    from xponents_spark.operators.mp4 import (make_minimal_mp4, parse_mp4,
+                                              sample_table, video_track)
+
+    one = 0x10000        # rate 1.0 in 16.16
+
+    # no elst: 10 frames at 200 ms
+    plain = sample_table(video_track(parse_mp4(make_minimal_mp4())))
+    assert [t for t, _, _ in plain] == [k * 200 for k in range(10)]
+    offs = [o for _, o, _ in plain]
+
+    # (a) leading empty edit of 400 movie ticks -> +400 ms delay
+    g = make_minimal_mp4(elst=[(400, -1, one), (2000, 0, one)])
+    tab = sample_table(video_track(parse_mp4(g)))
+    assert [t for t, _, _ in tab] == [400 + k * 200 for k in range(10)]
+    assert [o for _, o, _ in tab] == offs
+
+    # (b) media_time=600 over a 1400-tick window: frames 0-2 dropped,
+    # frames 3..9 rebased to 0..1200, offsets still the originals' bytes
+    g = make_minimal_mp4(elst=[(1400, 600, one)])
+    tab = sample_table(video_track(parse_mp4(g)))
+    assert [t for t, _, _ in tab] == [k * 200 for k in range(7)]
+    assert [o for _, o, _ in tab] == offs[3:]
+    assert all(s == 32 for _, _, s in tab)
+
+    # (c) dwell delays like an empty edit
+    g = make_minimal_mp4(elst=[(300, 0, 0), (2000, 0, one)])
+    tab = sample_table(video_track(parse_mp4(g)))
+    assert [t for t, _, _ in tab] == [300 + k * 200 for k in range(10)]
+
+    # (d) hostile count: declare 2^31 entries in a 1-entry box — capped
+    g = bytearray(make_minimal_mp4(elst=[(2000, 0, one)]))
+    i = g.index(b"elst")
+    struct.pack_into(">I", g, i + 8, 1 << 31)
+    tab = sample_table(video_track(parse_mp4(bytes(g))))
+    assert [t for t, _, _ in tab] == [k * 200 for k in range(10)]

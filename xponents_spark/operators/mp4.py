@@ -45,7 +45,7 @@ def _walk(buf: bytes, start: int, end: int):
         i += size
 
 
-_CONTAINERS = {b"moov", b"trak", b"mdia", b"minf", b"stbl"}
+_CONTAINERS = {b"moov", b"trak", b"mdia", b"minf", b"stbl", b"edts"}
 
 
 @dataclass
@@ -53,10 +53,12 @@ class Mp4Track:
     handler: str = ""
     timescale: int = 0
     duration: int = 0
+    movie_timescale: int = 0                     # for elst segment durations
     stts: list = field(default_factory=list)     # (count, delta)
     stsz: list = field(default_factory=list)     # sample sizes
     stsc: list = field(default_factory=list)     # (first_chunk, per_chunk)
     stco: list = field(default_factory=list)     # chunk offsets
+    elst: list = field(default_factory=list)     # (seg_dur, media_time, rate)
 
     @property
     def duration_ms(self) -> int:
@@ -143,32 +145,81 @@ def parse_mp4(payload: bytes) -> Mp4Info:
                 track.stco = [struct.unpack_from(">I", payload,
                                                  b0 + 8 + 4 * k)[0]
                               for k in range(n)]
+            elif btype == b"elst" and track is not None:
+                ver = payload[b0]
+                (n,) = struct.unpack_from(">I", payload, b0 + 4)
+                if ver == 1:                 # u64 duration, i64 media_time
+                    n = min(n, (b1 - b0 - 8) // 20)
+                    track.elst = [struct.unpack_from(">Qqi", payload,
+                                                     b0 + 8 + 20 * k)[:3]
+                                  for k in range(n)]
+                else:                        # u32 duration, i32 media_time
+                    n = min(n, (b1 - b0 - 8) // 12)
+                    track.elst = [struct.unpack_from(">Iii", payload,
+                                                     b0 + 8 + 12 * k)[:3]
+                                  for k in range(n)]
             elif btype in _CONTAINERS:
                 visit(b0, b1, track)
 
     visit(0, len(payload), None)
     if not info.tracks and not info.timescale:
         raise ValueError("not an ISO-BMFF (MP4) payload or no moov box")
+    for t in info.tracks:                # elst durations use movie ticks
+        t.movie_timescale = info.timescale
     return info
+
+
+def _apply_elst(media_ts: list[int], track: Mp4Track) -> list[int | None]:
+    """Map media timestamps (media-timescale ticks) to PRESENTATION ticks
+    through the track's edit list (ISO 14496-12 §8.6.6): empty edits
+    (media_time == -1) delay presentation by segment_duration (movie
+    ticks -> media ticks); normal edits map media range
+    [media_time, media_time + seg_dur) onto the presentation cursor;
+    dwell edits (rate == 0) advance presentation without consuming media.
+    Samples outside every edit return None (not presented)."""
+    if not track.elst:
+        return list(media_ts)
+    scale = (track.timescale / track.movie_timescale
+             if track.timescale and track.movie_timescale else 1.0)
+    out: list[int | None] = [None] * len(media_ts)
+    cursor = 0                                   # presentation, media ticks
+    for seg_dur, media_time, rate in track.elst:
+        seg_media = int(seg_dur * scale)
+        if media_time == -1 or rate == 0:        # empty edit / dwell: delay
+            cursor += seg_media
+            continue
+        lo, hi = media_time, media_time + seg_media
+        for i, ts in enumerate(media_ts):
+            if lo <= ts < hi and out[i] is None:  # first edit wins
+                out[i] = cursor + (ts - lo)
+        cursor += seg_media
+    return out
 
 
 def sample_table(track: Mp4Track) -> list[tuple[int, int, int]]:
     """Flatten the stts/stsz/stsc/stco tables -> one
     (timestamp_ms, byte_offset, byte_size) triple per sample — the real
-    frame schedule a codec plugin would decode from."""
+    frame schedule a codec plugin would decode from.  Timestamps are
+    PRESENTATION times: the edit list, when present, is applied
+    (delays, media offsets, dwells); samples an edit excludes are
+    dropped from the schedule."""
     # total samples are bounded by the (box-size-capped) stsz table: a
     # hostile stts entry declaring 2^32 samples must not expand past what
     # the file actually holds sizes for (review finding)
     max_samples = len(track.stsz)
-    times = []
+    media = []
     t = 0
     for count, delta in track.stts:
-        for _ in range(min(count, max_samples - len(times))):
-            times.append(int(t * 1000 / track.timescale)
-                         if track.timescale else 0)
+        for _ in range(min(count, max_samples - len(media))):
+            media.append(t)
             t += delta
-        if len(times) >= max_samples:
+        if len(media) >= max_samples:
             break
+    pres = _apply_elst(media, track)
+    times = [int(p * 1000 / track.timescale)
+             if track.timescale else 0
+             for p in pres if p is not None]
+    presented = [i for i, p in enumerate(pres) if p is not None]
     # chunk layout: stsc runs give samples-per-chunk from each first_chunk
     offsets = []
     n_chunks = len(track.stco)
@@ -189,8 +240,9 @@ def sample_table(track: Mp4Track) -> list[tuple[int, int, int]]:
                 off += track.stsz[si]
                 si += 1
     out = []
-    for k in range(min(len(times), len(offsets), len(track.stsz))):
-        out.append((times[k], offsets[k], track.stsz[k]))
+    for k, oi in enumerate(presented):   # oi = original sample index
+        if oi < len(offsets) and oi < len(track.stsz):
+            out.append((times[k], offsets[oi], track.stsz[oi]))
     return out
 
 
@@ -206,7 +258,8 @@ def _box(btype: bytes, body: bytes) -> bytes:
 
 
 def make_minimal_mp4(n_frames: int = 10, fps: int = 5,
-                     frame_size: int = 32, seed: int = 0) -> bytes:
+                     frame_size: int = 32, seed: int = 0,
+                     elst: list[tuple[int, int, int]] | None = None) -> bytes:
     """Single-video-track MP4 test fixture: ftyp + mdat (deterministic
     fake sample bytes — the codec payload slot) + moov with full sample
     tables, spec-shaped box layouts (84-byte tkhd v0, stsd present).
@@ -270,6 +323,12 @@ def make_minimal_mp4(n_frames: int = 10, fps: int = 5,
                 + struct.pack(">9I", 0x10000, 0, 0, 0, 0x10000, 0, 0, 0,
                               0x40000000)
                 + struct.pack(">II", 64 << 16, 64 << 16))
-    trak = _box(b"trak", tkhd + mdia)
+    edts = b""
+    if elst:                  # (segment_duration, media_time, rate_16_16)
+        body = b"\x00\x00\x00\x00" + struct.pack(">I", len(elst))
+        for seg_dur, media_time, rate in elst:
+            body += struct.pack(">Iii", seg_dur, media_time, rate)
+        edts = _box(b"edts", _box(b"elst", body))
+    trak = _box(b"trak", tkhd + edts + mdia)
     moov = _box(b"moov", mvhd + trak)
     return ftyp + mdat + moov
