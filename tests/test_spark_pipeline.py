@@ -1934,3 +1934,95 @@ def test_c4_filter_idempotent(spark):
         assert b[i]["text_clean"] == a[i]["text_clean"], i
         if a[i]["keep"]:
             assert b[i]["keep"], i
+
+def test_exif_orientation_correction():
+    """EXIF tag 0x0112: the writer/reader round-trip every orientation
+    1..8 (little-endian TIFF), the big-endian (MM) layout parses, the
+    corrective transform is the exact inverse of the storage transform
+    (apply(store(img, o), o) == img -- the PIL exif_transpose mapping),
+    malformed EXIF always yields 1 without raising, and the JPEG decoder
+    itself still reads a payload carrying the APP1 segment (segment skip)."""
+    import struct
+
+    import numpy as np
+
+    from xponents_spark.operators.jpeg import (add_exif_orientation,
+                                               apply_exif_orientation,
+                                               decode_jpeg, exif_orientation,
+                                               make_jpeg)
+
+    base = make_jpeg(24, 16, seed=3)
+    assert exif_orientation(base) == 1          # no EXIF at all
+
+    # writer -> reader round-trip, and the decoder skips the APP1 segment
+    for o in range(1, 9):
+        tagged = add_exif_orientation(base, o)
+        assert exif_orientation(tagged) == o
+        assert decode_jpeg(tagged).shape == (16, 24, 3)
+
+    # big-endian (MM) TIFF: hand-build the same one-entry IFD0
+    tiff = (b"MM\x00*" + struct.pack(">I", 8)
+            + struct.pack(">H", 1)
+            + struct.pack(">HHI", 0x0112, 3, 1)
+            + struct.pack(">HH", 6, 0) + struct.pack(">I", 0))
+    body = b"Exif\x00\x00" + tiff
+    seg = b"\xff\xe1" + struct.pack(">H", len(body) + 2) + body
+    assert exif_orientation(base[:2] + seg + base[2:]) == 6
+
+    # corrective transform inverts the storage transform for every o
+    up = np.arange(2 * 3 * 3, dtype=np.uint8).reshape(2, 3, 3)
+    store = {1: lambda a: a,
+             2: lambda a: a[:, ::-1],
+             3: lambda a: a[::-1, ::-1],
+             4: lambda a: a[::-1],
+             5: lambda a: a.swapaxes(0, 1),
+             6: lambda a: np.rot90(a, 1),       # inverse of rot90(.,3)
+             7: lambda a: a.swapaxes(0, 1)[::-1, ::-1],
+             8: lambda a: np.rot90(a, 3)}
+    for o, f in store.items():
+        got = apply_exif_orientation(np.ascontiguousarray(f(up)), o)
+        assert np.array_equal(got, up), o
+        if o >= 5:                              # 90-degree family swaps axes
+            assert f(up).shape == (3, 2, 3)
+
+    # malformed EXIF: truncated TIFF, bad magic, entry count overrunning the
+    # segment, out-of-range value -- all advisory-default to 1, never raise
+    for bad_tiff in (b"II*\x00", b"XX*\x00" + b"\x00" * 12,
+                     b"II*\x00" + struct.pack("<I", 9999),
+                     b"II*\x00" + struct.pack("<I", 8)
+                     + struct.pack("<H", 500) + b"\x01" * 6):
+        b2 = b"Exif\x00\x00" + bad_tiff
+        s2 = b"\xff\xe1" + struct.pack(">H", len(b2) + 2) + b2
+        assert exif_orientation(base[:2] + s2 + base[2:]) == 1
+    assert exif_orientation(add_exif_orientation(base, 9)) == 1  # range
+    assert exif_orientation(b"\xff\xd8\xff\xe1\x00") == 1        # truncated
+    assert exif_orientation(b"") == 1
+
+
+def test_media_features_use_upright_jpeg(spark):
+    """extract_media_features on an EXIF-rotated JPEG equals the features
+    of the physically upright JPEG of the same scene: the feature stage
+    corrects orientation before featurizing, so a phone photo stored
+    rotated matches its upright twin (modulo JPEG recompression noise)."""
+    import numpy as np
+
+    from xponents_spark.operators.jpeg import (add_exif_orientation,
+                                               decode_jpeg, make_jpeg)
+    from xponents_spark.operators.multimodal import (MEDIA_SCHEMA,
+                                                     extract_media_features)
+
+    base = make_jpeg(24, 16, seed=5)
+    up = decode_jpeg(base)
+    # store the scene rotated 90 CCW and tag it orientation 6
+    rot = add_exif_orientation(
+        make_jpeg(16, 24, pixels=np.ascontiguousarray(np.rot90(up, 1))), 6)
+
+    rows = [(0, base, {"mime": "image/jpeg", "width": 24, "height": 16,
+                       "duration_ms": None}),
+            (1, rot, {"mime": "image/jpeg", "width": 16, "height": 24,
+                      "duration_ms": None})]
+    df = spark.createDataFrame(rows, MEDIA_SCHEMA)
+    out = {r["media_id"]: np.array(r["features"])
+           for r in extract_media_features(df, decoder="real").collect()}
+    assert out[0].shape == out[1].shape and out[0].size > 0
+    assert float(np.abs(out[0] - out[1]).max()) < 0.12  # recompression only

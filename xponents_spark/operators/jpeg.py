@@ -788,3 +788,86 @@ def make_jpeg(width: int, height: int, seed: int = 0,
             + dht(0, 0, _DC_LUM) + dht(1, 0, _AC_LUM)
             + dht(0, 1, _DC_CHR) + dht(1, 1, _AC_CHR)
             + sof + sos + bytes(bw.out) + b"\xff\xd9")
+
+
+def exif_orientation(payload: bytes) -> int:
+    """EXIF orientation (tag 0x0112) from the first APP1 Exif segment:
+    TIFF header (II/MM), IFD0 entry walk, SHORT value 1..8.  Orientation
+    is ADVISORY — any malformed/absent EXIF returns 1 (upright), never
+    raises; every read is bounds-guarded against the segment."""
+    i = 2
+    if payload[:2] != b"\xff\xd8":
+        return 1
+    while i + 4 <= len(payload):
+        if payload[i] != 0xFF:
+            break                       # entropy data before APP1: give up
+        marker = payload[i + 1]
+        if marker in (0xD8, 0x01) or 0xD0 <= marker <= 0xD7:
+            i += 2
+            continue
+        if marker in (0xDA, 0xD9):      # SOS/EOI: EXIF must precede scan
+            break
+        (seg_len,) = struct.unpack_from(">H", payload, i + 2)
+        if seg_len < 2 or i + 2 + seg_len > len(payload):
+            break
+        if marker == 0xE1 and payload[i + 4:i + 10] == b"Exif\x00\x00":
+            t = payload[i + 10:i + 2 + seg_len]     # TIFF stream
+            if len(t) < 8:
+                return 1
+            if t[:4] == b"II*\x00":
+                u16, u32 = "<H", "<I"
+            elif t[:4] == b"MM\x00*":
+                u16, u32 = ">H", ">I"
+            else:
+                return 1
+            (ifd0,) = struct.unpack_from(u32, t, 4)
+            if ifd0 + 2 > len(t):
+                return 1
+            (n,) = struct.unpack_from(u16, t, ifd0)
+            n = min(n, (len(t) - ifd0 - 2) // 12)
+            for k in range(n):
+                e = ifd0 + 2 + 12 * k
+                (tag,) = struct.unpack_from(u16, t, e)
+                (typ,) = struct.unpack_from(u16, t, e + 2)
+                if tag == 0x0112 and typ == 3:      # SHORT
+                    (v,) = struct.unpack_from(u16, t, e + 8)
+                    return v if 1 <= v <= 8 else 1
+            return 1
+        i += 2 + seg_len
+    return 1
+
+
+def apply_exif_orientation(img: np.ndarray, orientation: int) -> np.ndarray:
+    """Corrective transform for EXIF orientations 1..8 (the PIL
+    ``exif_transpose`` mapping): returns the upright image."""
+    o = orientation
+    if o == 2:
+        return img[:, ::-1]
+    if o == 3:
+        return img[::-1, ::-1]
+    if o == 4:
+        return img[::-1]
+    if o == 5:                           # transpose (main diagonal)
+        return img.swapaxes(0, 1)
+    if o == 6:                           # stored rotated: correct 90 CW
+        return np.rot90(img, 3)
+    if o == 7:                           # transverse (anti-diagonal)
+        return img.swapaxes(0, 1)[::-1, ::-1]
+    if o == 8:
+        return np.rot90(img, 1)
+    return img
+
+
+def add_exif_orientation(payload: bytes, orientation: int) -> bytes:
+    """Insert a minimal APP1 Exif segment (little-endian TIFF, one IFD0
+    entry: Orientation) right after SOI — the test-fixture writer."""
+    if payload[:2] != b"\xff\xd8":
+        raise ValueError("not a JPEG payload")
+    tiff = (b"II*\x00" + struct.pack("<I", 8)
+            + struct.pack("<H", 1)
+            + struct.pack("<HHI", 0x0112, 3, 1)
+            + struct.pack("<HH", orientation, 0)
+            + struct.pack("<I", 0))
+    body = b"Exif\x00\x00" + tiff
+    seg = b"\xff\xe1" + struct.pack(">H", len(body) + 2) + body
+    return payload[:2] + seg + payload[2:]

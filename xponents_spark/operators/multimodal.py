@@ -858,8 +858,13 @@ def _real_decode(payload: bytes, mime: str, dim: int) -> list[float]:
     if mime == "image/png":
         return image_features(decode_png(payload), dim)
     if mime == "image/jpeg":
-        from .jpeg import decode_jpeg
-        return image_features(decode_jpeg(payload), dim)
+        from .jpeg import (apply_exif_orientation, decode_jpeg,
+                           exif_orientation)
+        # features see the UPRIGHT image (EXIF tag 0x0112 correction —
+        # phone photos are routinely stored rotated); decode_jpeg itself
+        # stays raw for conformance vs ImageIO, which ignores EXIF
+        return image_features(apply_exif_orientation(
+            decode_jpeg(payload), exif_orientation(payload)), dim)
     if mime in ("audio/wav", "audio/x-wav"):
         return audio_features(*decode_wav(payload), dim=dim)
     raise NotImplementedError(
