@@ -720,6 +720,48 @@ def q_conv_scoped_invariants(spark, sf_dir):
     return i1.unionByName(i2)
 
 
+def q_near_dup_invariants(spark, sf_dir):
+    """All three near-dup completeness invariants in ONE driver row
+    (frees two query slots under the driver's 50-query cap for the
+    round-5 decontaminate/redact operators; each half keeps its own
+    violation label so a red row still names the failing scheme):
+    minhash recall guard + simhash pigeonhole completeness + winnowing
+    identical-doc detection.  Violations empty."""
+    return (q_minhash_recall_check(spark, sf_dir)
+            .unionByName(q_simhash_complete_check(spark, sf_dir))
+            .unionByName(q_winnow_dup_check(spark, sf_dir)))
+
+
+def q_decontaminate(spark, sf_dir):
+    """Benchmark decontamination (13-gram collision rule): the benchmark
+    set is DERIVED relationally from the corpus itself (tokens 5..30 of
+    every 23rd doc with >=31 tokens) so the oracle can rebuild it in SQL;
+    every benchmark doc contaminates at least its own source, and planted
+    near-dup families contaminate their siblings — non-vacuous by
+    construction."""
+    from xponents_spark.operators.dedup import decontaminate
+    docs = _docs(spark, sf_dir)
+    w = "filter(split(text, '\\\\s+'), x -> x != '')"
+    bench = (docs.filter((F.col("doc_id") % 23) == 3)
+             .filter(F.expr(f"size({w}) >= 31"))
+             .select(F.col("doc_id").alias("bench_id"),
+                     F.expr(f"concat_ws(' ', slice({w}, 5, 26))")
+                     .alias("text")))
+    return decontaminate(docs, bench, n=13)
+
+
+def q_redact_pii(spark, sf_dir):
+    """PII redaction over the synthesized transcripts (planted PoLi
+    payloads carry real emails/IPs/phones): text_redacted plus per-class
+    match counts, byte-compared against DuckDB running the identical
+    pattern list."""
+    from xponents_spark.operators.redact import PII_PATTERNS, redact_pii
+    t = synthesize_transcripts(spark, sf_dir)
+    return redact_pii(t, text_col="text").select(
+        "conv_id", "turn_idx", "text_redacted",
+        *[f"n_{name}" for name, _, _ in PII_PATTERNS])
+
+
 def q_minhash_recall_check(spark, sf_dir):
     """MinHash-LSH recall guard: every exact-Jaccard pair at >=0.9 must be
     found by the banded join at est>=0.5.  The margin is probability-sound,
@@ -911,12 +953,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "event_hourly_windows": q_event_hourly,
         "characterize": q_characterize,
         "ngram_jaccard_pairs": q_ngram_jaccard,
+        "decontaminate": q_decontaminate,
+        "redact_pii": q_redact_pii,
         "minhash_near_dups": q_minhash_dedup,   # rows-only
-        "minhash_recall_check": q_minhash_recall_check,
         "simhash_near_dups": q_simhash_dedup,   # rows-only
-        "simhash_complete_check": q_simhash_complete_check,
         "winnow_near_dups": q_winnow_dedup,     # rows-only
-        "winnow_dup_check": q_winnow_dup_check,
+        "near_dup_invariants": q_near_dup_invariants,
         "near_dup_groups": q_near_dup_groups,
         "ann_cosine_topk": q_ann_topk,
         "cosine_pairs": q_cosine_pairs,
@@ -1032,10 +1074,10 @@ def oracle_sql() -> dict[str, str]:
         # violation sets (or a constant floor row).  A regression in the
         # approximate ops turns these rows non-empty and the gate red.
         "conv_scoped_invariants": O.EMPTY_CONV_VIOLATIONS,
-        "minhash_recall_check": O.EMPTY_PAIR_VIOLATIONS,
-        "winnow_dup_check": O.EMPTY_PAIR_VIOLATIONS,
+        "near_dup_invariants": O.EMPTY_PAIR_VIOLATIONS,
         "near_dup_groups": O.NEAR_DUP_GROUPS_ORACLE,
-        "simhash_complete_check": O.EMPTY_PAIR_VIOLATIONS,
+        "decontaminate": O.DECONTAMINATE_ORACLE,
+        "redact_pii": O.redact_pii_oracle(),
         "ann_recall_floors": (
             "SELECT 50 AS n_truth, true AS lsh_meets_floor, "
             "true AS ivf_meets_floor, true AS planted_ivf_meets_floor, "

@@ -222,7 +222,8 @@ def bench_queries(spark) -> dict[str, float]:
              "minhash_near_dups", "simhash_near_dups", "ann_cosine_topk",
              "token_stats", "lang_id", "quality_score", "fingerprint",
              "repetition_stats", "duplicated_spans",
-             "event_hourly_windows", "characterize"]
+             "event_hourly_windows", "characterize",
+             "decontaminate", "redact_pii"]
     qs = entry.queries()
     out = {}
     for name in picks:

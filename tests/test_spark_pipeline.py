@@ -2026,3 +2026,66 @@ def test_media_features_use_upright_jpeg(spark):
            for r in extract_media_features(df, decoder="real").collect()}
     assert out[0].shape == out[1].shape and out[0].size > 0
     assert float(np.abs(out[0] - out[1]).max()) < 0.12  # recompression only
+
+def test_decontaminate_planted(spark):
+    """13-gram decontamination flags exactly the docs sharing a 13-gram
+    with the benchmark: a doc embedding a benchmark passage verbatim, and
+    the benchmark's own source; an unrelated doc and a 12-gram-only
+    overlap stay clean."""
+    from xponents_spark.operators.dedup import decontaminate
+
+    passage = " ".join(f"w{i}" for i in range(20))        # 20 tokens
+    docs = spark.createDataFrame(
+        [(0, "intro text " + passage + " outro text"),    # verbatim hit
+         (1, " ".join(f"u{i}" for i in range(30))),       # clean
+         # only the first 12 tokens of the passage: NO shared 13-gram
+         (2, "x " + " ".join(f"w{i}" for i in range(12)) + " y z q r s t u v"),
+         (3, "benchmark src " + passage)],                # source doc
+        "doc_id long, text string")
+    bench = spark.createDataFrame([(100, passage)], "bench_id long, text string")
+    got = {r["doc_id"]: r for r in decontaminate(docs, bench, n=13).collect()}
+    assert set(got) == {0, 3}
+    # the 20-token passage has 8 distinct 13-grams, all hit
+    assert got[0]["n_hit_grams"] == 8 and got[0]["n_benchmarks"] == 1
+    assert 0 < got[0]["hit_frac"] <= 1.0
+
+    # short-doc convention: a benchmark shorter than n contributes one
+    # whole-text shingle, which matches only a doc with the same
+    # whole-text-or-window... (it can never equal a 13-gram of a longer
+    # doc, so short benchmarks only hit docs that are themselves short
+    # and identical)
+    sdocs = spark.createDataFrame(
+        [(0, "tiny doc"), (1, "tiny doc two")], "doc_id long, text string")
+    sbench = spark.createDataFrame([(9, "tiny doc")], "bench_id long, text string")
+    sgot = [r["doc_id"] for r in decontaminate(sdocs, sbench, n=13).collect()]
+    assert sgot == [0]
+
+
+def test_redact_pii_classes(spark):
+    """Every PII class redacts with its placeholder and counts; clean text
+    passes through byte-identical with zero counts."""
+    from xponents_spark.operators.redact import redact_pii
+
+    rows = [
+        (0, "mail a.smith+x@sub.example.co.uk now"),
+        (1, "host 10.0.0.5 and 192.168.001.100 up"),
+        (2, "ssn 123-45-6789 leaked"),
+        (3, "card 4111 1111 1111 1111 charged"),
+        (4, "call +1 (800) 555-0199 or 212-555-0123 today"),
+        (5, "no pii here at all"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {r["doc_id"]: r for r in redact_pii(df).collect()}
+    assert got[0]["text_redacted"] == "mail [EMAIL] now"
+    assert got[0]["n_email"] == 1
+    assert got[1]["text_redacted"] == "host [IP] and [IP] up"
+    assert got[1]["n_ipv4"] == 2
+    assert got[2]["text_redacted"] == "ssn [SSN] leaked"
+    assert got[2]["n_ssn"] == 1
+    assert got[3]["text_redacted"] == "card [CARD] charged"
+    assert got[3]["n_card"] == 1
+    assert got[4]["text_redacted"] == "call [PHONE] or [PHONE] today"
+    assert got[4]["n_phone"] == 2
+    assert got[5]["text_redacted"] == rows[5][1]
+    assert all(got[5][f"n_{c}"] == 0
+               for c in ("email", "ipv4", "ssn", "card", "phone"))

@@ -525,3 +525,57 @@ def remove_duplicated_spans(df: DataFrame, k: int = 8,
                  F.size("_w").cast("int").alias("n_tokens"),
                  (F.size("_w") - F.size("_kept")).cast("int")
                  .alias("n_tokens_removed")))
+
+
+def decontaminate(docs: DataFrame, benchmark: DataFrame,
+                  text_col: str = "text", id_col: str = "doc_id",
+                  bench_text_col: str = "text", bench_id_col: str = "bench_id",
+                  n: int = 13) -> DataFrame:
+    """Benchmark decontamination: flag training documents sharing any word
+    ``n``-gram with an evaluation/benchmark set (the GPT-3 appendix-C /
+    Gopher 13-gram collision rule).
+
+    Pure DataFrame ops.  Both sides shingle with the SAME convention as
+    ``ngram_jaccard_pairs`` (``\\s+`` split, docs shorter than n words
+    contribute one whole-text shingle); the corpus side also carries its
+    per-doc distinct-gram count as a zero-shuffle scalar
+    (``size(array_distinct(...))``) so no corpus-wide groupBy is needed.
+    Returns one row per CONTAMINATED doc:
+    (doc_id, n_grams, n_hit_grams, n_benchmarks, hit_frac).
+
+    Scale: the benchmark gram set is broadcast — every public eval suite
+    together is tens of millions of n-grams (a few GB of strings, less as
+    a bloom/hash set), while the corpus is 100 TB; ``broadcast()`` keeps
+    the corpus scan shuffle-free, and the only wide op is the final
+    groupBy over the (tiny) contaminated-gram hit set.  Set
+    ``broadcast_benchmark=False`` to fall back to a shuffle hash join when
+    the benchmark side genuinely exceeds executor memory.
+    """
+    return _decontaminate(docs, benchmark, text_col, id_col, bench_text_col,
+                          bench_id_col, n, True)
+
+
+def _decontaminate(docs, benchmark, text_col, id_col, bench_text_col,
+                   bench_id_col, n, broadcast_benchmark):
+    def grams(col: str) -> str:
+        w = f"filter(split({col}, '\\\\s+'), x -> x != '')"
+        return (f"array_distinct(transform("
+                f"  sequence(1, greatest(size({w}) - {n - 1}, 1)),"
+                f"  i -> concat_ws(' ', slice({w}, i, {n}))))")
+
+    d = docs.select(
+        F.col(id_col),
+        F.expr(f"size({grams(text_col)})").alias("n_grams"),
+        F.explode(F.expr(grams(text_col))).alias("gram"))
+    b = benchmark.select(
+        F.col(bench_id_col),
+        F.explode(F.expr(grams(bench_text_col))).alias("gram"))
+    if broadcast_benchmark:
+        b = F.broadcast(b)
+    return (d.join(b, "gram")
+             .groupBy(id_col, "n_grams")
+             .agg(F.countDistinct("gram").alias("n_hit_grams"),
+                  F.countDistinct(bench_id_col).alias("n_benchmarks"))
+             .withColumn("hit_frac",
+                         F.col("n_hit_grams")
+                         / F.col("n_grams").cast("double")))

@@ -336,6 +336,51 @@ JOIN sizes sb ON sb.doc_id = doc_b
 WHERE CAST(n_inter AS DOUBLE) / (sa.n_sh + sb.n_sh - n_inter) >= 0.5
 """
 
+# Mirror of operators.dedup.decontaminate over the gate's derived benchmark
+# (tokens 5..30 of every 23rd document): 13-gram collision rule, same
+# shingle convention as NGRAM_JACCARD_ORACLE (whole-text shingle under 13
+# words; DuckDB w[i:i+12] = Spark slice(w, i, 13)).
+DECONTAMINATE_ORACLE = r"""
+WITH words AS (SELECT doc_id,
+                      list_filter(regexp_split_to_array(text, '[ \t\n\v\f\r]+'),
+                                  x -> x != '') AS w
+               FROM documents),
+bench AS (SELECT doc_id AS bench_id, w[5:30] AS bw FROM words
+          WHERE len(w) >= 31 AND doc_id % 23 = 3),
+bgrams AS (SELECT DISTINCT bench_id, array_to_string(bw[i:i+12], ' ') AS gram
+           FROM bench, LATERAL (SELECT unnest(generate_series(
+                 1, greatest(len(bw) - 12, 1))) AS i) t),
+dgrams AS (SELECT DISTINCT doc_id, array_to_string(w[i:i+12], ' ') AS gram
+           FROM words, LATERAL (SELECT unnest(generate_series(
+                 1, greatest(len(w) - 12, 1))) AS i) t),
+sizes AS (SELECT doc_id, count(*) AS n_grams FROM dgrams GROUP BY doc_id)
+SELECT d.doc_id, CAST(s.n_grams AS INTEGER) AS n_grams,
+       count(DISTINCT d.gram) AS n_hit_grams,
+       count(DISTINCT b.bench_id) AS n_benchmarks,
+       CAST(count(DISTINCT d.gram) AS DOUBLE) / s.n_grams AS hit_frac
+FROM dgrams d JOIN bgrams b USING (gram) JOIN sizes s ON s.doc_id = d.doc_id
+GROUP BY d.doc_id, s.n_grams
+"""
+
+
+def redact_pii_oracle() -> str:
+    """Mirror of operators.redact.redact_pii over the synthesized
+    transcripts: the SAME ordered pattern list (imported, single source of
+    truth) rendered as DuckDB regexp_replace/extract_all — RE2 and Java
+    regex agree on this pattern subset by construction."""
+    from .operators.redact import (redact_count_oracle_sql,
+                                   redact_oracle_sql)
+    counts = ", ".join(f"{expr} AS {name}"
+                       for name, expr in redact_count_oracle_sql("text"))
+    return f"""
+WITH {transcripts_oracle_cte()}
+SELECT conv_id, turn_idx,
+       {redact_oracle_sql('text')} AS text_redacted,
+       {counts}
+FROM transcripts
+"""
+
+
 def duplicated_spans_oracle(k: int = 8) -> str:
     """Mirror of operators.dedup.duplicated_spans: duplicated k-gram
     coverage merged into maximal per-doc spans (gaps-and-islands)."""
