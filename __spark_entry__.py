@@ -511,6 +511,51 @@ def q_gopher_filter_single_pass(spark, sf_dir):
     return gopher_quality_filter_single_pass(_docs(spark, sf_dir))
 
 
+def q_c4_quality_filter(spark, sf_dir):
+    """The C4 cleaning gate (Raffel et al. 2020 §2.2): line retention +
+    page drops in ONE Project (zero Exchange, zero Python), full value
+    hash including the retained-line text_clean."""
+    from xponents_spark.operators.textstats import c4_quality_filter
+    return c4_quality_filter(_docs(spark, sf_dir))
+
+
+def q_gopher_filter_full(spark, sf_dir):
+    """The Gopher gate with the COMPLETE Table-A1 repetition family
+    (dup-line-chars, paragraph duplicates, top-3/4-gram, dup-6..10-gram)
+    under the published thresholds — the whole nine-signal
+    ngram_repetition_stats explode plus paragraph stats value-pinned
+    through one SQL oracle."""
+    from xponents_spark.operators.textstats import gopher_quality_filter_full
+    return gopher_quality_filter_full(_docs(spark, sf_dir))
+
+
+def q_semantic_dedup_invariants(spark, sf_dir):
+    """SemDeDup driver invariants over the planted corpus (identical
+    twins at vec_id + 1e6):
+    I1 every planted twin shares its source's duplicate component
+       (identical vectors assign to the same cluster and score cosine
+       1.0 >= tau);
+    I2 each component keeps EXACTLY one representative;
+    I3 a keeper is its own rep (rep_id == vec_id).  Violations empty."""
+    from xponents_spark.operators.similarity import semantic_dedup
+    out = semantic_dedup(_emb_with_planted(spark, sf_dir),
+                         threshold=0.95, n_centroids=8).cache()
+    pairs = (out.filter(F.col("vec_id") >= _PLANT_OFFSET)
+             .select((F.col("vec_id") - _PLANT_OFFSET).alias("vec_id"),
+                     F.col("rep_id").alias("twin_rep")))
+    i1 = (out.join(pairs, "vec_id")
+          .filter(F.col("rep_id") != F.col("twin_rep"))
+          .select("vec_id", F.lit("planted-twin-split").alias("violation")))
+    i2 = (out.groupBy("rep_id")
+          .agg(F.sum(F.col("keep").cast("int")).alias("n_keep"))
+          .filter(F.col("n_keep") != 1)
+          .select(F.col("rep_id").alias("vec_id"),
+                  F.lit("component-keep-count").alias("violation")))
+    i3 = (out.filter(F.col("keep") & (F.col("rep_id") != F.col("vec_id")))
+          .select("vec_id", F.lit("keeper-not-rep").alias("violation")))
+    return i1.unionByName(i2).unionByName(i3)
+
+
 def q_duplicated_spans(spark, sf_dir):
     """ExactSubstr-style duplicated-substring spans (Lee et al. 2022):
     maximal per-doc token spans covered by any 8-token substring occurring
@@ -633,6 +678,34 @@ def q_winnow_dedup(spark, sf_dir):
     companion winnow_dup_check invariant is driver-gated."""
     from xponents_spark.operators.dedup import winnow_near_dups
     return winnow_near_dups(_docs(spark, sf_dir), threshold=0.6)
+
+
+def q_near_dups_all(spark, sf_dir):
+    """All three approximate near-dup schemes in ONE rows-only row
+    (frees driver-cap slots for the round-5 oracled queries; each
+    scheme's pairs stay distinguishable via the scheme column, and all
+    three remain pinned by the merged near_dup_invariants row):
+    MinHash-LSH est_jaccard, SimHash hamming (as a score), winnowing
+    fingerprint jaccard."""
+    mh = (q_minhash_dedup(spark, sf_dir)
+          .select("doc_a", "doc_b", F.lit("minhash").alias("scheme"),
+                  F.col("est_jaccard").cast("double").alias("score")))
+    sh = (q_simhash_dedup(spark, sf_dir)
+          .select("doc_a", "doc_b", F.lit("simhash").alias("scheme"),
+                  F.col("hamming").cast("double").alias("score")))
+    wn = (q_winnow_dedup(spark, sf_dir)
+          .select("doc_a", "doc_b", F.lit("winnow").alias("scheme"),
+                  F.col("fp_jaccard").cast("double").alias("score")))
+    return mh.unionByName(sh).unionByName(wn)
+
+
+def q_ann_approx_topk(spark, sf_dir):
+    """Both approximate ANN schemes (multi-table LSH, IVF) in ONE
+    rows-only row, scheme-tagged; recall floors stay driver-gated via
+    ann_recall_floors."""
+    lsh = q_ann_lsh(spark, sf_dir).withColumn("scheme", F.lit("lsh"))
+    ivf = q_ann_ivf(spark, sf_dir).withColumn("scheme", F.lit("ivf"))
+    return lsh.unionByName(ivf)
 
 
 def q_near_dup_groups(spark, sf_dir):
@@ -950,21 +1023,21 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "remove_duplicated_spans": q_remove_spans,
         "gopher_quality_filter": q_gopher_filter,
         "gopher_filter_single_pass": q_gopher_filter_single_pass,
+        "gopher_filter_full": q_gopher_filter_full,
+        "c4_quality_filter": q_c4_quality_filter,
         "event_hourly_windows": q_event_hourly,
         "characterize": q_characterize,
         "ngram_jaccard_pairs": q_ngram_jaccard,
         "decontaminate": q_decontaminate,
         "redact_pii": q_redact_pii,
-        "minhash_near_dups": q_minhash_dedup,   # rows-only
-        "simhash_near_dups": q_simhash_dedup,   # rows-only
-        "winnow_near_dups": q_winnow_dedup,     # rows-only
+        "near_dups_all": q_near_dups_all,       # rows-only (3 schemes)
         "near_dup_invariants": q_near_dup_invariants,
         "near_dup_groups": q_near_dup_groups,
         "ann_cosine_topk": q_ann_topk,
         "cosine_pairs": q_cosine_pairs,
-        "ann_lsh_topk": q_ann_lsh,          # rows-only (approximate op)
-        "ann_ivf_topk": q_ann_ivf,          # rows-only (approximate op)
+        "ann_approx_topk": q_ann_approx_topk,  # rows-only (lsh + ivf)
         "ann_recall_floors": q_ann_recall_floors,
+        "semantic_dedup_invariants": q_semantic_dedup_invariants,
         "ann_ivf_indexed_consistency": q_ann_ivf_indexed_consistency,
         "embedding_near_dups": q_embedding_near_dups,
         "embedding_near_dup_sound": q_embedding_near_dup_sound,
@@ -1065,6 +1138,9 @@ def oracle_sql() -> dict[str, str]:
         "remove_duplicated_spans": O.remove_spans_oracle(8),
         "gopher_quality_filter": O.gopher_filter_oracle(),
         "gopher_filter_single_pass": O.gopher_filter_oracle(),
+        "gopher_filter_full": O.gopher_filter_full_oracle(),
+        "c4_quality_filter": O.C4_ORACLE,
+        "semantic_dedup_invariants": O.EMPTY_ID_VIOLATIONS,
         "ngram_jaccard_pairs": O.NGRAM_JACCARD_ORACLE,
         "ann_cosine_topk": O.ANN_TOPK_ORACLE,
         "cosine_pairs": O.COSINE_PAIRS_ORACLE,

@@ -563,10 +563,14 @@ def _decontaminate(docs, benchmark, text_col, id_col, bench_text_col,
                 f"  sequence(1, greatest(size({w}) - {n - 1}, 1)),"
                 f"  i -> concat_ws(' ', slice({w}, i, {n}))))")
 
-    d = docs.select(
-        F.col(id_col),
-        F.expr(f"size({grams(text_col)})").alias("n_grams"),
-        F.explode(F.expr(grams(text_col))).alias("gram"))
+    # materialize the gram ARRAY in its own projection before exploding:
+    # putting size(<gram expr>) next to explode(<gram expr>) makes Spark
+    # re-evaluate the whole array-building expression per OUTPUT row of
+    # the Generate (measured 17x slower); referencing the aliased column
+    # twice blocks CollapseProject from re-inlining it (non-cheap expr)
+    d = (docs.select(F.col(id_col), F.expr(grams(text_col)).alias("grams"))
+         .select(F.col(id_col), F.size("grams").alias("n_grams"),
+                 F.explode("grams").alias("gram")))
     b = benchmark.select(
         F.col(bench_id_col),
         F.explode(F.expr(grams(bench_text_col))).alias("gram"))

@@ -441,6 +441,44 @@ GROUP BY d.doc_id, len(d.w)
 """
 
 
+# Mirror of operators.textstats.c4_quality_filter (default params, no
+# badwords): line retention (terminal punct [.!?] + optional closing
+# quote, >=5 whitespace tokens, no 'javascript'), then page drops.
+# trim() is space-only in both engines; Spark split keeps interior empty
+# fields exactly like regexp_split_to_array.
+C4_ORACLE = r"""
+WITH base AS (
+  SELECT doc_id, text,
+         list_filter(string_split(text, chr(10)), l ->
+           regexp_matches(trim(l), '[.!?]["''”’]?$')
+           AND len(regexp_split_to_array(trim(l), '[ \t\n\v\f\r]+')) >= 5
+           AND NOT contains(lower(l), 'javascript')) AS kept
+  FROM documents),
+c AS (
+  SELECT doc_id, text,
+         len(string_split(text, chr(10))) AS n_lines,
+         len(kept) AS n_lines_kept,
+         -- DuckDB array_to_string([]) is NULL; Spark array_join([]) is ''
+         coalesce(array_to_string(kept, chr(10)), '') AS text_clean,
+         len(list_filter(
+           regexp_split_to_array(
+             coalesce(array_to_string(kept, chr(10)), ''), '[.!?]'),
+           s -> len(trim(s)) > 0)) AS n_sentences
+  FROM base)
+SELECT doc_id, reasons = '' AS keep, reasons,
+       CAST(n_lines AS BIGINT) AS n_lines,
+       CAST(n_lines_kept AS BIGINT) AS n_lines_kept,
+       CAST(n_sentences AS BIGINT) AS n_sentences,
+       text_clean
+FROM (
+  SELECT *, concat_ws('|',
+      CASE WHEN n_sentences < 3 THEN 'too-few-sentences' END,
+      CASE WHEN contains(lower(text), 'lorem ipsum') THEN 'lorem-ipsum' END,
+      CASE WHEN contains(text, '{') THEN 'curly-brace' END) AS reasons
+  FROM c) r
+"""
+
+
 def gopher_filter_oracle() -> str:
     """Composition of the token/quality/repetition oracles with the same
     thresholds and reason strings as operators.textstats
@@ -476,6 +514,93 @@ FROM (
                 THEN 'dup-5grams' END) AS reasons
   FROM ts JOIN qs ON ts.doc_id = qs.doc_id
           JOIN rs ON ts.doc_id = rs.doc_id) ts
+"""
+
+
+def gopher_filter_full_oracle() -> str:
+    """Mirror of operators.textstats.gopher_quality_filter_full: the base
+    gate's reasons plus the complete Table-A1 family — dup-line-chars,
+    paragraph duplicates, top-3/4-gram and dup-6..10-gram fractions.
+    CASE on a NULL fraction (empty doc) yields NULL and concat_ws skips
+    it, matching the Spark side's when()-on-NULL behaviour; top-gram
+    ties break (cnt, gram) lexicographically-greatest in both engines
+    (max(struct) == ORDER BY cnt DESC, gram DESC)."""
+    from .operators.textstats import GOPHER_THRESHOLDS_FULL as T
+    top_ns, dup_ns = (3, 4), (6, 7, 8, 9, 10)
+    ctes = []
+    for n in sorted(set(top_ns) | set(dup_ns)):
+        ctes.append(
+            f"g{n} AS (SELECT doc_id, array_to_string(w[i:i+{n - 1}], ' ')"
+            f" AS gram FROM fbase, LATERAL (SELECT unnest(generate_series("
+            f"1, len(w) - {n - 1})) AS i) t WHERE len(w) >= {n})")
+    for n in top_ns:
+        ctes.append(
+            f"top{n}f AS (SELECT doc_id, cnt * length(gram) AS chars FROM"
+            f" (SELECT doc_id, gram, count(*) AS cnt, row_number() OVER"
+            f" (PARTITION BY doc_id ORDER BY count(*) DESC, gram DESC)"
+            f" AS rn FROM g{n} GROUP BY doc_id, gram) q WHERE rn = 1)")
+    for n in dup_ns:
+        ctes.append(
+            f"dup{n}f AS (SELECT doc_id, sum(CASE WHEN cnt > 1 THEN"
+            f" (cnt - 1) * length(gram) ELSE 0 END) AS chars FROM"
+            f" (SELECT doc_id, gram, count(*) AS cnt FROM g{n}"
+            f" GROUP BY 1, 2) q GROUP BY 1)")
+
+    def frac(cte):
+        return (f"CASE WHEN b.n_chars > 0 THEN least("
+                f"CAST(coalesce({cte}.chars, 0) AS DOUBLE) / b.n_chars,"
+                f" 1.0) END")
+
+    extra = [
+        f"CASE WHEN rs.dup_line_char_frac >"
+        f" {T['max_dup_line_char_frac']} THEN 'dup-line-chars' END",
+        f"CASE WHEN pf.dup_para_frac > {T['max_dup_para_frac']}"
+        f" THEN 'dup-paras' END",
+        f"CASE WHEN pf.dup_para_char_frac >"
+        f" {T['max_dup_para_char_frac']} THEN 'dup-para-chars' END",
+    ]
+    joins = ["LEFT JOIN pf USING (doc_id)"]
+    for n in top_ns:
+        extra.append(f"CASE WHEN {frac(f'top{n}f')} >"
+                     f" {T[f'max_top{n}gram_char_frac']}"
+                     f" THEN 'top-{n}gram' END")
+        joins.append(f"LEFT JOIN top{n}f USING (doc_id)")
+    for n in dup_ns:
+        extra.append(f"CASE WHEN {frac(f'dup{n}f')} >"
+                     f" {T[f'max_dup{n}gram_char_frac']}"
+                     f" THEN 'dup-{n}grams' END")
+        joins.append(f"LEFT JOIN dup{n}f USING (doc_id)")
+    return f"""
+WITH bg AS ({gopher_filter_oracle()}),
+fbase AS (SELECT doc_id, length(text) AS n_chars,
+                 regexp_split_to_array(trim(text), '[ \t\n\v\f\r]+') AS w
+          FROM documents),
+rs AS ({REPETITION_ORACLE}),
+paras AS (SELECT doc_id, unnest(list_filter(list_transform(
+            regexp_split_to_array(text, '\n{{2,}}'), p -> trim(p)),
+            p -> p != '')) AS para
+          FROM documents),
+pagg AS (SELECT doc_id, sum(cnt) AS para_total,
+                sum(CASE WHEN cnt > 1 THEN cnt - 1 ELSE 0 END) AS para_dup,
+                sum(CASE WHEN cnt > 1 THEN (cnt - 1) * length(para)
+                    ELSE 0 END) AS para_dup_chars
+         FROM (SELECT doc_id, para, count(*) AS cnt FROM paras
+               GROUP BY 1, 2) q GROUP BY 1),
+pf AS (SELECT b.doc_id,
+              CAST(pa.para_dup AS DOUBLE)
+                / nullif(CAST(pa.para_total AS DOUBLE), 0) AS dup_para_frac,
+              CAST(coalesce(pa.para_dup_chars, 0) AS DOUBLE)
+                / nullif(CAST(b.n_chars AS DOUBLE), 0) AS dup_para_char_frac
+       FROM fbase b LEFT JOIN pagg pa USING (doc_id)),
+{',' .join(ctes)}
+SELECT doc_id, reasons = '' AS keep, reasons FROM (
+  SELECT bg.doc_id,
+         concat_ws('|', nullif(bg.reasons, ''),
+                   nullif(concat_ws('|', {', '.join(extra)}), '')) AS reasons
+  FROM bg
+  JOIN fbase b USING (doc_id)
+  JOIN rs USING (doc_id)
+  {' '.join(joins)}) r
 """
 
 
@@ -596,6 +721,11 @@ SELECT CAST(NULL AS VARCHAR) AS conv_id, CAST(NULL AS INTEGER) AS turn_idx,
 
 EMPTY_PAIR_VIOLATIONS = """
 SELECT CAST(NULL AS BIGINT) AS doc_a, CAST(NULL AS BIGINT) AS doc_b,
+       CAST(NULL AS VARCHAR) AS violation WHERE false
+"""
+
+EMPTY_ID_VIOLATIONS = """
+SELECT CAST(NULL AS BIGINT) AS vec_id,
        CAST(NULL AS VARCHAR) AS violation WHERE false
 """
 
