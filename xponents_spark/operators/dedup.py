@@ -530,7 +530,7 @@ def remove_duplicated_spans(df: DataFrame, k: int = 8,
 def decontaminate(docs: DataFrame, benchmark: DataFrame,
                   text_col: str = "text", id_col: str = "doc_id",
                   bench_text_col: str = "text", bench_id_col: str = "bench_id",
-                  n: int = 13) -> DataFrame:
+                  n: int = 13, hash_grams: bool = False) -> DataFrame:
     """Benchmark decontamination: flag training documents sharing any word
     ``n``-gram with an evaluation/benchmark set (the GPT-3 appendix-C /
     Gopher 13-gram collision rule).
@@ -549,31 +549,51 @@ def decontaminate(docs: DataFrame, benchmark: DataFrame,
     the corpus scan shuffle-free, and the only wide op is the final
     groupBy over the (tiny) contaminated-gram hit set.  Set
     ``broadcast_benchmark=False`` to fall back to a shuffle hash join when
-    the benchmark side genuinely exceeds executor memory.
+    the benchmark side genuinely exceeds executor memory; set
+    ``hash_grams=True`` to join on ``xxhash64(gram)`` instead of the
+    13-token strings — 8 bytes/gram in the broadcast map and the join
+    probes instead of ~80, with a ~n²/2⁶⁴ false-positive chance
+    (flagging is review-oriented, so collisions are benign; the default
+    stays string-exact for oracle parity).
     """
     return _decontaminate(docs, benchmark, text_col, id_col, bench_text_col,
-                          bench_id_col, n, True)
+                          bench_id_col, n, True, hash_grams)
 
 
 def _decontaminate(docs, benchmark, text_col, id_col, bench_text_col,
-                   bench_id_col, n, broadcast_benchmark):
+                   bench_id_col, n, broadcast_benchmark, hash_grams=False):
     def grams(col: str) -> str:
-        w = f"filter(split({col}, '\\\\s+'), x -> x != '')"
+        # tokens materialize as their own projection first: inlining the
+        # split+filter into the transform lambda re-tokenizes per gram
+        # position (~1.5x measured at sf0.1)
         return (f"array_distinct(transform("
-                f"  sequence(1, greatest(size({w}) - {n - 1}, 1)),"
-                f"  i -> concat_ws(' ', slice({w}, i, {n}))))")
+                f"  sequence(1, greatest(size({col}) - {n - 1}, 1)),"
+                f"  i -> concat_ws(' ', slice({col}, i, {n}))))")
+
+    def toks(col: str) -> str:
+        return f"filter(split({col}, '\\\\s+'), x -> x != '')"
+
+    def gram_key(expr: str) -> str:
+        # hash inside the transform lambda (before array_distinct) so the
+        # explode emits 8-byte longs, not 13-token strings; a generator
+        # cannot be nested in xxhash64(...) after the fact
+        if hash_grams:
+            return f"transform({expr}, g -> xxhash64(g))"
+        return expr
 
     # materialize the gram ARRAY in its own projection before exploding:
     # putting size(<gram expr>) next to explode(<gram expr>) makes Spark
     # re-evaluate the whole array-building expression per OUTPUT row of
     # the Generate (measured 17x slower); referencing the aliased column
     # twice blocks CollapseProject from re-inlining it (non-cheap expr)
-    d = (docs.select(F.col(id_col), F.expr(grams(text_col)).alias("grams"))
+    d = (docs.select(F.col(id_col), F.expr(toks(text_col)).alias("w"))
+         .select(F.col(id_col), F.expr(gram_key(grams("w"))).alias("grams"))
          .select(F.col(id_col), F.size("grams").alias("n_grams"),
                  F.explode("grams").alias("gram")))
-    b = benchmark.select(
-        F.col(bench_id_col),
-        F.explode(F.expr(grams(bench_text_col))).alias("gram"))
+    b = (benchmark.select(F.col(bench_id_col),
+                          F.expr(toks(bench_text_col)).alias("w"))
+         .select(F.col(bench_id_col),
+                 F.explode(F.expr(gram_key(grams("w")))).alias("gram")))
     if broadcast_benchmark:
         b = F.broadcast(b)
     return (d.join(b, "gram")
