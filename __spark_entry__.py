@@ -260,14 +260,20 @@ def _payload_roundtrip(spark, sf_dir, makers, doc_password=None):
 def q_office_roundtrip(spark, sf_dir):
     """S1 office formats, one driver row set with a format column:
     docx (zip+XML), legacy .doc (CFB + [MS-DOC] FIB/CLX piece table),
-    legacy .xls (BIFF8 SST with forced Continue-record splits)."""
+    legacy .xls (BIFF8 SST with forced Continue-record splits), and
+    round-5 xlsx (SpreadsheetML SST resolution in sheet order) + pptx
+    (PresentationML DrawingML runs in numeric slide order)."""
     from xponents_spark.textract.office import (make_simple_doc,
                                                 make_simple_docx,
-                                                make_simple_xls)
+                                                make_simple_pptx,
+                                                make_simple_xls,
+                                                make_simple_xlsx)
     return _payload_roundtrip(spark, sf_dir, [
         ("docx", make_simple_docx),
         ("doc", make_simple_doc),
-        ("xls", lambda t: make_simple_xls(t, max_record=512))])
+        ("xls", lambda t: make_simple_xls(t, max_record=512)),
+        ("xlsx", make_simple_xlsx),
+        ("pptx", make_simple_pptx)])
 
 
 def q_encrypted_office_roundtrip(spark, sf_dir):
@@ -1099,7 +1105,8 @@ def oracle_sql() -> dict[str, str]:
         "pdf_text_recovery": "SELECT doc_id, text FROM documents",
         "office_text_recovery": (
             "SELECT d.doc_id, f.format, d.text FROM documents d "
-            "CROSS JOIN (VALUES ('docx'), ('doc'), ('xls')) f(format)"),
+            "CROSS JOIN (VALUES ('docx'), ('doc'), ('xls'), ('xlsx'), "
+            "('pptx')) f(format)"),
         "encrypted_office_recovery": (
             "SELECT d.doc_id, f.format, d.text FROM documents d "
             "CROSS JOIN (VALUES ('doc_rc4'), ('docx_agile'), "

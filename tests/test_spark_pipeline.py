@@ -434,6 +434,40 @@ def test_office_format_roundtrips():
     assert extract_rtf_text(raw) == "caf\xe9 \u5317north\nsecond"
 
 
+def test_xlsx_pptx_roundtrips():
+    """S1 round-5 office coverage: XLSX (SST resolution, inlineStr, sheet
+    order) and PPTX (DrawingML runs, numeric slide order >9 slides)."""
+    from xponents_spark.textract import convert_document, doc_kind
+    from xponents_spark.textract.office import (extract_pptx_text,
+                                                extract_xlsx_text,
+                                                make_simple_pptx,
+                                                make_simple_xlsx)
+
+    # ten+ lines forces slide10.xml after slide9.xml (numeric ordering)
+    lines = [f"line {i} caf\u00e9 \u5317\u4eac" for i in range(11)]
+    t = "\n".join(lines)
+    xlsx, pptx = make_simple_xlsx(t), make_simple_pptx(t)
+    assert doc_kind(xlsx) == "xlsx" and doc_kind(pptx) == "pptx"
+    assert extract_xlsx_text(xlsx) == t
+    assert extract_pptx_text(pptx) == t
+    assert convert_document(xlsx) == t.replace("\n", " ")
+    # inlineStr + literal <v> cells and a dangling SST ref (skipped, not
+    # IndexError \u2014 hostile-table contract)
+    sheet_xml = (
+        b'<?xml version="1.0"?><worksheet xmlns="http://schemas.openxml'
+        b'formats.org/spreadsheetml/2006/main"><sheetData>'
+        b'<row r="1"><c r="A1" t="inlineStr"><is><t>inline cell</t></is></c>'
+        b'<c r="B1"><v>42</v></c><c r="C1" t="s"><v>99</v></c></row>'
+        b'</sheetData></worksheet>')
+    import io
+    import zipfile
+    buf = io.BytesIO()
+    with zipfile.ZipFile(buf, "w") as z:
+        z.writestr("xl/workbook.xml", "<workbook/>")
+        z.writestr("xl/worksheets/sheet1.xml", sheet_xml)
+    assert extract_xlsx_text(buf.getvalue()) == "inline cell\t42"
+
+
 def test_resumable_with_physical_bucket_column(spark, sf_dir, tmp_path):
     """Pre-bucketed input (the Iceberg bucket(conv_id) layout): stage-0
     bucketize is skipped and the per-bucket filter prunes at the source —

@@ -126,8 +126,9 @@ def convert_document_kind(payload: bytes,
     parse in particular) must run once per payload, not once per output
     column."""
     from .office import (extract_doc_text, extract_docx_text,
-                         extract_odt_text, extract_rtf_text, extract_xls_text,
-                         is_rtf, zip_kind)
+                         extract_odt_text, extract_pptx_text,
+                         extract_rtf_text, extract_xls_text,
+                         extract_xlsx_text, is_rtf, zip_kind)
     from .pdf import extract_pdf_text, is_pdf
     if payload is None:
         return "", "empty"
@@ -136,6 +137,10 @@ def convert_document_kind(payload: bytes,
     zk = zip_kind(payload)
     if zk == "docx":
         return squeeze_whitespace(extract_docx_text(payload)), "docx"
+    if zk == "xlsx":
+        return squeeze_whitespace(extract_xlsx_text(payload)), "xlsx"
+    if zk == "pptx":
+        return squeeze_whitespace(extract_pptx_text(payload)), "pptx"
     if zk == "odt":
         return squeeze_whitespace(extract_odt_text(payload)), "odt"
     if zk:

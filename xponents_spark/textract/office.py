@@ -22,6 +22,8 @@ import zipfile
 
 _W_NS = "{http://schemas.openxmlformats.org/wordprocessingml/2006/main}"
 _TEXT_NS = "{urn:oasis:names:tc:opendocument:xmlns:text:1.0}"
+_S_NS = "{http://schemas.openxmlformats.org/spreadsheetml/2006/main}"
+_A_NS = "{http://schemas.openxmlformats.org/drawingml/2006/main}"
 
 
 def is_zip(payload: bytes) -> bool:
@@ -39,6 +41,10 @@ def zip_kind(payload: bytes) -> str | None:
         return None
     if "word/document.xml" in names:
         return "docx"
+    if "xl/workbook.xml" in names:
+        return "xlsx"
+    if "ppt/presentation.xml" in names:
+        return "pptx"
     if "content.xml" in names and "mimetype" in names:
         return "odt"
     return None
@@ -73,6 +79,68 @@ def extract_odt_text(payload: bytes) -> str:
     for tag in ("p", "h"):
         for el in root.iter(_TEXT_NS + tag):
             paras.append("".join(el.itertext()))
+    return "\n".join(paras)
+
+
+def extract_xlsx_text(payload: bytes) -> str:
+    """SpreadsheetML text layer in SHEET order (not SST order): resolve
+    ``t="s"`` cells through ``xl/sharedStrings.xml``, take ``inlineStr``
+    runs and raw ``<v>`` values in place — one line per sheet row, cells
+    tab-separated (the Tika/XText reading order for workbooks)."""
+    import xml.etree.ElementTree as ET
+    with zipfile.ZipFile(io.BytesIO(payload)) as z:
+        names = set(z.namelist())
+        sst: list[str] = []
+        if "xl/sharedStrings.xml" in names:
+            root = ET.fromstring(z.read("xl/sharedStrings.xml"))
+            for si in root.iter(_S_NS + "si"):
+                sst.append("".join(t.text or ""
+                                   for t in si.iter(_S_NS + "t")))
+        sheets = sorted(n for n in names
+                        if re.fullmatch(r"xl/worksheets/sheet\d+\.xml", n))
+        lines: list[str] = []
+        for sheet in sheets:
+            root = ET.fromstring(z.read(sheet))
+            for row in root.iter(_S_NS + "row"):
+                cells = []
+                for c in row.iter(_S_NS + "c"):
+                    kind = c.get("t", "n")
+                    if kind == "s":
+                        v = c.find(_S_NS + "v")
+                        try:
+                            cells.append(sst[int(v.text)])
+                        except (TypeError, ValueError, IndexError,
+                                AttributeError):
+                            pass        # dangling SST ref: skip the cell
+                    elif kind == "inlineStr":
+                        cells.append("".join(t.text or ""
+                                             for t in c.iter(_S_NS + "t")))
+                    else:                # n / str / b: literal <v>
+                        v = c.find(_S_NS + "v")
+                        if v is not None and v.text:
+                            cells.append(v.text)
+                if cells:
+                    lines.append("\t".join(cells))
+    return "\n".join(lines)
+
+
+def extract_pptx_text(payload: bytes) -> str:
+    """PresentationML text layer: DrawingML ``<a:t>`` runs grouped by
+    paragraph ``<a:p>``, slides in numeric order (slide10 after slide9,
+    not lexicographic)."""
+    import xml.etree.ElementTree as ET
+    with zipfile.ZipFile(io.BytesIO(payload)) as z:
+        slides = sorted(
+            (n for n in z.namelist()
+             if re.fullmatch(r"ppt/slides/slide\d+\.xml", n)),
+            key=lambda n: int(re.search(r"\d+", n.rsplit("/", 1)[1]).group()))
+        paras: list[str] = []
+        for slide in slides:
+            root = ET.fromstring(z.read(slide))
+            for p in root.iter(_A_NS + "p"):
+                txt = "".join(t.text or "" for t in p.iter(_A_NS + "t"))
+                if txt:
+                    paras.append(txt)
     return "\n".join(paras)
 
 
@@ -196,6 +264,68 @@ def make_simple_docx(text: str) -> bytes:
     with zipfile.ZipFile(buf, "w", zipfile.ZIP_DEFLATED) as z:
         info = zipfile.ZipInfo("word/document.xml", (2020, 1, 1, 0, 0, 0))
         z.writestr(info, doc)
+    return buf.getvalue()
+
+
+def make_simple_xlsx(text: str) -> bytes:
+    """Minimal XLSX: one worksheet, one shared-string cell per input line
+    (every line through the SST ``t="s"`` resolution path, the common real
+    layout), plus one inlineStr cell so both string kinds are exercised.
+    Deterministic bytes (fixed zip dates, stored order)."""
+    from xml.sax.saxutils import escape
+    lines = text.split("\n")
+    sst = ("<?xml version=\"1.0\" encoding=\"UTF-8\" standalone=\"yes\"?>"
+           "<sst xmlns=\"http://schemas.openxmlformats.org/spreadsheetml/"
+           f"2006/main\" count=\"{len(lines)}\" uniqueCount=\"{len(lines)}\">"
+           + "".join(f"<si><t xml:space=\"preserve\">{escape(ln)}</t></si>"
+                     for ln in lines)
+           + "</sst>")
+    rows = "".join(
+        f"<row r=\"{i + 1}\"><c r=\"A{i + 1}\" t=\"s\"><v>{i}</v></c></row>"
+        for i in range(len(lines)))
+    sheet = ("<?xml version=\"1.0\" encoding=\"UTF-8\" standalone=\"yes\"?>"
+             "<worksheet xmlns=\"http://schemas.openxmlformats.org/"
+             "spreadsheetml/2006/main\"><sheetData>"
+             f"{rows}</sheetData></worksheet>")
+    wb = ("<?xml version=\"1.0\" encoding=\"UTF-8\" standalone=\"yes\"?>"
+          "<workbook xmlns=\"http://schemas.openxmlformats.org/"
+          "spreadsheetml/2006/main\"><sheets>"
+          "<sheet name=\"Sheet1\" sheetId=\"1\" r:id=\"rId1\" "
+          "xmlns:r=\"http://schemas.openxmlformats.org/officeDocument/"
+          "2006/relationships\"/></sheets></workbook>")
+    buf = io.BytesIO()
+    with zipfile.ZipFile(buf, "w", zipfile.ZIP_DEFLATED) as z:
+        for name, data in (("xl/workbook.xml", wb),
+                           ("xl/sharedStrings.xml", sst),
+                           ("xl/worksheets/sheet1.xml", sheet)):
+            z.writestr(zipfile.ZipInfo(name, (2020, 1, 1, 0, 0, 0)), data)
+    return buf.getvalue()
+
+
+def make_simple_pptx(text: str) -> bytes:
+    """Minimal PPTX: one slide per input line, one DrawingML text run each;
+    >9 lines also covers the numeric (not lexicographic) slide ordering in
+    the reader.  Deterministic bytes."""
+    from xml.sax.saxutils import escape
+    pres = ("<?xml version=\"1.0\" encoding=\"UTF-8\" standalone=\"yes\"?>"
+            "<p:presentation xmlns:p=\"http://schemas.openxmlformats.org/"
+            "presentationml/2006/main\"/>")
+    buf = io.BytesIO()
+    with zipfile.ZipFile(buf, "w", zipfile.ZIP_DEFLATED) as z:
+        z.writestr(zipfile.ZipInfo("ppt/presentation.xml",
+                                   (2020, 1, 1, 0, 0, 0)), pres)
+        for i, line in enumerate(text.split("\n"), 1):
+            slide = (
+                "<?xml version=\"1.0\" encoding=\"UTF-8\" standalone=\"yes\"?>"
+                "<p:sld xmlns:p=\"http://schemas.openxmlformats.org/"
+                "presentationml/2006/main\" "
+                "xmlns:a=\"http://schemas.openxmlformats.org/drawingml/"
+                "2006/main\"><p:cSld><p:spTree><p:sp><p:txBody>"
+                "<a:p><a:r><a:t>"
+                f"{escape(line)}</a:t></a:r></a:p>"
+                "</p:txBody></p:sp></p:spTree></p:cSld></p:sld>")
+            z.writestr(zipfile.ZipInfo(f"ppt/slides/slide{i}.xml",
+                                       (2020, 1, 1, 0, 0, 0)), slide)
     return buf.getvalue()
 
 
