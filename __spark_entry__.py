@@ -295,6 +295,58 @@ def q_encrypted_office_roundtrip(spark, sf_dir):
         doc_password="gate-pw")
 
 
+_CONTAINER_HDR = ("Subject: {s} From: a@example.org To: b@example.org "
+                  "Date: Wed, 01 Jan 2020 00:00:00 -0000")
+
+
+def q_container_roundtrip(spark, sf_dir):
+    """S1 container payloads (XText ArchiveNavigator / MessageConverter
+    equivalents, round 5): each document packed into a zip (txt + nested
+    docx), a tar.gz, an RFC-822 eml (quoted-printable body + base64 docx
+    attachment) and a two-message mbox — exploded by the
+    extract_container_entries Arrow stage into one text-recovered row per
+    contained document.  11 oracle-pinned rows per doc_id."""
+    import pandas as pd
+    from pyspark.sql import types as T
+
+    from xponents_spark.textract.containers import (
+        extract_container_entries, make_simple_eml, make_simple_mbox,
+        make_simple_tgz, make_simple_zip)
+    from xponents_spark.textract.office import make_simple_docx
+
+    docs = _docs(spark, sf_dir).select("doc_id", "text")
+    schema = T.StructType([T.StructField("doc_id", T.LongType()),
+                           T.StructField("container", T.StringType()),
+                           T.StructField("payload", T.BinaryType())])
+
+    def mk(batches):
+        for pdf in batches:
+            ids, kinds, payloads = [], [], []
+            for did, t in zip(pdf["doc_id"].tolist(), pdf["text"].tolist()):
+                docx = make_simple_docx(t)
+                eml = make_simple_eml("gate", t, [("r.docx", docx)])
+                for k, p in (
+                        ("zip", make_simple_zip(
+                            [("a.txt", t.encode("utf-8")),
+                             ("docs/inner.docx", docx)])),
+                        ("tgz", make_simple_tgz(
+                            [("x/a.txt", t.encode("utf-8"))])),
+                        ("eml", eml),
+                        ("mbox", make_simple_mbox(
+                            [eml, make_simple_eml("gate2",
+                                                  "second message body")]))):
+                    ids.append(did)
+                    kinds.append(k)
+                    payloads.append(p)
+            yield pd.DataFrame({"doc_id": ids, "container": kinds,
+                                "payload": payloads})
+
+    return (extract_container_entries(docs.mapInPandas(mk, schema=schema),
+                                      "payload")
+            .select("doc_id", "container", "entry_path", "entry_status",
+                    "entry_kind", "text"))
+
+
 def q_image_roundtrip(spark, sf_dir):
     """Image codecs, one driver row set with a format column: GIF87a
     (real LZW), 24-bit BMP, PNG (zlib DEFLATE + all 5 filters), and
@@ -501,20 +553,21 @@ def q_remove_spans(spark, sf_dir):
 
 
 def q_gopher_filter(spark, sf_dir):
-    """Composed Gopher-family curation gate: keep/drop + '|'-joined
-    reasons from token/quality/repetition signals."""
-    from xponents_spark.operators.textstats import gopher_quality_filter
-    return gopher_quality_filter(_docs(spark, sf_dir))
+    """Composed Gopher-family curation gate, BOTH implementations in one
+    driver row set with a variant column: the relational (join-based)
+    gate and the single-pass ONE-narrow-projection gate (zero shuffle,
+    zero joins — the 100 TB shape).  One oracle crossed with the two
+    variant labels value-pins the implementations to each other AND to
+    the SQL semantics (merged from two rows to free a driver-cap slot)."""
+    from pyspark.sql import functions as F
 
-
-def q_gopher_filter_single_pass(spark, sf_dir):
-    """The same Gopher gate computed in ONE narrow projection (zero
-    shuffle, zero joins — the 100 TB shape); driver-gated against the SAME
-    SQL oracle as the relational version, so the two implementations are
-    value-pinned to each other through the gate."""
-    from xponents_spark.operators.textstats import \
-        gopher_quality_filter_single_pass
-    return gopher_quality_filter_single_pass(_docs(spark, sf_dir))
+    from xponents_spark.operators.textstats import (
+        gopher_quality_filter, gopher_quality_filter_single_pass)
+    rel = (gopher_quality_filter(_docs(spark, sf_dir))
+           .withColumn("variant", F.lit("relational")))
+    sp = (gopher_quality_filter_single_pass(_docs(spark, sf_dir))
+          .withColumn("variant", F.lit("single_pass")))
+    return rel.unionByName(sp)
 
 
 def q_c4_quality_filter(spark, sf_dir):
@@ -1014,6 +1067,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pdf_text_recovery": q_pdf_roundtrip,
         "office_text_recovery": q_office_roundtrip,
         "encrypted_office_recovery": q_encrypted_office_roundtrip,
+        "container_text_recovery": q_container_roundtrip,
         "image_text_recovery": q_image_roundtrip,
         "jpeg_fidelity_check": q_jpeg_fidelity,
         "codec_fallback_rate": q_codec_fallback_rate,
@@ -1028,7 +1082,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "duplicated_spans": q_duplicated_spans,
         "remove_duplicated_spans": q_remove_spans,
         "gopher_quality_filter": q_gopher_filter,
-        "gopher_filter_single_pass": q_gopher_filter_single_pass,
         "gopher_filter_full": q_gopher_filter_full,
         "c4_quality_filter": q_c4_quality_filter,
         "event_hourly_windows": q_event_hourly,
@@ -1111,6 +1164,26 @@ def oracle_sql() -> dict[str, str]:
             "SELECT d.doc_id, f.format, d.text FROM documents d "
             "CROSS JOIN (VALUES ('doc_rc4'), ('docx_agile'), "
             "('docx_standard')) f(format)"),
+        "container_text_recovery": (
+            "SELECT d.doc_id, f.container, f.entry_path, "
+            "'ok' AS entry_status, f.entry_kind, "
+            "CASE WHEN f.txt = '<DOC>' THEN d.text ELSE f.txt END AS text "
+            "FROM documents d CROSS JOIN (VALUES "
+            "('zip', 'a.txt', 'text', '<DOC>'), "
+            "('zip', 'docs/inner.docx', 'docx', '<DOC>'), "
+            "('tgz', 'x/a.txt', 'text', '<DOC>'), "
+            "('eml', 'headers', 'text', '"
+            + _CONTAINER_HDR.format(s="gate") + "'), "
+            "('eml', 'body-1', 'text', '<DOC>'), "
+            "('eml', 'attachment/r.docx', 'docx', '<DOC>'), "
+            "('mbox', 'msg-1/headers', 'text', '"
+            + _CONTAINER_HDR.format(s="gate") + "'), "
+            "('mbox', 'msg-1/body-1', 'text', '<DOC>'), "
+            "('mbox', 'msg-1/attachment/r.docx', 'docx', '<DOC>'), "
+            "('mbox', 'msg-2/headers', 'text', '"
+            + _CONTAINER_HDR.format(s="gate2") + "'), "
+            "('mbox', 'msg-2/body-1', 'text', 'second message body')"
+            ") f(container, entry_path, entry_kind, txt)"),
         "image_text_recovery": (
             "SELECT d.doc_id, f.format, d.text FROM documents d "
             "CROSS JOIN (VALUES ('gif'), ('bmp'), ('png'), ('png_adam7')) "
@@ -1143,8 +1216,10 @@ def oracle_sql() -> dict[str, str]:
         "repetition_stats": O.REPETITION_ORACLE,
         "duplicated_spans": O.duplicated_spans_oracle(8),
         "remove_duplicated_spans": O.remove_spans_oracle(8),
-        "gopher_quality_filter": O.gopher_filter_oracle(),
-        "gopher_filter_single_pass": O.gopher_filter_oracle(),
+        "gopher_quality_filter": (
+            f"SELECT o.*, v.variant FROM ({O.gopher_filter_oracle()}) o "
+            "CROSS JOIN (VALUES ('relational'), ('single_pass')) "
+            "v(variant)"),
         "gopher_filter_full": O.gopher_filter_full_oracle(),
         "c4_quality_filter": O.C4_ORACLE,
         "semantic_dedup_invariants": O.EMPTY_ID_VIOLATIONS,

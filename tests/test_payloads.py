@@ -246,3 +246,56 @@ def test_mp4_edit_list_presentation_mapping():
     struct.pack_into(">I", g, i + 8, 1 << 31)
     tab = sample_table(video_track(parse_mp4(bytes(g))))
     assert [t for t, _, _ in tab] == [k * 200 for k in range(10)]
+
+
+def test_container_hostile_inputs():
+    """Container walker totality: zip bomb -> truncated marker (no OOM),
+    corrupt container -> error marker (no raise), nesting past MAX_DEPTH
+    -> deep leaf, oversize-entry cap enforced mid-gzip-inflation."""
+    import gzip as _gz
+    import io
+    import zipfile
+
+    from xponents_spark.textract import containers as C
+
+    # declared-size bomb: one entry over MAX_ENTRY_BYTES -> truncated row
+    buf = io.BytesIO()
+    with zipfile.ZipFile(buf, "w", zipfile.ZIP_DEFLATED) as z:
+        z.writestr("bomb.bin", b"\x00" * (C.MAX_ENTRY_BYTES + 1))
+    rows = list(C.iter_container_entries(buf.getvalue()))
+    assert rows == [("bomb.bin", "truncated", None)]
+
+    # corrupt zip (valid magic, garbage body) -> single error marker
+    rows = list(C.iter_container_entries(b"PK\x03\x04" + b"\xde\xad" * 40))
+    assert [r[1] for r in rows] == ["error"]
+
+    # nesting: MAX_DEPTH container levels expand; one more -> deep leaf
+    z0 = C.make_simple_zip([("leaf.txt", b"innermost")])
+    deepest = z0
+    for i in range(1, C.MAX_DEPTH):
+        deepest = C.make_simple_zip([(f"l{i}.zip", deepest)])
+    rows = list(C.iter_container_entries(deepest))
+    assert rows == [("l2.zip/l1.zip/leaf.txt", "ok", b"innermost")]
+    rows = list(C.iter_container_entries(
+        C.make_simple_zip([("l3.zip", deepest)])))
+    assert [(r[0], r[1]) for r in rows] == [("l3.zip/l2.zip/l1.zip", "deep")]
+
+    # gzip with undeclared inflated size over the cap: bounded during
+    # inflation, not after (the gz header carries no size to pre-check)
+    big = io.BytesIO()
+    with _gz.GzipFile(fileobj=big, mode="wb", mtime=0) as g:
+        g.write(b"\x00" * (C.MAX_ENTRY_BYTES + 1))
+    rows = list(C.iter_container_entries(big.getvalue()))
+    assert rows == [("gz-member", "truncated", None)]
+
+    # shared budget: a zip of two entries whose SUM exceeds the total cap
+    # admits the first, truncates at the second
+    saved = C.MAX_TOTAL_BYTES
+    C.MAX_TOTAL_BYTES = 10
+    try:
+        z = C.make_simple_zip([("a.txt", b"12345678"), ("b.txt", b"12345678")])
+        rows = list(C.iter_container_entries(z))
+    finally:
+        C.MAX_TOTAL_BYTES = saved
+    assert [(r[0], r[1]) for r in rows] == [("a.txt", "ok"),
+                                            ("b.txt", "truncated")]

@@ -2061,6 +2061,35 @@ def test_media_features_use_upright_jpeg(spark):
     assert out[0].shape == out[1].shape and out[0].size > 0
     assert float(np.abs(out[0] - out[1]).max()) < 0.12  # recompression only
 
+def test_container_explode_stage(spark):
+    """extract_container_entries: one archive/mail row explodes to one
+    text-recovered row per contained document, carried columns intact,
+    corrupt payloads degrade to an error row (stage stays total)."""
+    from pyspark.sql import types as T
+
+    from xponents_spark.textract.containers import (
+        extract_container_entries, make_simple_eml, make_simple_zip)
+    from xponents_spark.textract.office import make_simple_docx
+
+    schema = T.StructType([T.StructField("doc_id", T.LongType()),
+                           T.StructField("payload", T.BinaryType())])
+    z = make_simple_zip([("a.txt", b"zip text"),
+                         ("n/d.docx", make_simple_docx("nested docx"))])
+    e = make_simple_eml("s", "mail body")
+    df = spark.createDataFrame(
+        [(1, bytearray(z)), (2, bytearray(e)),
+         (3, bytearray(b"PK\x03\x04garbage" * 5))], schema)
+    rows = {(r["doc_id"], r["entry_path"]): r
+            for r in extract_container_entries(df, "payload").collect()}
+    assert rows[(1, "a.txt")]["text"] == "zip text"
+    assert rows[(1, "a.txt")]["entry_kind"] == "text"
+    assert rows[(1, "n/d.docx")]["text"] == "nested docx"
+    assert rows[(1, "n/d.docx")]["entry_kind"] == "docx"
+    assert rows[(2, "body-1")]["text"] == "mail body"
+    assert rows[(2, "headers")]["text"].startswith("Subject: s")
+    assert rows[(3, "payload")]["entry_status"] == "error"
+
+
 def test_decontaminate_planted(spark):
     """13-gram decontamination flags exactly the docs sharing a 13-gram
     with the benchmark: a doc embedding a benchmark passage verbatim, and
