@@ -522,12 +522,17 @@ def q_jpeg_fidelity(spark, sf_dir):
 
 
 def q_exact_dedup(spark, sf_dir):
-    return exact_dedup(_docs(spark, sf_dir))
-
-
-def q_prefix_dedup(spark, sf_dir):
+    """exact_dedup + prefix_dedup in ONE driver row set (same group
+    schema, method column distinguishes the key — merged to free a
+    driver-cap slot for corpus_split_mix)."""
     from xponents_spark.operators import prefix_dedup
-    return prefix_dedup(_docs(spark, sf_dir))
+    ex = (exact_dedup(_docs(spark, sf_dir))
+          .withColumnRenamed("text_md5", "group_md5")
+          .withColumn("method", F.lit("exact")))
+    pre = (prefix_dedup(_docs(spark, sf_dir))
+           .withColumnRenamed("prefix_md5", "group_md5")
+           .withColumn("method", F.lit("prefix")))
+    return ex.unionByName(pre)
 
 
 def q_token_stats(spark, sf_dir):
@@ -894,6 +899,64 @@ def q_redact_pii(spark, sf_dir):
         *[f"n_{name}" for name, _, _ in PII_PATTERNS])
 
 
+_SPLIT_WEIGHTS = {"train": 0.8, "val": 0.1, "test": 0.1}
+_MIX_RATES = {"web": 0.5, "wiki": 2.25, "code": 1.0}
+
+
+def q_corpus_split_mix(spark, sf_dir):
+    """Corpus management (round 5): deterministic hash_split (train/val/
+    test in (key, salt)) composed with mixture_sample (per-source rates;
+    wiki at 2.25 epochs upsamples via the epoch column, web at 0.5
+    subsamples) — both pure narrow projections whose exact assignment the
+    DuckDB oracle replays through the portable 60-bit md5 bucket."""
+    from xponents_spark.operators.corpus import hash_split, mixture_sample
+    docs = _docs(spark, sf_dir).select("doc_id")
+    src = docs.withColumn(
+        "source",
+        F.when(F.col("doc_id") % 3 == 0, "web")
+         .when(F.col("doc_id") % 3 == 1, "wiki").otherwise("code"))
+    out = mixture_sample(hash_split(src, _SPLIT_WEIGHTS, salt="gate"),
+                         _MIX_RATES, salt="gate-mix")
+    return out.select("doc_id", "source", "split", "epoch")
+
+
+def _corpus_split_mix_oracle() -> str:
+    from xponents_spark.operators.corpus import unit_hash_sql
+    u1 = unit_hash_sql("doc_id::VARCHAR", "gate")
+    u2 = unit_hash_sql("doc_id::VARCHAR", "gate-mix")
+    # cumulative thresholds computed with the SAME float arithmetic as
+    # hash_split's python accumulation (0.8 + 0.1 != 0.9 exactly)
+    total = float(sum(_SPLIT_WEIGHTS.values()))
+    names = list(_SPLIT_WEIGHTS)
+    acc, arms = 0.0, []
+    for name in names[:-1]:
+        acc += _SPLIT_WEIGHTS[name] / total
+        arms.append(f"WHEN u1 < {acc!r} THEN '{name}'")
+    split_case = f"CASE {' '.join(arms)} ELSE '{names[-1]}' END"
+    rate_case = ("CASE source " + " ".join(
+        f"WHEN '{k}' THEN {float(v)!r}::DOUBLE"
+        for k, v in _MIX_RATES.items()) + " ELSE 0.0::DOUBLE END")
+    return f"""
+WITH s AS (
+  SELECT doc_id,
+         CASE doc_id % 3 WHEN 0 THEN 'web' WHEN 1 THEN 'wiki'
+              ELSE 'code' END AS source,
+         {u1} AS u1, {u2} AS u2
+  FROM documents),
+labeled AS (
+  SELECT doc_id, source, {split_case} AS split,
+         {rate_case} AS r, u2 FROM s),
+counted AS (
+  SELECT doc_id, source, split,
+         (floor(r) + CASE WHEN u2 < r - floor(r) THEN 1 ELSE 0 END)::INT
+             AS n
+  FROM labeled)
+SELECT doc_id, source, split,
+       unnest(generate_series(1, n)) AS epoch
+FROM counted WHERE n >= 1
+"""
+
+
 def q_minhash_recall_check(spark, sf_dir):
     """MinHash-LSH recall guard: every exact-Jaccard pair at >=0.9 must be
     found by the banded join at est>=0.5.  The margin is probability-sound,
@@ -1073,7 +1136,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "codec_fallback_rate": q_codec_fallback_rate,
         "mp4_sample_schedule": q_mp4_sample_schedule,
         "exact_dedup": q_exact_dedup,
-        "prefix_dedup": q_prefix_dedup,
         "token_stats": q_token_stats,
         "quality_score": q_quality,
         "lang_id": q_lang_id,
@@ -1089,6 +1151,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ngram_jaccard_pairs": q_ngram_jaccard,
         "decontaminate": q_decontaminate,
         "redact_pii": q_redact_pii,
+        "corpus_split_mix": q_corpus_split_mix,
         "near_dups_all": q_near_dups_all,       # rows-only (3 schemes)
         "near_dup_invariants": q_near_dup_invariants,
         "near_dup_groups": q_near_dup_groups,
@@ -1207,8 +1270,11 @@ def oracle_sql() -> dict[str, str]:
             "CAST(32 AS INTEGER) AS byte_size "
             "FROM documents d CROSS JOIN generate_series(0, 7) t(k) "
             "WHERE t.k <= 3 + d.doc_id % 5"),
-        "exact_dedup": O.EXACT_DEDUP_ORACLE,
-        "prefix_dedup": O.PREFIX_DEDUP_ORACLE,
+        "exact_dedup": (
+            f"SELECT o.*, 'exact' AS method FROM ({O.EXACT_DEDUP_ORACLE.strip()}) "
+            "o(group_md5, n_docs, keep_doc) UNION ALL "
+            f"SELECT o.*, 'prefix' FROM ({O.PREFIX_DEDUP_ORACLE.strip()}) "
+            "o(group_md5, n_docs, keep_doc)"),
         "token_stats": O.TOKEN_STATS_ORACLE,
         "quality_score": O.QUALITY_ORACLE,
         "lang_id": O.lang_id_oracle(),
@@ -1236,6 +1302,7 @@ def oracle_sql() -> dict[str, str]:
         "near_dup_groups": O.NEAR_DUP_GROUPS_ORACLE,
         "decontaminate": O.DECONTAMINATE_ORACLE,
         "redact_pii": O.redact_pii_oracle(),
+        "corpus_split_mix": _corpus_split_mix_oracle(),
         "ann_recall_floors": (
             "SELECT 50 AS n_truth, true AS lsh_meets_floor, "
             "true AS ivf_meets_floor, true AS planted_ivf_meets_floor, "

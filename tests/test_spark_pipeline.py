@@ -2061,6 +2061,45 @@ def test_media_features_use_upright_jpeg(spark):
     assert out[0].shape == out[1].shape and out[0].size > 0
     assert float(np.abs(out[0] - out[1]).max()) < 0.12  # recompression only
 
+def test_corpus_split_and_mixture(spark):
+    """hash_split/mixture_sample: deterministic in (key, salt) across
+    partitionings, salt re-deals, proportions converge, epoch upsampling
+    emits floor(r)..floor(r)+1 copies, and the whole pipeline plans with
+    ZERO Exchange (narrow projections only)."""
+    from pyspark.sql import functions as F
+
+    from xponents_spark.operators.corpus import hash_split, mixture_sample
+
+    df = spark.range(5000).withColumnRenamed("id", "doc_id")
+    a = {r["doc_id"]: r["split"] for r in hash_split(df).collect()}
+    b = {r["doc_id"]: r["split"]
+         for r in hash_split(df.repartition(7)).collect()}
+    assert a == b                                   # partitioning-invariant
+    c = {r["doc_id"]: r["split"]
+         for r in hash_split(df, salt="v2").collect()}
+    assert a != c                                   # salt re-deals
+    from collections import Counter
+    frac = Counter(a.values())
+    assert 0.96 < frac["train"] / 5000 < 1.0 and frac["val"] > 0
+
+    src = df.withColumn("source", F.when(df.doc_id % 2 == 0, "wiki")
+                        .otherwise("web"))
+    out = mixture_sample(src, {"wiki": 2.25, "web": 0.5}).collect()
+    per_doc = Counter(r["doc_id"] for r in out)
+    wiki_counts = {per_doc[i] for i in range(0, 5000, 2)}
+    assert wiki_counts == {2, 3}                    # 2 full + frac epoch
+    n_web = sum(1 for r in out if r["source"] == "web")
+    assert 1000 < n_web < 1500                      # ~0.5 * 2500
+    assert all(1 <= r["epoch"] <= 3 for r in out)
+    # third epoch fraction ~0.25 of wiki docs
+    n3 = sum(1 for d, n in per_doc.items() if d % 2 == 0 and n == 3)
+    assert 450 < n3 < 800
+
+    plan = mixture_sample(hash_split(src), {"wiki": 2.25, "web": 0.5}) \
+        ._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange" not in plan, plan
+
+
 def test_container_explode_stage(spark):
     """extract_container_entries: one archive/mail row explodes to one
     text-recovered row per contained document, carried columns intact,
