@@ -299,13 +299,15 @@ _CONTAINER_HDR = ("Subject: {s} From: a@example.org To: b@example.org "
                   "Date: Wed, 01 Jan 2020 00:00:00 -0000")
 
 
-def q_container_roundtrip(spark, sf_dir):
+def q_container_roundtrip(spark, sf_dir, sample_mod=None):
     """S1 container payloads (XText ArchiveNavigator / MessageConverter
     equivalents, round 5): each document packed into a zip (txt + nested
     docx), a tar.gz, an RFC-822 eml (quoted-printable body + base64 docx
     attachment) and a two-message mbox — exploded by the
     extract_container_entries Arrow stage into one text-recovered row per
-    contained document.  11 oracle-pinned rows per doc_id."""
+    contained document.  11 oracle-pinned rows per doc_id.
+    ``sample_mod``: bench-only doc_id % N == 0 subsample (fixture
+    construction dominates; the gate always runs the full set)."""
     import pandas as pd
     from pyspark.sql import types as T
 
@@ -315,6 +317,8 @@ def q_container_roundtrip(spark, sf_dir):
     from xponents_spark.textract.office import make_simple_docx
 
     docs = _docs(spark, sf_dir).select("doc_id", "text")
+    if sample_mod:
+        docs = docs.filter(F.col("doc_id") % sample_mod == 0)
     schema = T.StructType([T.StructField("doc_id", T.LongType()),
                            T.StructField("container", T.StringType()),
                            T.StructField("payload", T.BinaryType())])

@@ -223,15 +223,27 @@ def bench_queries(spark) -> dict[str, float]:
              "token_stats", "lang_id", "quality_score", "fingerprint",
              "repetition_stats", "duplicated_spans",
              "event_hourly_windows", "characterize",
-             "decontaminate", "redact_pii"]
+             "decontaminate", "redact_pii", "corpus_split_mix",
+             "container_text_recovery"]
     qs = entry.queries()
     # merged out of queries() (driver 50-cap) but still benched per-scheme
     # so the per-query time series stays comparable across rounds
+    # (exact_dedup's gate row now unions prefix_dedup — bench the plain
+    # operator so the series keeps measuring the same work)
+    from xponents_spark.operators import exact_dedup as _exact_op
     extra = {"minhash_near_dups": entry.q_minhash_dedup,
-             "simhash_near_dups": entry.q_simhash_dedup}
+             "simhash_near_dups": entry.q_simhash_dedup,
+             "exact_dedup": lambda spark, sf: _exact_op(
+                 spark.read.parquet(os.path.join(sf, "documents.parquet"))),
+             # 1/10 doc subsample: python fixture CONSTRUCTION dominates
+             # this query; the conversion+explode stage under test still
+             # sees hundreds of containers, and the sf0.01 gate runs the
+             # full set
+             "container_text_recovery": lambda spark, sf:
+                 entry.q_container_roundtrip(spark, sf, sample_mod=10)}
     out = {}
     for name in picks:
-        fn = qs.get(name) or extra[name]
+        fn = extra.get(name) or qs[name]
         run = lambda: (fn(spark, SF_DIR).write
                        .mode("overwrite").format("noop").save())
         run()  # warm the query's codegen/Arrow paths once
