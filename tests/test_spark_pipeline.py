@@ -2099,6 +2099,22 @@ def test_corpus_split_and_mixture(spark):
         ._jdf.queryExecution().executedPlan().toString()
     assert "Exchange" not in plan, plan
 
+    # leakage check: split recomputed inline per pair endpoint (zero
+    # join); same-split pairs pass, cross-split pairs surface
+    from xponents_spark.operators.corpus import split_leakage_check
+    by_split = {}
+    for d, s in a.items():
+        by_split.setdefault(s, []).append(d)
+    same = (by_split["train"][0], by_split["train"][1])
+    cross = (by_split["train"][2], by_split["val"][0])
+    pairs = spark.createDataFrame([same, cross], ["doc_a", "doc_b"])
+    leaks = split_leakage_check(pairs).collect()
+    assert [(r["doc_a"], r["doc_b"]) for r in leaks] == [cross]
+    assert (leaks[0]["split_a"], leaks[0]["split_b"]) == ("train", "val")
+    lplan = split_leakage_check(pairs) \
+        ._jdf.queryExecution().executedPlan().toString()
+    assert "Join" not in lplan and "Exchange" not in lplan
+
 
 def test_container_explode_stage(spark):
     """extract_container_entries: one archive/mail row explodes to one

@@ -40,11 +40,27 @@ _BUCKET_BITS = 60
 _BUCKET_SPACE = float(1 << _BUCKET_BITS)
 
 
-def _unit_hash(key_col: str, salt: str) -> Column:
+def _unit_hash(key: str | Column, salt: str) -> Column:
     """Deterministic u in [0, 1): 60-bit md5 prefix of ``key:salt``."""
-    h = F.md5(F.concat_ws(":", F.col(key_col).cast("string"), F.lit(salt)))
+    key = F.col(key) if isinstance(key, str) else key
+    h = F.md5(F.concat_ws(":", key.cast("string"), F.lit(salt)))
     return (F.conv(F.substring(h, 1, 15), 16, 10).cast("bigint")
             / F.lit(_BUCKET_SPACE))
+
+
+def _split_label(key: str | Column, weights: dict[str, float],
+                 salt: str) -> Column:
+    """The split label as a pure expression of the key (shared by
+    hash_split and the zero-join leakage check)."""
+    total = float(sum(weights.values()))
+    u = _unit_hash(key, salt)
+    expr, acc = None, 0.0
+    names = list(weights)
+    for name in names[:-1]:
+        acc += weights[name] / total
+        cond = u < F.lit(acc)
+        expr = F.when(cond, name) if expr is None else expr.when(cond, name)
+    return F.lit(names[0]) if expr is None else expr.otherwise(names[-1])
 
 
 def unit_hash_sql(key_expr: str, salt: str) -> str:
@@ -67,16 +83,7 @@ def hash_split(df: DataFrame, weights: dict[str, float] | None = None,
     carrying state).
     """
     weights = weights or {"train": 0.98, "val": 0.01, "test": 0.01}
-    total = float(sum(weights.values()))
-    u = _unit_hash(key_col, salt)
-    expr, acc = None, 0.0
-    names = list(weights)
-    for name in names[:-1]:
-        acc += weights[name] / total
-        cond = u < F.lit(acc)
-        expr = F.when(cond, name) if expr is None else expr.when(cond, name)
-    label = F.lit(names[0]) if expr is None else expr.otherwise(names[-1])
-    return df.withColumn(out_col, label)
+    return df.withColumn(out_col, _split_label(key_col, weights, salt))
 
 
 def mixture_sample(df: DataFrame, rates: dict[str, float],
@@ -110,3 +117,26 @@ def mixture_sample(df: DataFrame, rates: dict[str, float],
               .withColumn("epoch",
                           F.explode(F.sequence(F.lit(1), F.col("_n_copies"))))
               .drop("_n_copies"))
+
+
+def split_leakage_check(pairs: DataFrame,
+                        weights: dict[str, float] | None = None,
+                        salt: str = "v1", a_col: str = "doc_a",
+                        b_col: str = "doc_b") -> DataFrame:
+    """Cross-split contamination over near-duplicate pairs: every pair
+    whose endpoints land in DIFFERENT splits (a near-copy of a test
+    document inside train — the leak eval sets die of).
+
+    Because :func:`hash_split` is a pure function of (key, salt), the
+    split of each endpoint is recomputed INLINE — no join against the
+    labeled corpus, no shuffle beyond whatever produced ``pairs``.  Feed
+    it the pair output of minhash/simhash/embedding near-dup (or
+    exact-dup groups exploded to pairs); an empty result is the
+    clean-split certificate.  At 100 TB the cost is |pairs| hash
+    evaluations — independent of corpus size.
+    """
+    weights = weights or {"train": 0.98, "val": 0.01, "test": 0.01}
+    return (pairs
+            .withColumn("split_a", _split_label(F.col(a_col), weights, salt))
+            .withColumn("split_b", _split_label(F.col(b_col), weights, salt))
+            .filter(F.col("split_a") != F.col("split_b")))
