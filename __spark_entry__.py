@@ -540,11 +540,26 @@ def q_exact_dedup(spark, sf_dir):
 
 
 def q_token_stats(spark, sf_dir):
-    return token_stats(_docs(spark, sf_dir))
+    """token_stats + quality_score joined into ONE driver row set (1:1 on
+    doc_id; merged to free a driver-cap slot for sessionize)."""
+    t = token_stats(_docs(spark, sf_dir))
+    q = quality_score(_docs(spark, sf_dir)).drop("n_tokens")
+    return t.join(q, "doc_id")
 
 
-def q_quality(spark, sf_dir):
-    return quality_score(_docs(spark, sf_dir))
+def q_sessionize(spark, sf_dir):
+    """Inactivity-gap sessionization of transcript turns (episode
+    segmentation for agent logs): the synthesized ts is uniform, so the
+    gate derives a gappy-but-monotone timestamp from turn_idx (a 2-hour
+    pause before every 4th turn) that BOTH engines recompute exactly —
+    session boundaries then fall on the 30-minute gap rule."""
+    from xponents_spark.operators.sessions import sessionize
+    t = synthesize_transcripts(spark, sf_dir).select(
+        "conv_id", "turn_idx",
+        F.expr("timestamp'2025-01-01 00:00:00' + make_interval(0,0,0,0,0,0,"
+               " turn_idx * 37 + floor(turn_idx / 4) * 7200)").alias("ts"))
+    return sessionize(t, gap_seconds=1800).select(
+        "conv_id", "turn_idx", "session_seq", "session_id")
 
 
 def q_lang_id(spark, sf_dir):
@@ -961,6 +976,34 @@ FROM counted WHERE n >= 1
 """
 
 
+def _sessionize_oracle() -> str:
+    from xponents_spark.sources.transcripts import transcripts_oracle_cte
+    return f"""
+WITH {transcripts_oracle_cte()},
+m AS (
+  SELECT conv_id, turn_idx,
+         TIMESTAMP '2025-01-01 00:00:00'
+           + (turn_idx * 37 + (turn_idx // 4) * 7200) * INTERVAL 1 SECOND
+             AS ts
+  FROM transcripts),
+g AS (
+  SELECT conv_id, turn_idx,
+         CASE WHEN lag(epoch(ts)::BIGINT) OVER w IS NULL
+                OR epoch(ts)::BIGINT - lag(epoch(ts)::BIGINT) OVER w > 1800
+              THEN 1 ELSE 0 END AS new_s
+  FROM m WINDOW w AS (PARTITION BY conv_id ORDER BY ts, turn_idx))
+SELECT conv_id, turn_idx,
+       CAST(SUM(new_s) OVER (PARTITION BY conv_id ORDER BY turn_idx
+                             ROWS UNBOUNDED PRECEDING) AS BIGINT)
+           AS session_seq,
+       conv_id || '#' ||
+       CAST(CAST(SUM(new_s) OVER (PARTITION BY conv_id ORDER BY turn_idx
+                                  ROWS UNBOUNDED PRECEDING) AS BIGINT)
+            AS VARCHAR) AS session_id
+FROM g
+"""
+
+
 def q_minhash_recall_check(spark, sf_dir):
     """MinHash-LSH recall guard: every exact-Jaccard pair at >=0.9 must be
     found by the banded join at est>=0.5.  The margin is probability-sound,
@@ -1141,7 +1184,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "mp4_sample_schedule": q_mp4_sample_schedule,
         "exact_dedup": q_exact_dedup,
         "token_stats": q_token_stats,
-        "quality_score": q_quality,
+        "sessionize": q_sessionize,
         "lang_id": q_lang_id,
         "fingerprint": q_fingerprint,
         "repetition_stats": q_repetition,
@@ -1279,8 +1322,11 @@ def oracle_sql() -> dict[str, str]:
             "o(group_md5, n_docs, keep_doc) UNION ALL "
             f"SELECT o.*, 'prefix' FROM ({O.PREFIX_DEDUP_ORACLE.strip()}) "
             "o(group_md5, n_docs, keep_doc)"),
-        "token_stats": O.TOKEN_STATS_ORACLE,
-        "quality_score": O.QUALITY_ORACLE,
+        "token_stats": (
+            f"SELECT t.*, q.chars_per_token, q.stopword_ratio, "
+            f"q.punct_ratio, q.alpha_ratio FROM ({O.TOKEN_STATS_ORACLE}) t "
+            f"JOIN ({O.QUALITY_ORACLE}) q USING (doc_id)"),
+        "sessionize": _sessionize_oracle(),
         "lang_id": O.lang_id_oracle(),
         "fingerprint": O.FINGERPRINT_ORACLE,
         "repetition_stats": O.REPETITION_ORACLE,

@@ -2116,6 +2116,43 @@ def test_corpus_split_and_mixture(spark):
     assert "Join" not in lplan and "Exchange" not in lplan
 
 
+def test_sessionize_semantics(spark):
+    """sessionize: new session at every >gap inactivity, 1-based per-key
+    numbering, tie-broken total order, session_stats rollup, and a
+    single-Exchange window plan."""
+    import datetime as dt
+
+    from xponents_spark.operators.sessions import session_stats, sessionize
+
+    t0 = dt.datetime(2025, 1, 1)
+    rows = [
+        ("c1", 0, t0),
+        ("c1", 1, t0 + dt.timedelta(seconds=100)),      # same session
+        ("c1", 2, t0 + dt.timedelta(seconds=2000)),     # gap > 1800 -> new
+        ("c1", 3, t0 + dt.timedelta(seconds=2100)),
+        ("c2", 0, t0),                                   # other key
+        # equal timestamps: tiebreak on turn_idx keeps order total
+        ("c2", 1, t0 + dt.timedelta(seconds=5000)),
+        ("c2", 2, t0 + dt.timedelta(seconds=5000)),
+    ]
+    df = spark.createDataFrame(rows, ["conv_id", "turn_idx", "ts"])
+    out = sessionize(df, gap_seconds=1800)
+    got = {(r["conv_id"], r["turn_idx"]): (r["session_seq"], r["session_id"])
+           for r in out.collect()}
+    assert got[("c1", 0)] == (1, "c1#1") and got[("c1", 1)] == (1, "c1#1")
+    assert got[("c1", 2)] == (2, "c1#2") and got[("c1", 3)] == (2, "c1#2")
+    assert got[("c2", 0)] == (1, "c2#1")
+    assert got[("c2", 1)] == (2, "c2#2") and got[("c2", 2)] == (2, "c2#2")
+
+    stats = {r["session_id"]: (r["n_turns"], r["span_sec"])
+             for r in session_stats(out).collect()}
+    assert stats["c1#1"] == (2, 100) and stats["c1#2"] == (2, 100)
+    assert stats["c2#2"] == (2, 0)
+
+    plan = sessionize(df)._jdf.queryExecution().executedPlan().toString()
+    assert plan.count("Exchange") == 1          # the window's key shuffle
+
+
 def test_container_explode_stage(spark):
     """extract_container_entries: one archive/mail row explodes to one
     text-recovered row per contained document, carried columns intact,
