@@ -23,11 +23,22 @@ def _tokens(col: str) -> Column:
     return F.split(F.trim(F.col(col)), r"\s+")
 
 
+# GPT-2-style pretokenizer, restricted to the Java-regex/RE2 common subset
+# (the published pattern's (?!\S) lookahead is not RE2-expressible; dropping
+# it only changes how runs of trailing spaces group, deterministically in
+# both engines).  Contraction suffixes, ` ?letters`, ` ?digits`,
+# ` ?punct-run`, whitespace runs.
+PRETOKEN_PATTERN = (r"'s|'t|'re|'ve|'m|'ll|'d"
+                    r"| ?\p{L}+| ?\p{N}+| ?[^\s\p{L}\p{N}]+|\s+")
+
+
 def token_stats(df: DataFrame, text_col: str = "text",
                 id_col: str = "doc_id") -> DataFrame:
-    """Per-doc token counting: whitespace tokens + a BPE-ish subword estimate
-    (ceil(chars/4) is the published rule-of-thumb for byte-pair vocabularies).
-    """
+    """Per-doc token counting: whitespace tokens, a BPE-ish subword estimate
+    (ceil(chars/4), the published rule-of-thumb for byte-pair vocabularies),
+    and ``n_pretokens`` — the GPT-2 pretokenizer match count, the number a
+    byte-level BPE starts from (and an upper-quality proxy for billable
+    token counts than chars/4 on prose)."""
     toks = _tokens(text_col)
     # counts are BIGINT on purpose: the DuckDB oracle's len()/list_sum yield
     # 64/128-bit ints, and INT-vs-BIGINT diverges under the driver value-hash
@@ -39,6 +50,8 @@ def token_stats(df: DataFrame, text_col: str = "text",
         F.expr(
             f"aggregate(transform(split(trim({text_col}), '\\\\s+'), x -> length(x)), "
             "CAST(0 AS BIGINT), (acc, x) -> acc + x)").alias("token_chars"),
+        F.regexp_count(text_col, F.lit(PRETOKEN_PATTERN)).cast("long")
+         .alias("n_pretokens"),
     )
 
 

@@ -209,7 +209,10 @@ SELECT doc_id,
        CAST(length(text) AS BIGINT) AS n_chars,
        CAST(ceil(length(text) / 4.0) AS BIGINT) AS n_subwords_est,
        CAST(list_sum(list_transform(regexp_split_to_array(trim(text), '[ \t\n\v\f\r]+'),
-                                    x -> length(x))) AS BIGINT) AS token_chars
+                                    x -> length(x))) AS BIGINT) AS token_chars,
+       CAST(len(regexp_extract_all(text,
+            '''s|''t|''re|''ve|''m|''ll|''d| ?\p{L}+| ?\p{N}+| ?[^\s\p{L}\p{N}]+|\s+'))
+            AS BIGINT) AS n_pretokens
 FROM documents
 """
 
