@@ -434,6 +434,27 @@ def test_office_format_roundtrips():
     assert extract_rtf_text(raw) == "caf\xe9 \u5317north\nsecond"
 
 
+def test_mojibake_repair():
+    """decode_bytes repairs UTF-8-read-as-cp1252 double encoding; clean
+    text in any script is untouched; mixed clean+broken strings are left
+    alone rather than half-repaired (whole-string strict contract)."""
+    from xponents_spark.textract import decode_bytes, repair_mojibake
+
+    assert repair_mojibake("cafÃ© naÃ¯ve â€” ok") == "café naïve — ok"
+    assert repair_mojibake("42Â° north") == "42° north"
+    # double mojibake: two passes undo it
+    twice = ("café".encode("utf-8").decode("cp1252")
+             .encode("utf-8").decode("cp1252"))
+    assert repair_mojibake(twice) == "café"
+    # clean text with legit accents / CJK / cyrillic: untouched
+    for clean in ["café naïve", "北京 text", "Москва", "plain ascii",
+                  "Ångström Â° alone?"]:   # mixed clean+broken -> no-op
+        assert repair_mojibake(clean) == clean
+    # integrated: utf-8 payloads route through the repair
+    assert decode_bytes("cafÃ©".encode("utf-8")) == "café"
+    assert decode_bytes("café".encode("cp1252")) == "café"
+
+
 def test_xlsx_pptx_roundtrips():
     """S1 round-5 office coverage: XLSX (SST resolution, inlineStr, sheet
     order) and PPTX (DrawingML runs, numeric slide order >9 slides)."""

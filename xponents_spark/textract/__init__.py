@@ -259,12 +259,60 @@ def convert_binary_docs(df, payload_col: str = "payload",
 
 def decode_bytes(payload: bytes) -> str:
     """Charset/encoding normalization for binary payload columns: BOM sniff,
-    UTF-8, then windows-1252 fallback (the common mislabeled-latin1 case)."""
+    UTF-8, then windows-1252 fallback (the common mislabeled-latin1 case);
+    clean UTF-8 additionally gets the double-encoding repair (mojibake is
+    by definition VALID utf-8 carrying the wrong characters)."""
     if payload.startswith(b"\xef\xbb\xbf"):
         return payload[3:].decode("utf-8", errors="replace")
     if payload.startswith((b"\xff\xfe", b"\xfe\xff")):
         return payload.decode("utf-16", errors="replace")
     try:
-        return payload.decode("utf-8")
+        return repair_mojibake(payload.decode("utf-8"))
     except UnicodeDecodeError:
         return payload.decode("windows-1252", errors="replace")
+
+
+# mojibake signature: a char that IS the cp1252/latin-1 image of a UTF-8
+# lead byte (0xC2-0xEF) immediately followed by the image of a continuation
+# byte (0x80-0xBF).  The continuation-image set is computed from the real
+# codec tables, plus U+0080-U+009F for the five bytes cp1252 leaves
+# unmapped (a latin-1 mis-decode surfaces those as C1 controls).
+_CONT_IMAGES = "".join(
+    {bytes([b]).decode("windows-1252", errors="ignore") or chr(b)
+     for b in range(0x80, 0xC0)})
+_MOJIBAKE_HINT = re.compile(
+    "[Â-ï][" + re.escape(_CONT_IMAGES) + "]")
+
+
+def repair_mojibake(s: str, max_passes: int = 2) -> str:
+    """Undo UTF-8-read-as-cp1252/latin-1 double encoding ('cafÃ©'
+    -> 'café'), the single most common real-crawl text corruption
+    (XText's charset-repair concern; ftfy's core fix).
+
+    Conservative by construction: repairs only when (a) the lead-byte/
+    continuation-byte signature is present, (b) the WHOLE string
+    re-encodes strictly (cp1252 first, then latin-1 — mixed clean+broken
+    strings are left alone rather than half-repaired), and (c) the
+    re-decode is strict UTF-8.  Clean text in any language is untouched
+    (CJK/Arabic fail (b); plain accented prose fails (a) or (c)).  Two
+    passes undo the double-mojibake case."""
+    for _ in range(max_passes):
+        if not _MOJIBAKE_HINT.search(s):
+            return s
+        raw = None
+        for enc in ("windows-1252", "latin-1"):
+            try:
+                raw = s.encode(enc)
+                break
+            except UnicodeEncodeError:
+                continue
+        if raw is None:
+            return s
+        try:
+            fixed = raw.decode("utf-8")
+        except UnicodeDecodeError:
+            return s
+        if fixed == s:
+            return s
+        s = fixed
+    return s
