@@ -2172,6 +2172,14 @@ def test_sessionize_semantics(spark):
 
     plan = sessionize(df)._jdf.queryExecution().executedPlan().toString()
     assert plan.count("Exchange") == 1          # the window's key shuffle
+    # over conv_id-partitioned input (the bucketed Iceberg layout) the
+    # window adds ZERO Exchange — it reuses the child partitioning
+    pre = df.repartition("conv_id")
+    base = pre._jdf.queryExecution().executedPlan().toString() \
+        .count("Exchange")
+    withw = sessionize(pre)._jdf.queryExecution().executedPlan() \
+        .toString().count("Exchange")
+    assert withw - base == 0
 
 
 def test_container_explode_stage(spark):
