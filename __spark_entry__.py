@@ -567,7 +567,34 @@ def q_lang_id(spark, sf_dir):
 
 
 def q_fingerprint(spark, sf_dir):
-    return fingerprint(_docs(spark, sf_dir))
+    """fingerprint + characterize joined into ONE driver row set (1:1 on
+    doc_id; merged to free a driver-cap slot for asof_join)."""
+    from xponents_spark.pipeline import characterize
+    ch = characterize(_docs(spark, sf_dir)).select(
+        "doc_id", "n_chars", "is_lower", "is_upper", "has_cjk",
+        "has_mideast")
+    return fingerprint(_docs(spark, sf_dir)).join(ch, "doc_id")
+
+
+def q_asof_join(spark, sf_dir):
+    """As-of join gate: every event picks up the per-user daily tier
+    snapshot in force at its timestamp (both engines derive the snapshot
+    table from the same integer arithmetic; DuckDB replays the semantics
+    with its native ASOF JOIN — two independent implementations,
+    value-pinned)."""
+    from xponents_spark.operators.joins import asof_join
+    ev = (spark.read.parquet(f"{sf_dir}/events.parquet")
+          .select("event_id", "user_id", "ts"))
+    snaps = spark.range(150 * 30).select(
+        (F.col("id") % 150).alias("user_id"),
+        F.expr("timestamp'2024-01-01 00:00:00'"
+               " + make_interval(0,0,0, CAST(id / 150 AS INT),0,0,0)")
+         .alias("ts"),
+        ((F.col("id") % 150 + F.floor(F.col("id") / 150)) % 5).alias("tier"))
+    return (asof_join(ev.withColumnRenamed("user_id", "uid"),
+                      snaps.withColumnRenamed("user_id", "uid"), on="uid")
+            .select("event_id", F.col("uid").alias("user_id"), "tier",
+                    "matched_ts"))
 
 
 def q_remove_spans(spark, sf_dir):
@@ -976,6 +1003,19 @@ FROM counted WHERE n >= 1
 """
 
 
+_ASOF_ORACLE = """
+WITH snaps AS (
+  SELECT (g % 150) AS user_id,
+         TIMESTAMP '2024-01-01 00:00:00' + (g // 150) * INTERVAL 1 DAY
+             AS sts,
+         ((g % 150) + (g // 150)) % 5 AS tier
+  FROM generate_series(0, 4499) t(g))
+SELECT e.event_id, e.user_id, s.tier, s.sts AS matched_ts
+FROM events e ASOF LEFT JOIN snaps s
+  ON e.user_id = s.user_id AND e.ts >= s.sts
+"""
+
+
 def _sessionize_oracle() -> str:
     from xponents_spark.sources.transcripts import transcripts_oracle_cte
     return f"""
@@ -1194,7 +1234,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "gopher_filter_full": q_gopher_filter_full,
         "c4_quality_filter": q_c4_quality_filter,
         "event_hourly_windows": q_event_hourly,
-        "characterize": q_characterize,
+        "asof_join": q_asof_join,
         "ngram_jaccard_pairs": q_ngram_jaccard,
         "decontaminate": q_decontaminate,
         "redact_pii": q_redact_pii,
@@ -1328,7 +1368,10 @@ def oracle_sql() -> dict[str, str]:
             f"JOIN ({O.QUALITY_ORACLE}) q USING (doc_id)"),
         "sessionize": _sessionize_oracle(),
         "lang_id": O.lang_id_oracle(),
-        "fingerprint": O.FINGERPRINT_ORACLE,
+        "fingerprint": (
+            f"SELECT f.*, c.n_chars, c.is_lower, c.is_upper, c.has_cjk, "
+            f"c.has_mideast FROM ({O.FINGERPRINT_ORACLE}) f "
+            f"JOIN ({O.CHARACTERIZE_ORACLE}) c USING (doc_id)"),
         "repetition_stats": O.REPETITION_ORACLE,
         "duplicated_spans": O.duplicated_spans_oracle(8),
         "remove_duplicated_spans": O.remove_spans_oracle(8),
@@ -1343,7 +1386,7 @@ def oracle_sql() -> dict[str, str]:
         "ann_cosine_topk": O.ANN_TOPK_ORACLE,
         "cosine_pairs": O.COSINE_PAIRS_ORACLE,
         "event_hourly_windows": O.EVENT_HOURLY_ORACLE,
-        "characterize": O.CHARACTERIZE_ORACLE,
+        "asof_join": _ASOF_ORACLE,
         # invariant queries: the oracle pins the expected result — empty
         # violation sets (or a constant floor row).  A regression in the
         # approximate ops turns these rows non-empty and the gate red.

@@ -2137,6 +2137,44 @@ def test_corpus_split_and_mixture(spark):
     assert "Join" not in lplan and "Exchange" not in lplan
 
 
+def test_asof_join_semantics(spark):
+    """asof_join: backward inclusive match, null before the first right
+    row, tolerance voids stale matches, name-clash raises, and the plan
+    is ONE shuffle + window (no join operator, no Python)."""
+    import datetime as dt
+
+    import pytest as _pytest
+
+    from xponents_spark.operators.joins import asof_join
+
+    t = lambda s: dt.datetime(2024, 1, 1) + dt.timedelta(seconds=s)
+    left = spark.createDataFrame(
+        [("u1", t(5)), ("u1", t(10)), ("u1", t(50)), ("u2", t(7))],
+        ["uid", "ts"])
+    right = spark.createDataFrame(
+        [("u1", t(10), 100), ("u1", t(20), 200), ("u3", t(0), 999)],
+        ["uid", "ts", "v"])
+    got = {(r["uid"], r["ts"].second): (r["v"], r["matched_ts"])
+           for r in asof_join(left, right, on="uid").collect()}
+    assert got[("u1", 5)] == (None, None)        # before first right row
+    assert got[("u1", 10)][0] == 100             # inclusive tie
+    assert got[("u1", 50)][0] == 200             # latest prior
+    assert got[("u2", 7)] == (None, None)        # key with no right rows
+
+    tol = {(r["uid"], r["ts"].second): r["v"]
+           for r in asof_join(left, right, on="uid",
+                              tolerance_seconds=15).collect()}
+    assert tol[("u1", 50)] is None               # 30s-old match voided
+    assert tol[("u1", 10)] == 100
+
+    with _pytest.raises(ValueError, match="collide"):
+        asof_join(left.withColumn("v", F.lit(1)), right, on="uid")
+
+    plan = asof_join(left, right, on="uid") \
+        ._jdf.queryExecution().executedPlan().toString()
+    assert plan.count("Exchange") == 1 and "Join" not in plan
+
+
 def test_sessionize_semantics(spark):
     """sessionize: new session at every >gap inactivity, 1-based per-key
     numbering, tie-broken total order, session_stats rollup, and a

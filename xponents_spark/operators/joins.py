@@ -1,0 +1,88 @@
+"""As-of (point-in-time) join — the classic temporal-correctness operator.
+
+Joins each left row to the LATEST right row at-or-before its timestamp per
+key: events to the state that was in force when they happened, turns to
+the model/config snapshot that produced them.  Training pipelines need it
+to avoid time-travel leakage (joining features computed AFTER the event).
+
+Spark has no built-in as-of join; the pandas route (`merge_asof` inside
+``applyInPandas``) materializes each key group in python.  This
+implementation is fully relational — the union trick:
+
+    tag left rows 1 / right rows 0
+    union -> ONE Exchange on the key -> sort (ts, tag)
+    last(value, ignorenulls=True) over rows-unbounded-preceding
+    keep tagged-left rows
+
+One shuffle + one sort, no Python, no per-group materialization; skewed
+keys ride AQE like any other window.  Right rows sort BEFORE left rows at
+equal timestamps, so an exactly-simultaneous state change is visible to
+the event (inclusive backward semantics, `merge_asof`'s default).
+
+The DuckDB oracle replays it with the engine's native ``ASOF JOIN`` —
+two independent implementations of the semantics, value-pinned.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def asof_join(left: DataFrame, right: DataFrame, on: str,
+              ts_col: str = "ts", right_ts_col: str | None = None,
+              tolerance_seconds: int | None = None,
+              matched_ts_col: str = "matched_ts") -> DataFrame:
+    """Backward inclusive as-of join: every ``left`` row picks up the value
+    columns of the latest ``right`` row with ``right.ts <= left.ts`` on the
+    same key (nulls when no prior right row exists — left-outer shape).
+
+    ``right_ts_col`` names the right table's timestamp when it differs;
+    ``matched_ts_col`` receives the matched right timestamp (null = no
+    match).  ``tolerance_seconds`` voids matches older than the window
+    (values null out, like ``merge_asof(tolerance=...)``).
+
+    Value columns must not collide with left column names — rename before
+    joining (raises to avoid silent shadowing).
+    """
+    rts = right_ts_col or ts_col
+    value_cols = [c for c in right.columns if c not in (on, rts)]
+    clash = set(value_cols) & set(left.columns)
+    if clash:
+        raise ValueError(f"asof_join value columns collide with left "
+                         f"columns: {sorted(clash)} — rename them first")
+    l_rest = [c for c in left.columns if c not in (on, ts_col)]
+    r_types = {c: right.schema[c].dataType for c in value_cols}
+    l_types = {c: left.schema[c].dataType for c in l_rest}
+    ts_type = left.schema[ts_col].dataType
+
+    lt = left.select(
+        F.col(on), F.col(ts_col), F.lit(1).alias("_is_left"),
+        *[F.col(c) for c in l_rest],
+        *[F.lit(None).cast(r_types[c]).alias(c) for c in value_cols],
+        F.lit(None).cast(ts_type).alias("_r_ts"))
+    rt = right.select(
+        F.col(on), F.col(rts).alias(ts_col), F.lit(0).alias("_is_left"),
+        *[F.lit(None).cast(l_types[c]).alias(c) for c in l_rest],
+        *[F.col(c) for c in value_cols],
+        F.col(rts).alias("_r_ts"))
+
+    w = (Window.partitionBy(on).orderBy(ts_col, "_is_left")
+         .rowsBetween(Window.unboundedPreceding, 0))
+    filled = [F.last(c, ignorenulls=True).over(w).alias(c)
+              for c in value_cols + ["_r_ts"]]
+    out = (lt.unionByName(rt)
+           .select(on, ts_col, "_is_left", *l_rest, *filled)
+           .filter(F.col("_is_left") == 1)
+           .drop("_is_left")
+           .withColumnRenamed("_r_ts", matched_ts_col))
+    if tolerance_seconds is not None:
+        stale = (F.col(ts_col).cast("long")
+                 - F.col(matched_ts_col).cast("long")) > tolerance_seconds
+        out = out.select(
+            on, ts_col, *l_rest,
+            *[F.when(stale, None).otherwise(F.col(c)).alias(c)
+              for c in value_cols],
+            F.when(stale, None).otherwise(F.col(matched_ts_col))
+             .alias(matched_ts_col))
+    return out
