@@ -540,11 +540,36 @@ def q_exact_dedup(spark, sf_dir):
 
 
 def q_token_stats(spark, sf_dir):
-    """token_stats + quality_score joined into ONE driver row set (1:1 on
-    doc_id; merged to free a driver-cap slot for sessionize)."""
+    """token_stats + quality_score + lang_id joined into ONE driver row
+    set (all 1:1 on doc_id; merged to free driver-cap slots for
+    sessionize and range_join)."""
     t = token_stats(_docs(spark, sf_dir))
     q = quality_score(_docs(spark, sf_dir)).drop("n_tokens")
-    return t.join(q, "doc_id")
+    lg = lang_id(_docs(spark, sf_dir))
+    return t.join(q, "doc_id").join(lg, "doc_id")
+
+
+def q_range_join(spark, sf_dir):
+    """Range (point-in-interval) join gate: every event matched to the
+    3-hour maintenance windows containing it (windows every 12h over the
+    30-day event span, derived from integer arithmetic in both engines).
+    The DuckDB oracle states the semantics as a plain inequality join;
+    the Spark side must produce identical rows through the bucketized
+    equi-join plan."""
+    from xponents_spark.operators.joins import range_join
+    ev = (spark.read.parquet(f"{sf_dir}/events.parquet")
+          .select("event_id", "ts"))
+    wins = spark.range(60).select(
+        F.col("id").alias("w_id"),
+        F.expr("timestamp'2024-01-01 00:00:00'"
+               " + make_interval(0,0,0,0, CAST(id * 12 AS INT),0,0)")
+         .alias("w_start"),
+        F.expr("timestamp'2024-01-01 00:00:00'"
+               " + make_interval(0,0,0,0, CAST(id * 12 + 3 AS INT),0,0)")
+         .alias("w_end"))
+    return (range_join(ev, wins, ts_col="ts", start_col="w_start",
+                       end_col="w_end", bucket_seconds=3600)
+            .select("event_id", "w_id"))
 
 
 def q_sessionize(spark, sf_dir):
@@ -1003,6 +1028,19 @@ FROM counted WHERE n >= 1
 """
 
 
+_RANGE_ORACLE = """
+WITH wins AS (
+  SELECT g AS w_id,
+         TIMESTAMP '2024-01-01 00:00:00' + (g * 12) * INTERVAL 1 HOUR
+             AS w_start,
+         TIMESTAMP '2024-01-01 00:00:00' + (g * 12 + 3) * INTERVAL 1 HOUR
+             AS w_end
+  FROM generate_series(0, 59) t(g))
+SELECT e.event_id, w.w_id
+FROM events e JOIN wins w ON e.ts >= w.w_start AND e.ts < w.w_end
+"""
+
+
 _ASOF_ORACLE = """
 WITH snaps AS (
   SELECT (g % 150) AS user_id,
@@ -1225,7 +1263,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "exact_dedup": q_exact_dedup,
         "token_stats": q_token_stats,
         "sessionize": q_sessionize,
-        "lang_id": q_lang_id,
+        "range_join": q_range_join,
         "fingerprint": q_fingerprint,
         "repetition_stats": q_repetition,
         "duplicated_spans": q_duplicated_spans,
@@ -1364,10 +1402,12 @@ def oracle_sql() -> dict[str, str]:
             "o(group_md5, n_docs, keep_doc)"),
         "token_stats": (
             f"SELECT t.*, q.chars_per_token, q.stopword_ratio, "
-            f"q.punct_ratio, q.alpha_ratio FROM ({O.TOKEN_STATS_ORACLE}) t "
-            f"JOIN ({O.QUALITY_ORACLE}) q USING (doc_id)"),
+            f"q.punct_ratio, q.alpha_ratio, l.lang_pred "
+            f"FROM ({O.TOKEN_STATS_ORACLE}) t "
+            f"JOIN ({O.QUALITY_ORACLE}) q USING (doc_id) "
+            f"JOIN ({O.lang_id_oracle()}) l USING (doc_id)"),
         "sessionize": _sessionize_oracle(),
-        "lang_id": O.lang_id_oracle(),
+        "range_join": _RANGE_ORACLE,
         "fingerprint": (
             f"SELECT f.*, c.n_chars, c.is_lower, c.is_upper, c.has_cjk, "
             f"c.has_mideast FROM ({O.FINGERPRINT_ORACLE}) f "

@@ -224,7 +224,8 @@ def bench_queries(spark) -> dict[str, float]:
              "repetition_stats", "duplicated_spans",
              "event_hourly_windows", "characterize",
              "decontaminate", "redact_pii", "corpus_split_mix",
-             "container_text_recovery", "sessionize", "asof_join"]
+             "container_text_recovery", "sessionize", "asof_join",
+             "range_join"]
     qs = entry.queries()
     # merged out of queries() (driver 50-cap) but still benched per-scheme
     # so the per-query time series stays comparable across rounds
@@ -235,6 +236,7 @@ def bench_queries(spark) -> dict[str, float]:
     from xponents_spark.operators import token_stats as _token_op
     from xponents_spark.operators import fingerprint as _fingerprint_op
     from xponents_spark.pipeline import characterize as _characterize_op
+    from xponents_spark.operators import lang_id as _lang_op
     extra = {"minhash_near_dups": entry.q_minhash_dedup,
              "simhash_near_dups": entry.q_simhash_dedup,
              "exact_dedup": lambda spark, sf: _exact_op(
@@ -246,6 +248,8 @@ def bench_queries(spark) -> dict[str, float]:
              "fingerprint": lambda spark, sf: _fingerprint_op(
                  spark.read.parquet(os.path.join(sf, "documents.parquet"))),
              "characterize": lambda spark, sf: _characterize_op(
+                 spark.read.parquet(os.path.join(sf, "documents.parquet"))),
+             "lang_id": lambda spark, sf: _lang_op(
                  spark.read.parquet(os.path.join(sf, "documents.parquet"))),
              # 1/10 doc subsample: python fixture CONSTRUCTION dominates
              # this query; the conversion+explode stage under test still

@@ -2137,6 +2137,42 @@ def test_corpus_split_and_mixture(spark):
     assert "Join" not in lplan and "Exchange" not in lplan
 
 
+def test_range_join_semantics(spark):
+    """range_join: inclusive start / exclusive end, multi-interval
+    overlap, optional equi-key, bucket-boundary intervals, and the plan
+    is a hash equi-join (no BroadcastNestedLoopJoin)."""
+    import datetime as dt
+
+    from xponents_spark.operators.joins import range_join
+
+    t = lambda s: dt.datetime(2024, 1, 1) + dt.timedelta(seconds=s)
+    pts = spark.createDataFrame(
+        [(1, t(0)), (2, t(3600)), (3, t(5400)), (4, t(7200))],
+        ["pid", "ts"])
+    # w1 [0, 3600) — ends ON a bucket boundary; w2 [3000, 7200) overlaps
+    # two buckets; both cover 5400
+    wins = spark.createDataFrame(
+        [(10, t(0), t(3600)), (20, t(3000), t(7200))],
+        ["w_id", "start", "end"])
+    got = sorted((r["pid"], r["w_id"]) for r in
+                 range_join(pts, wins, bucket_seconds=3600).collect())
+    assert got == [(1, 10), (2, 20), (3, 20)]   # 3600 not in w1 (exclusive)
+
+    # equi-key variant: same windows per key, points match only their key
+    pts_k = spark.createDataFrame([("a", 1, t(100)), ("b", 2, t(100))],
+                                  ["k", "pid", "ts"])
+    wins_k = spark.createDataFrame([("a", 10, t(0), t(3600))],
+                                   ["k", "w_id", "start", "end"])
+    got_k = [(r["pid"], r["w_id"]) for r in
+             range_join(pts_k, wins_k, on="k").collect()]
+    assert got_k == [(1, 10)]
+
+    plan = range_join(pts, wins)._jdf.queryExecution() \
+        .executedPlan().toString()
+    assert "NestedLoop" not in plan, plan
+    assert "HashJoin" in plan or "SortMergeJoin" in plan, plan
+
+
 def test_asof_join_semantics(spark):
     """asof_join: backward inclusive match, null before the first right
     row, tolerance voids stale matches, name-clash raises, and the plan

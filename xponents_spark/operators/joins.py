@@ -25,8 +25,51 @@ two independent implementations of the semantics, value-pinned.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, Window
+from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
+
+
+def _epoch(c: Column) -> Column:
+    """Epoch seconds for TIMESTAMP and TIMESTAMP_NTZ alike (NTZ cannot
+    cast to BIGINT directly; the two-step cast interprets it in the
+    session zone, consistently for every column in the same job)."""
+    return c.cast("timestamp").cast("long")
+
+
+def range_join(left: DataFrame, right: DataFrame, on: str | None = None,
+               ts_col: str = "ts", start_col: str = "start",
+               end_col: str = "end",
+               bucket_seconds: int = 3600) -> DataFrame:
+    """Point-in-interval join: pair every left row with every right
+    interval containing its timestamp (``start <= ts < end``), optionally
+    under an extra equi-key ``on``.
+
+    Spark plans a naive ``l.ts >= r.start AND l.ts < r.end`` as
+    BroadcastNestedLoopJoin — O(|left| x |right|) and a driver-memory
+    bomb when neither side is small.  This implementation buckets time:
+    each interval explodes to the ``bucket_seconds`` buckets it overlaps,
+    each point computes its single bucket, and the join becomes a plain
+    hash EQUI-join on (bucket [, key]) followed by the exact range
+    filter.  A point's bucket matches exactly one exploded row per
+    containing interval, so no dedup is needed.  Cost:
+    O(|right| x interval_len/bucket) explode + one shuffle — pick
+    ``bucket_seconds`` near the typical interval length (explode factor
+    ~= 1-2; a pathological interval spanning 10^6 buckets should use a
+    coarser bucket or the as-of form).
+    """
+    bucket = F.floor(_epoch(F.col(ts_col)) / bucket_seconds)
+    r_buckets = F.sequence(
+        F.floor(_epoch(F.col(start_col)) / bucket_seconds),
+        # end is exclusive: an interval ending exactly on a bucket
+        # boundary does not reach into that bucket
+        F.floor((_epoch(F.col(end_col)) - 1) / bucket_seconds))
+    keys = ["_bucket"] + ([on] if on else [])
+    lt = left.withColumn("_bucket", bucket)
+    rt = right.withColumn("_bucket", F.explode(r_buckets))
+    return (lt.join(rt, keys)
+            .filter((F.col(ts_col) >= F.col(start_col))
+                    & (F.col(ts_col) < F.col(end_col)))
+            .drop("_bucket"))
 
 
 def asof_join(left: DataFrame, right: DataFrame, on: str,
@@ -77,8 +120,8 @@ def asof_join(left: DataFrame, right: DataFrame, on: str,
            .drop("_is_left")
            .withColumnRenamed("_r_ts", matched_ts_col))
     if tolerance_seconds is not None:
-        stale = (F.col(ts_col).cast("long")
-                 - F.col(matched_ts_col).cast("long")) > tolerance_seconds
+        stale = (_epoch(F.col(ts_col))
+                 - _epoch(F.col(matched_ts_col))) > tolerance_seconds
         out = out.select(
             on, ts_col, *l_rest,
             *[F.when(stale, None).otherwise(F.col(c)).alias(c)
