@@ -2246,6 +2246,17 @@ def test_sessionize_semantics(spark):
 
     plan = sessionize(df)._jdf.queryExecution().executedPlan().toString()
     assert plan.count("Exchange") == 1          # the window's key shuffle
+    # streaming twin: session_window spans agree with the batch labels
+    # (same session count and sizes per key; spans end at last+gap)
+    from xponents_spark.streaming import session_spans
+    spans = session_spans(df, gap_seconds=1800).collect()
+    assert (sorted((r["conv_id"], r["n_turns"])
+                   for r in session_stats(out).collect())
+            == sorted((r["conv_id"], r["n_turns"]) for r in spans))
+    s_c1 = [r for r in spans if r["conv_id"] == "c1"]
+    assert all((r["session_end"] - r["session_start"]).total_seconds()
+               >= 1800 for r in s_c1)
+
     # over conv_id-partitioned input (the bucketed Iceberg layout) the
     # window adds ZERO Exchange — it reuses the child partitioning
     pre = df.repartition("conv_id")

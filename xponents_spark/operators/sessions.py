@@ -14,9 +14,9 @@ partitioning satisfies the window's distribution).  No Python, no state
 store; at 100 TB this is strictly cheaper than the conversation-scope
 two-pass because it is a single window stage.
 
-The streaming analog is ``session_window`` in Structured Streaming
-(``streaming/``); this is the batch/backfill path with identical
-semantics and an exact SQL oracle.
+The streaming twin is ``streaming.session_spans`` (Spark's native
+``session_window``, watermark-evicted state); this is the batch/backfill
+path with per-ROW session labels and an exact SQL oracle.
 """
 
 from __future__ import annotations

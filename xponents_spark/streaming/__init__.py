@@ -106,3 +106,26 @@ def match_rate_stream(stream_df: DataFrame, window: str = "1 hour",
             .groupBy(F.window("ts", window).alias("window"),
                      F.col("m.label").alias("label"))
             .agg(F.count("*").alias("n_matches")))
+
+
+def session_spans(df: DataFrame, key_col: str = "conv_id",
+                  ts_col: str = "ts", gap_seconds: int = 1800,
+                  watermark: str | None = None) -> DataFrame:
+    """Inactivity-gap session spans via Spark's native ``session_window``
+    — the streaming twin of ``operators.sessions.sessionize`` (same gap
+    rule; runs on batch DataFrames too).  Emits
+    (key, session_start, session_end, n_turns); ``session_end`` is the
+    last event + gap, per session-window semantics.  Pass ``watermark``
+    on a stream so closed sessions finalize and state is evicted.
+
+    Boundary note: ``session_window`` starts a NEW session when the gap
+    equals ``gap_seconds`` exactly; the batch ``sessionize`` keeps the
+    row (strict `>` rule).  Real timestamps make exact-boundary gaps
+    measure-zero; pick one operator per pipeline if they matter.
+    """
+    src = df.withWatermark(ts_col, watermark) if watermark else df
+    return (src.groupBy(F.session_window(ts_col, f"{gap_seconds} seconds")
+                        .alias("w"), F.col(key_col))
+            .agg(F.count("*").alias("n_turns"))
+            .select(key_col, F.col("w.start").alias("session_start"),
+                    F.col("w.end").alias("session_end"), "n_turns"))
