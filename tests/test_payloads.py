@@ -235,10 +235,22 @@ def test_mp4_edit_list_presentation_mapping():
     assert [o for _, o, _ in tab] == offs[3:]
     assert all(s == 32 for _, _, s in tab)
 
-    # (c) dwell delays like an empty edit
+    # (c) dwell HOLDS the frame at media_time: sample 0 is presented at
+    # the cursor (t=0) for the 300-tick segment, then the normal edit
+    # maps the remaining samples after the dwell — the held frame does
+    # not disappear from the schedule (ISO 14496-12 §8.6.6.1)
     g = make_minimal_mp4(elst=[(300, 0, 0), (2000, 0, one)])
     tab = sample_table(video_track(parse_mp4(g)))
-    assert [t for t, _, _ in tab] == [300 + k * 200 for k in range(10)]
+    assert [t for t, _, _ in tab] == [0] + [300 + k * 200
+                                            for k in range(1, 10)]
+    assert [o for _, o, _ in tab] == offs
+
+    # (c2) dwell at media_time between samples holds the LATEST sample
+    # at-or-before it (sample 2 at 400 <= 450), trailing-edit-free:
+    # samples other than the dwelled one are unpresented
+    g = make_minimal_mp4(elst=[(500, 450, 0)])
+    tab = sample_table(video_track(parse_mp4(g)))
+    assert tab == [(0, offs[2], 32)]
 
     # (d) hostile count: declare 2^31 entries in a 1-entry box — capped
     g = bytearray(make_minimal_mp4(elst=[(2000, 0, one)]))
@@ -299,3 +311,18 @@ def test_container_hostile_inputs():
         C.MAX_TOTAL_BYTES = saved
     assert [(r[0], r[1]) for r in rows] == [("a.txt", "ok"),
                                             ("b.txt", "truncated")]
+
+    # budget-exhausted mailbox: the eml headers pseudo-entry leaves an
+    # explicit truncated marker like every archive path (ADVICE r5)
+    eml = (b"Subject: budget test\r\nFrom: a@example.org\r\n"
+           b"To: b@example.org\r\nDate: Wed, 01 Jan 2020 00:00:00 -0000\r\n"
+           b"Content-Type: text/plain\r\n\r\nbody text here\r\n")
+    saved = C.MAX_TOTAL_BYTES
+    C.MAX_TOTAL_BYTES = 0
+    try:
+        rows = list(C.iter_container_entries(eml))
+    finally:
+        C.MAX_TOTAL_BYTES = saved
+    assert ("headers", "truncated", None) in rows
+    rows = list(C.iter_container_entries(eml))    # normal budget: ok row
+    assert rows[0][0] == "headers" and rows[0][1] == "ok"

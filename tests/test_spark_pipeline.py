@@ -472,6 +472,36 @@ def test_xlsx_pptx_roundtrips():
     assert extract_xlsx_text(xlsx) == t
     assert extract_pptx_text(pptx) == t
     assert convert_document(xlsx) == t.replace("\n", " ")
+    # 11 worksheets: workbook order == numeric order; lexicographic
+    # (sheet10/sheet11 before sheet2) would scramble the roundtrip
+    # (ADVICE r5 medium)
+    assert extract_xlsx_text(make_simple_xlsx(t, sheet_per_line=True)) == t
+    # workbook.xml order BEATS numeric filename order: list sheet2
+    # before sheet1 and the text must follow the workbook tab order
+    import io
+    import zipfile
+    ws = lambda txt: (
+        '<?xml version="1.0"?><worksheet xmlns="http://schemas.openxml'
+        'formats.org/spreadsheetml/2006/main"><sheetData><row r="1">'
+        f'<c r="A1" t="inlineStr"><is><t>{txt}</t></is></c>'
+        '</row></sheetData></worksheet>')
+    wb = ('<workbook xmlns="http://schemas.openxmlformats.org/'
+          'spreadsheetml/2006/main" xmlns:r="http://schemas.openxml'
+          'formats.org/officeDocument/2006/relationships"><sheets>'
+          '<sheet name="B" sheetId="1" r:id="r2"/>'
+          '<sheet name="A" sheetId="2" r:id="r1"/></sheets></workbook>')
+    rels = ('<Relationships xmlns="http://schemas.openxmlformats.org/'
+            'package/2006/relationships">'
+            '<Relationship Id="r1" Type="t" Target="worksheets/sheet1.xml"/>'
+            '<Relationship Id="r2" Type="t" Target="worksheets/sheet2.xml"/>'
+            '</Relationships>')
+    buf = io.BytesIO()
+    with zipfile.ZipFile(buf, "w") as z:
+        z.writestr("xl/workbook.xml", wb)
+        z.writestr("xl/_rels/workbook.xml.rels", rels)
+        z.writestr("xl/worksheets/sheet1.xml", ws("first-file"))
+        z.writestr("xl/worksheets/sheet2.xml", ws("second-file"))
+    assert extract_xlsx_text(buf.getvalue()) == "second-file\nfirst-file"
     # inlineStr + literal <v> cells and a dangling SST ref (skipped, not
     # IndexError \u2014 hostile-table contract)
     sheet_xml = (
@@ -2171,6 +2201,62 @@ def test_range_join_semantics(spark):
         .executedPlan().toString()
     assert "NestedLoop" not in plan, plan
     assert "HashJoin" in plan or "SortMergeJoin" in plan, plan
+
+
+def test_range_join_hostile_intervals(spark):
+    """Hostile-input guards (ADVICE r5 / VERDICT r5 item 4): a degenerate
+    interval (end <= start, e.g. an epoch-0 sentinel) is dropped before
+    the explode instead of generating a DESCENDING bucket sequence; an
+    interval spanning more buckets than max_buckets_per_interval raises
+    loudly with the coarsen-or-asof advice."""
+    import datetime as dt
+
+    import pytest
+
+    from xponents_spark.operators.joins import range_join
+
+    t = lambda s: dt.datetime(2024, 1, 1) + dt.timedelta(seconds=s)
+    pts = spark.createDataFrame([(1, t(100))], ["pid", "ts"])
+    # end == epoch 0 sentinel: start > end by ~54 years of buckets
+    wins = spark.createDataFrame(
+        [(10, t(0), t(3600)), (66, t(0), dt.datetime(1970, 1, 1))],
+        ["w_id", "start", "end"])
+    got = [(r["pid"], r["w_id"]) for r in
+           range_join(pts, wins, bucket_seconds=3600).collect()]
+    assert got == [(1, 10)]          # sentinel row dropped, no explosion
+
+    # explode-factor guard: one 10-day interval at 1-second buckets
+    wide = spark.createDataFrame([(7, t(0), t(864000))],
+                                 ["w_id", "start", "end"])
+    with pytest.raises(ValueError, match="coarsen bucket_seconds"):
+        range_join(pts, wide, bucket_seconds=1,
+                   max_buckets_per_interval=100_000)
+    # ...and the opt-out still plans (guard skipped, lazy as before)
+    range_join(pts, wide, bucket_seconds=1,
+               max_buckets_per_interval=None).explain()
+
+
+def test_decontaminate_broadcast_toggle(spark):
+    """decontaminate(broadcast_benchmark=...) is public API (VERDICT r5
+    item 3): True plans a broadcast-hinted join; False plans a shuffle
+    join (no broadcast hint in the optimized plan) with identical
+    results."""
+    from xponents_spark.operators.dedup import decontaminate
+
+    passage = " ".join(f"w{i}" for i in range(20))
+    docs = spark.createDataFrame(
+        [(0, "intro " + passage + " outro"),
+         (1, " ".join(f"u{i}" for i in range(30)))],
+        "doc_id long, text string")
+    bench = spark.createDataFrame([(9, passage)],
+                                  "bench_id long, text string")
+    bcast = decontaminate(docs, bench, n=13)
+    shuffle = decontaminate(docs, bench, n=13, broadcast_benchmark=False)
+    assert sorted(map(tuple, bcast.collect())) == \
+        sorted(map(tuple, shuffle.collect()))
+    opt = lambda df: df._jdf.queryExecution().optimizedPlan().toString()
+    assert "broadcast" in opt(bcast)
+    assert "broadcast" not in opt(shuffle)
 
 
 def test_asof_join_semantics(spark):

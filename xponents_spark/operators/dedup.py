@@ -530,7 +530,8 @@ def remove_duplicated_spans(df: DataFrame, k: int = 8,
 def decontaminate(docs: DataFrame, benchmark: DataFrame,
                   text_col: str = "text", id_col: str = "doc_id",
                   bench_text_col: str = "text", bench_id_col: str = "bench_id",
-                  n: int = 13, hash_grams: bool = False) -> DataFrame:
+                  n: int = 13, hash_grams: bool = False,
+                  broadcast_benchmark: bool = True) -> DataFrame:
     """Benchmark decontamination: flag training documents sharing any word
     ``n``-gram with an evaluation/benchmark set (the GPT-3 appendix-C /
     Gopher 13-gram collision rule).
@@ -557,7 +558,7 @@ def decontaminate(docs: DataFrame, benchmark: DataFrame,
     stays string-exact for oracle parity).
     """
     return _decontaminate(docs, benchmark, text_col, id_col, bench_text_col,
-                          bench_id_col, n, True, hash_grams)
+                          bench_id_col, n, broadcast_benchmark, hash_grams)
 
 
 def _decontaminate(docs, benchmark, text_col, id_col, bench_text_col,

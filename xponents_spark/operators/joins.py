@@ -39,7 +39,8 @@ def _epoch(c: Column) -> Column:
 def range_join(left: DataFrame, right: DataFrame, on: str | None = None,
                ts_col: str = "ts", start_col: str = "start",
                end_col: str = "end",
-               bucket_seconds: int = 3600) -> DataFrame:
+               bucket_seconds: int = 3600,
+               max_buckets_per_interval: int | None = 100_000) -> DataFrame:
     """Point-in-interval join: pair every left row with every right
     interval containing its timestamp (``start <= ts < end``), optionally
     under an extra equi-key ``on``.
@@ -56,13 +57,36 @@ def range_join(left: DataFrame, right: DataFrame, on: str | None = None,
     ``bucket_seconds`` near the typical interval length (explode factor
     ~= 1-2; a pathological interval spanning 10^6 buckets should use a
     coarser bucket or the as-of form).
+
+    Hostile-input guards: degenerate intervals (``end <= start``) are
+    dropped BEFORE the explode — they can never match the exact filter,
+    but Spark's sequence(stop < start) would otherwise generate a
+    DESCENDING bucket array, so one epoch-0 sentinel row explodes into
+    decades of buckets.  ``max_buckets_per_interval`` (default 100k)
+    eagerly scans the (pruned start/end columns of the) right side and
+    raises when an interval would explode past it, with the
+    coarsen-or-asof advice above — a loud plan-time failure instead of a
+    silent task-memory one.  Pass ``None`` to skip the scan when the
+    interval distribution is already known.
     """
     bucket = F.floor(_epoch(F.col(ts_col)) / bucket_seconds)
-    r_buckets = F.sequence(
-        F.floor(_epoch(F.col(start_col)) / bucket_seconds),
-        # end is exclusive: an interval ending exactly on a bucket
-        # boundary does not reach into that bucket
-        F.floor((_epoch(F.col(end_col)) - 1) / bucket_seconds))
+    start_b = F.floor(_epoch(F.col(start_col)) / bucket_seconds)
+    # end is exclusive: an interval ending exactly on a bucket boundary
+    # does not reach into that bucket
+    end_b = F.floor((_epoch(F.col(end_col)) - 1) / bucket_seconds)
+    right = right.filter(_epoch(F.col(end_col)) > _epoch(F.col(start_col)))
+    if max_buckets_per_interval is not None:
+        stats = right.select((end_b - start_b + 1).alias("nb")) \
+                     .agg(F.max("nb").alias("mx"), F.avg("nb").alias("mean")) \
+                     .first()
+        if stats and stats["mx"] is not None and \
+                stats["mx"] > max_buckets_per_interval:
+            raise ValueError(
+                f"range_join: an interval spans {stats['mx']} buckets of "
+                f"{bucket_seconds}s (mean {stats['mean']:.1f}, cap "
+                f"{max_buckets_per_interval}) — coarsen bucket_seconds, "
+                f"use asof_join, or raise/disable max_buckets_per_interval")
+    r_buckets = F.sequence(start_b, end_b)
     keys = ["_bucket"] + ([on] if on else [])
     lt = left.withColumn("_bucket", bucket)
     rt = right.withColumn("_bucket", F.explode(r_buckets))

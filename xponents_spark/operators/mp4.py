@@ -175,8 +175,11 @@ def _apply_elst(media_ts: list[int], track: Mp4Track) -> list[int | None]:
     (media_time == -1) delay presentation by segment_duration (movie
     ticks -> media ticks); normal edits map media range
     [media_time, media_time + seg_dur) onto the presentation cursor;
-    dwell edits (rate == 0) advance presentation without consuming media.
-    Samples outside every edit return None (not presented)."""
+    dwell edits (rate == 0) HOLD the sample at media_time for the
+    segment duration — that sample is presented once at the cursor (the
+    latest sample at-or-before media_time, ISO 14496-12 §8.6.6.1), then
+    the cursor advances without consuming further media.  Samples
+    outside every edit return None (not presented)."""
     if not track.elst:
         return list(media_ts)
     scale = (track.timescale / track.movie_timescale
@@ -185,7 +188,17 @@ def _apply_elst(media_ts: list[int], track: Mp4Track) -> list[int | None]:
     cursor = 0                                   # presentation, media ticks
     for seg_dur, media_time, rate in track.elst:
         seg_media = int(seg_dur * scale)
-        if media_time == -1 or rate == 0:        # empty edit / dwell: delay
+        if media_time == -1:                     # empty edit: pure delay
+            cursor += seg_media
+            continue
+        if rate == 0:                            # dwell: held frame, once
+            best = None
+            for i, ts in enumerate(media_ts):
+                if ts <= media_time and (best is None
+                                         or ts > media_ts[best]):
+                    best = i
+            if best is not None and out[best] is None:
+                out[best] = cursor
             cursor += seg_media
             continue
         lo, hi = media_time, media_time + seg_media

@@ -204,6 +204,10 @@ def _iter_eml(payload, depth, budget, prefix):
                                                "Date") if msg[h])
     if budget.admit(len(hdr)):
         yield prefix + "headers", "ok", hdr.encode("utf-8")
+    else:
+        # budget exhausted: leave an explicit marker like every archive
+        # path does, not a silently-missing row
+        yield prefix + "headers", "truncated", None
     part_n = 0
     for part in msg.walk():
         if part.is_multipart():

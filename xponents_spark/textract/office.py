@@ -82,11 +82,47 @@ def extract_odt_text(payload: bytes) -> str:
     return "\n".join(paras)
 
 
+_PKG_REL_NS = ("{http://schemas.openxmlformats.org/package/2006/"
+               "relationships}")
+_DOC_REL_NS = ("{http://schemas.openxmlformats.org/officeDocument/2006/"
+               "relationships}")
+
+
+def _xlsx_sheet_order(z: "zipfile.ZipFile", names: set[str]) -> list[str]:
+    """Worksheet part names in WORKBOOK order: ``xl/workbook.xml``'s
+    ``<sheets>`` document order resolved through
+    ``xl/_rels/workbook.xml.rels`` (the order Excel shows tabs in).
+    Files missing either part fall back to NUMERIC filename order —
+    never lexicographic, which puts sheet10 before sheet2."""
+    import xml.etree.ElementTree as ET
+    try:
+        wb = ET.fromstring(z.read("xl/workbook.xml"))
+        rels = ET.fromstring(z.read("xl/_rels/workbook.xml.rels"))
+        target = {r.get("Id"): (r.get("Target") or "")
+                  for r in rels.iter(_PKG_REL_NS + "Relationship")}
+        order = []
+        for s in wb.iter(_S_NS + "sheet"):
+            t = target.get(s.get(_DOC_REL_NS + "id"), "").lstrip("/")
+            part = t if t.startswith("xl/") else "xl/" + t
+            if part in names:
+                order.append(part)
+        if order:
+            return order
+    except (KeyError, ET.ParseError):
+        pass
+    return sorted(
+        (n for n in names
+         if re.fullmatch(r"xl/worksheets/sheet\d+\.xml", n)),
+        key=lambda n: int(re.search(r"\d+", n.rsplit("/", 1)[1]).group()))
+
+
 def extract_xlsx_text(payload: bytes) -> str:
-    """SpreadsheetML text layer in SHEET order (not SST order): resolve
-    ``t="s"`` cells through ``xl/sharedStrings.xml``, take ``inlineStr``
-    runs and raw ``<v>`` values in place — one line per sheet row, cells
-    tab-separated (the Tika/XText reading order for workbooks)."""
+    """SpreadsheetML text layer in WORKBOOK order (workbook.xml <sheets>
+    resolved through the rels part, numeric-filename fallback — not SST
+    or lexicographic order): resolve ``t="s"`` cells through
+    ``xl/sharedStrings.xml``, take ``inlineStr`` runs and raw ``<v>``
+    values in place — one line per sheet row, cells tab-separated (the
+    Tika/XText reading order for workbooks)."""
     import xml.etree.ElementTree as ET
     with zipfile.ZipFile(io.BytesIO(payload)) as z:
         names = set(z.namelist())
@@ -96,8 +132,7 @@ def extract_xlsx_text(payload: bytes) -> str:
             for si in root.iter(_S_NS + "si"):
                 sst.append("".join(t.text or ""
                                    for t in si.iter(_S_NS + "t")))
-        sheets = sorted(n for n in names
-                        if re.fullmatch(r"xl/worksheets/sheet\d+\.xml", n))
+        sheets = _xlsx_sheet_order(z, names)
         lines: list[str] = []
         for sheet in sheets:
             root = ET.fromstring(z.read(sheet))
@@ -267,11 +302,14 @@ def make_simple_docx(text: str) -> bytes:
     return buf.getvalue()
 
 
-def make_simple_xlsx(text: str) -> bytes:
-    """Minimal XLSX: one worksheet, one shared-string cell per input line
-    (every line through the SST ``t="s"`` resolution path, the common real
-    layout), plus one inlineStr cell so both string kinds are exercised.
-    Deterministic bytes (fixed zip dates, stored order)."""
+def make_simple_xlsx(text: str, sheet_per_line: bool = False) -> bytes:
+    """Minimal XLSX: shared-string cells (every line through the SST
+    ``t="s"`` resolution path, the common real layout), plus the
+    workbook + rels parts so the reader's workbook-order resolution is
+    exercised.  ``sheet_per_line=True`` puts each line on its OWN
+    worksheet — >9 lines then covers workbook (numeric, not
+    lexicographic) sheet ordering, like make_simple_pptx does for
+    slides.  Deterministic bytes (fixed zip dates, stored order)."""
     from xml.sax.saxutils import escape
     lines = text.split("\n")
     sst = ("<?xml version=\"1.0\" encoding=\"UTF-8\" standalone=\"yes\"?>"
@@ -280,24 +318,48 @@ def make_simple_xlsx(text: str) -> bytes:
            + "".join(f"<si><t xml:space=\"preserve\">{escape(ln)}</t></si>"
                      for ln in lines)
            + "</sst>")
-    rows = "".join(
-        f"<row r=\"{i + 1}\"><c r=\"A{i + 1}\" t=\"s\"><v>{i}</v></c></row>"
-        for i in range(len(lines)))
-    sheet = ("<?xml version=\"1.0\" encoding=\"UTF-8\" standalone=\"yes\"?>"
-             "<worksheet xmlns=\"http://schemas.openxmlformats.org/"
-             "spreadsheetml/2006/main\"><sheetData>"
-             f"{rows}</sheetData></worksheet>")
+
+    def sheet_xml(sst_ids: list[int]) -> str:
+        rows = "".join(
+            f"<row r=\"{r + 1}\"><c r=\"A{r + 1}\" t=\"s\">"
+            f"<v>{i}</v></c></row>"
+            for r, i in enumerate(sst_ids))
+        return ("<?xml version=\"1.0\" encoding=\"UTF-8\" "
+                "standalone=\"yes\"?>"
+                "<worksheet xmlns=\"http://schemas.openxmlformats.org/"
+                "spreadsheetml/2006/main\"><sheetData>"
+                f"{rows}</sheetData></worksheet>")
+
+    if sheet_per_line:
+        sheets = [[i] for i in range(len(lines))]
+    else:
+        sheets = [list(range(len(lines)))]
     wb = ("<?xml version=\"1.0\" encoding=\"UTF-8\" standalone=\"yes\"?>"
           "<workbook xmlns=\"http://schemas.openxmlformats.org/"
-          "spreadsheetml/2006/main\"><sheets>"
-          "<sheet name=\"Sheet1\" sheetId=\"1\" r:id=\"rId1\" "
+          "spreadsheetml/2006/main\" "
           "xmlns:r=\"http://schemas.openxmlformats.org/officeDocument/"
-          "2006/relationships\"/></sheets></workbook>")
+          "2006/relationships\"><sheets>"
+          + "".join(f"<sheet name=\"Sheet{k + 1}\" sheetId=\"{k + 1}\" "
+                    f"r:id=\"rId{k + 1}\"/>"
+                    for k in range(len(sheets)))
+          + "</sheets></workbook>")
+    rels = ("<?xml version=\"1.0\" encoding=\"UTF-8\" standalone=\"yes\"?>"
+            "<Relationships xmlns=\"http://schemas.openxmlformats.org/"
+            "package/2006/relationships\">"
+            + "".join(f"<Relationship Id=\"rId{k + 1}\" "
+                      "Type=\"http://schemas.openxmlformats.org/"
+                      "officeDocument/2006/relationships/worksheet\" "
+                      f"Target=\"worksheets/sheet{k + 1}.xml\"/>"
+                      for k in range(len(sheets)))
+            + "</Relationships>")
     buf = io.BytesIO()
     with zipfile.ZipFile(buf, "w", zipfile.ZIP_DEFLATED) as z:
-        for name, data in (("xl/workbook.xml", wb),
-                           ("xl/sharedStrings.xml", sst),
-                           ("xl/worksheets/sheet1.xml", sheet)):
+        parts = [("xl/workbook.xml", wb),
+                 ("xl/_rels/workbook.xml.rels", rels),
+                 ("xl/sharedStrings.xml", sst)]
+        parts += [(f"xl/worksheets/sheet{k + 1}.xml", sheet_xml(ids))
+                  for k, ids in enumerate(sheets)]
+        for name, data in parts:
             z.writestr(zipfile.ZipInfo(name, (2020, 1, 1, 0, 0, 0)), data)
     return buf.getvalue()
 
