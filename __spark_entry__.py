@@ -815,31 +815,102 @@ def q_winnow_dedup(spark, sf_dir):
     return winnow_near_dups(_docs(spark, sf_dir), threshold=0.6)
 
 
+_ND_PLANT_OFFSET = 2_000_000     # disjoint from the embedding plant (1e6)
+_ND_PLANT_PAIRS = 25
+
+
+def _docs_with_planted_twins(spark, sf_dir):
+    """Gate document corpus with PLANTED byte-identical twin pairs
+    (VERDICT r5 item 1, the same de-vacuification pattern as
+    _emb_with_planted): 25 synthetic pairs with PER-PAIR UNIQUE
+    vocabulary (tokens like ``plantdup{i}tok{j}`` occur nowhere in the
+    generated corpus and nowhere in another pair), so under every scheme
+    a planted doc can only pair with its twin — identical text is
+    guaranteed-recall in all three (identical MinHash signature collides
+    in every band; identical SimHash shares every 16-bit block; identical
+    winnowing fingerprint sets join at jaccard 1.0), and disjoint
+    vocabulary means no natural or cross-pair candidate can reach any
+    operating threshold.  Tokens are md5-hex — unique at the TOKEN level
+    for MinHash/SimHash (word features) and overlap-free at the CHAR
+    level for winnowing (char-5-gram fingerprints: a shared template
+    like 'plantdup{i}' would put cross-pair fp_jaccard near 1.0)."""
+    import hashlib
+    rows = []
+    for i in range(_ND_PLANT_PAIRS):
+        text = " ".join(
+            hashlib.md5(f"plant{i}:{j}".encode()).hexdigest()[:12]
+            for j in range(40))
+        rows.append((_ND_PLANT_OFFSET + 2 * i, text))
+        rows.append((_ND_PLANT_OFFSET + 2 * i + 1, text))
+    planted = spark.createDataFrame(rows, "doc_id long, text string")
+    return (_docs(spark, sf_dir).select("doc_id", "text")
+            .unionByName(planted))
+
+
 def q_near_dups_all(spark, sf_dir):
-    """All three approximate near-dup schemes in ONE rows-only row
-    (frees driver-cap slots for the round-5 oracled queries; each
-    scheme's pairs stay distinguishable via the scheme column, and all
-    three remain pinned by the merged near_dup_invariants row):
-    MinHash-LSH est_jaccard, SimHash hamming (as a score), winnowing
-    fingerprint jaccard."""
-    mh = (q_minhash_dedup(spark, sf_dir)
+    """All three approximate near-dup schemes, FULL-ORACLE (upgraded from
+    rows-only, VERDICT r5 item 1): each scheme runs at its real operating
+    threshold over the corpus + planted twin pairs and the result is
+    restricted to the planted region, where the expected pair set is
+    exact — every (2i, 2i+1) twin at est_jaccard 1.0 / hamming 0 /
+    fp_jaccard 1.0, nothing else (per-pair-unique vocabulary).  The
+    schemes' behavior on NATURAL near-dups stays pinned by the
+    near_dup_invariants row (recall floor vs exact Jaccard truth,
+    pigeonhole completeness, winnow identity)."""
+    docs = _docs_with_planted_twins(spark, sf_dir)
+    mh = (minhash_near_dups(docs, threshold=0.2)
           .select("doc_a", "doc_b", F.lit("minhash").alias("scheme"),
                   F.col("est_jaccard").cast("double").alias("score")))
-    sh = (q_simhash_dedup(spark, sf_dir)
+    sh = (simhash_near_dups(docs, max_hamming=3)
           .select("doc_a", "doc_b", F.lit("simhash").alias("scheme"),
                   F.col("hamming").cast("double").alias("score")))
-    wn = (q_winnow_dedup(spark, sf_dir)
+    from xponents_spark.operators.dedup import winnow_near_dups
+    wn = (winnow_near_dups(docs, threshold=0.6)
           .select("doc_a", "doc_b", F.lit("winnow").alias("scheme"),
                   F.col("fp_jaccard").cast("double").alias("score")))
-    return mh.unionByName(sh).unionByName(wn)
+    return (mh.unionByName(sh).unionByName(wn)
+            .filter(F.col("doc_a") >= _ND_PLANT_OFFSET))
+
+
+_ANN_PLANT_OFFSET = 3_000_000
+_ANN_PLANT_K = 5
+
+
+def _emb_with_ann_planted(spark, sf_dir):
+    """Gate embedding corpus with 5 EXACT COPIES of each query vector
+    (vec_id 3e6 + qid*10 + j): identical bytes hash into the query's own
+    bucket in EVERY LSH table and quantize to the query's own nearest
+    IVF list, so both approximate schemes retrieve all five with
+    probability 1 — recall is provable, not sampled.  All five copies
+    tie at the (identical-float) top cosine, far above the natural
+    corpus ceiling (~0.52 on the gaussian embeddings), and the published
+    rank tie-break (sim desc, vec_id asc) makes the full ranked output
+    deterministic: ranks 1..5 = the copies in vec_id order."""
+    emb = _emb(spark, sf_dir).select("vec_id", "embedding")
+    copies = (emb.filter(F.col("vec_id") < 10)
+              .select("vec_id", "embedding",
+                      F.explode(F.array(*[F.lit(j) for j in
+                                          range(_ANN_PLANT_K)])).alias("j"))
+              .select((F.lit(_ANN_PLANT_OFFSET) + F.col("vec_id") * 10
+                       + F.col("j")).alias("vec_id"), "embedding"))
+    return emb.unionByName(copies)
 
 
 def q_ann_approx_topk(spark, sf_dir):
-    """Both approximate ANN schemes (multi-table LSH, IVF) in ONE
-    rows-only row, scheme-tagged; recall floors stay driver-gated via
-    ann_recall_floors."""
-    lsh = q_ann_lsh(spark, sf_dir).withColumn("scheme", F.lit("lsh"))
-    ivf = q_ann_ivf(spark, sf_dir).withColumn("scheme", F.lit("ivf"))
+    """Both approximate ANN schemes (multi-table LSH, IVF), FULL-ORACLE
+    (upgraded from rows-only, VERDICT r5 item 1) over the planted-copy
+    corpus (_emb_with_ann_planted): top-5 per query is provably the five
+    exact copies in vec_id order for BOTH schemes.  Natural-data recall
+    stays driver-gated via ann_recall_floors."""
+    from xponents_spark.operators.similarity import cosine_topk_ivf
+    qs = _queries_from(spark, sf_dir)
+    aug = _emb_with_ann_planted(spark, sf_dir)
+    lsh = (cosine_topk_lsh(aug, qs, k=5, bits=8, probes=8, tables=8)
+           .select("query_id", "vec_id", "rank")
+           .withColumn("scheme", F.lit("lsh")))
+    ivf = (cosine_topk_ivf(aug, qs, k=5, n_centroids=32, nprobe=8)
+           .select("query_id", "vec_id", "rank")
+           .withColumn("scheme", F.lit("ivf")))
     return lsh.unionByName(ivf)
 
 
@@ -1277,12 +1348,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "decontaminate": q_decontaminate,
         "redact_pii": q_redact_pii,
         "corpus_split_mix": q_corpus_split_mix,
-        "near_dups_all": q_near_dups_all,       # rows-only (3 schemes)
+        "near_dups_all": q_near_dups_all,       # full-oracle (3 schemes)
         "near_dup_invariants": q_near_dup_invariants,
         "near_dup_groups": q_near_dup_groups,
         "ann_cosine_topk": q_ann_topk,
         "cosine_pairs": q_cosine_pairs,
-        "ann_approx_topk": q_ann_approx_topk,  # rows-only (lsh + ivf)
+        "ann_approx_topk": q_ann_approx_topk,  # full-oracle (lsh + ivf)
         "ann_recall_floors": q_ann_recall_floors,
         "semantic_dedup_invariants": q_semantic_dedup_invariants,
         "ann_ivf_indexed_consistency": q_ann_ivf_indexed_consistency,
@@ -1450,4 +1521,29 @@ def oracle_sql() -> dict[str, str]:
             f"FROM embeddings WHERE vec_id < {_PLANT_N}"),
         "embedding_near_dup_sound": O.EMPTY_VEC_VIOLATIONS,
         "ann_ivf_indexed_consistency": O.EMPTY_IVF_VIOLATIONS,
+        "near_dups_all": (
+            # planted twin pairs (per-pair-unique vocabulary) are the
+            # exact expected output in every scheme: identical text is
+            # guaranteed-recall (signature/blocks/fingerprints all
+            # identical) and disjoint vocab admits no other pair in the
+            # planted region (see _docs_with_planted_twins)
+            f"SELECT CAST({_ND_PLANT_OFFSET} + 2 * t.i AS BIGINT) AS doc_a, "
+            f"CAST({_ND_PLANT_OFFSET} + 2 * t.i + 1 AS BIGINT) AS doc_b, "
+            "s.scheme, CAST(CASE WHEN s.scheme = 'simhash' THEN 0.0 "
+            "ELSE 1.0 END AS DOUBLE) AS score "
+            f"FROM generate_series(0, {_ND_PLANT_PAIRS - 1}) t(i) "
+            "CROSS JOIN (VALUES ('minhash'), ('simhash'), ('winnow')) "
+            "s(scheme)"),
+        "ann_approx_topk": (
+            # five exact copies of each query vector occupy ranks 1..5 in
+            # vec_id order for BOTH schemes: identical bytes collide in
+            # every LSH table / quantize to the query's own IVF list, tie
+            # at the top cosine, and the (sim desc, vec_id asc) tie-break
+            # is published API (see _emb_with_ann_planted)
+            "SELECT CAST(q.qid AS BIGINT) AS query_id, "
+            f"CAST({_ANN_PLANT_OFFSET} + q.qid * 10 + j.j AS BIGINT) "
+            "AS vec_id, CAST(j.j + 1 AS INTEGER) AS rank, s.scheme "
+            "FROM generate_series(0, 9) q(qid) "
+            f"CROSS JOIN generate_series(0, {_ANN_PLANT_K - 1}) j(j) "
+            "CROSS JOIN (VALUES ('lsh'), ('ivf')) s(scheme)"),
     }

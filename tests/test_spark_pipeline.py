@@ -2444,3 +2444,30 @@ def test_redact_pii_classes(spark):
     assert got[5]["text_redacted"] == rows[5][1]
     assert all(got[5][f"n_{c}"] == 0
                for c in ("email", "ipv4", "ssn", "card", "phone"))
+
+
+def test_planted_gate_oracles_deterministic(spark, sf_dir):
+    """The round-6 full-oracle upgrades (VERDICT r5 item 1): the planted
+    twin pairs are the EXACT near_dups_all output in every scheme (twin
+    recall is guaranteed by identical text; md5-hex vocab keeps the
+    planted region free of cross/natural pairs even at char-5-gram
+    winnowing), and the planted exact-copy vectors are the EXACT
+    ann_approx_topk top-5 for both schemes, in vec_id order."""
+    import __spark_entry__ as e
+
+    nd = e.queries()["near_dups_all"](spark, sf_dir).collect()
+    off = e._ND_PLANT_OFFSET
+    expected = {(off + 2 * i, off + 2 * i + 1, s,
+                 0.0 if s == "simhash" else 1.0)
+                for i in range(e._ND_PLANT_PAIRS)
+                for s in ("minhash", "simhash", "winnow")}
+    assert {(r["doc_a"], r["doc_b"], r["scheme"], r["score"])
+            for r in nd} == expected
+
+    ann = e.queries()["ann_approx_topk"](spark, sf_dir).collect()
+    aoff = e._ANN_PLANT_OFFSET
+    expected = {(q, aoff + q * 10 + j, j + 1, s)
+                for q in range(10) for j in range(e._ANN_PLANT_K)
+                for s in ("lsh", "ivf")}
+    assert {(r["query_id"], r["vec_id"], r["rank"], r["scheme"])
+            for r in ann} == expected
