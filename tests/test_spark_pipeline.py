@@ -2471,3 +2471,59 @@ def test_planted_gate_oracles_deterministic(spark, sf_dir):
                 for s in ("lsh", "ivf")}
     assert {(r["query_id"], r["vec_id"], r["rank"], r["scheme"])
             for r in ann} == expected
+
+
+def test_semantic_dedup_giant_cluster_guard(spark):
+    """Giant-cluster guard (VERDICT r5 item 2): a hot cluster bigger than
+    max_cluster is recursively sub-clustered with the same quantizer, so
+    per-task quadratic work is bounded (every final list_size <=
+    max_cluster on splittable data); planted exact twins still share a
+    component with exactly one keeper (identical vectors co-assign at
+    every split level); the no-progress path freezes instead of looping."""
+    import numpy as np
+
+    from xponents_spark.operators.similarity import semantic_dedup
+
+    rng = np.random.RandomState(11)
+    # 400 diffuse vectors -> forced into ONE level-0 cluster
+    # (n_centroids=1), 8x over max_cluster=50: must split recursively
+    mat = rng.standard_normal((400, 16))
+    rows = [(i, [float(x) for x in mat[i]]) for i in range(400)]
+    # planted exact twins of vec 0..9 (ids 1000+)
+    rows += [(1000 + i, [float(x) for x in mat[i]]) for i in range(10)]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    out = semantic_dedup(df, threshold=0.999, n_centroids=1,
+                         max_cluster=50, max_split_levels=4).collect()
+    assert len(out) == 410
+    sizes = {r["list_id"]: r["list_size"] for r in out}
+    assert len(sizes) > 1                      # the hot cluster DID split
+    assert max(sizes.values()) <= 50, sizes    # bounded per-task work
+    by_id = {r["vec_id"]: r for r in out}
+    for i in range(10):                        # twin invariants survive
+        a, b = by_id[i], by_id[1000 + i]
+        assert a["list_id"] == b["list_id"]
+        assert a["rep_id"] == b["rep_id"]
+        assert a["keep"] != b["keep"] or a["rep_id"] not in (i, 1000 + i)
+    # exactly one keeper per component
+    comp = {}
+    for r in out:
+        comp.setdefault(r["rep_id"], []).append(r)
+    for rep, members in comp.items():
+        assert sum(1 for r in members if r["keep"]) == 1
+
+    # determinism of the split loop
+    out2 = semantic_dedup(df, threshold=0.999, n_centroids=1,
+                          max_cluster=50, max_split_levels=4).collect()
+    key = lambda r: r["vec_id"]  # noqa: E731
+    assert sorted(out, key=key) == sorted(out2, key=key)
+
+    # no-progress freeze: 120 IDENTICAL vectors cannot be separated by
+    # k-means — the guard freezes the cluster (one quadratic task, still
+    # correct: one component, one keeper) rather than looping
+    same = [(i, [1.0] * 16) for i in range(120)]
+    df2 = spark.createDataFrame(same, "vec_id long, embedding array<double>")
+    out3 = semantic_dedup(df2, threshold=0.9, n_centroids=1,
+                          max_cluster=50, max_split_levels=3).collect()
+    assert len(out3) == 120
+    assert {r["rep_id"] for r in out3} == {out3[0]["rep_id"]}
+    assert sum(1 for r in out3 if r["keep"]) == 1
