@@ -353,23 +353,31 @@ def q_container_roundtrip(spark, sf_dir, sample_mod=None):
 
 def q_image_roundtrip(spark, sf_dir):
     """Image codecs, one driver row set with a format column: GIF87a
-    (real LZW), 24-bit BMP, PNG (zlib DEFLATE + all 5 filters), and
-    round-5 Adam7 interlaced PNG — each document's text packed into
-    pixels and decoded back by the pure-python codec (conformance vs
-    Java ImageIO pinned in pytest; the driver gates losslessness over
-    every document's bytes)."""
+    (real LZW), 24-bit BMP, PNG (zlib DEFLATE + all 5 filters), round-5
+    Adam7 interlaced PNG, and round-6 multi-frame GIF89a animation
+    (text recovered from frame 2 via real disposal/transparency
+    composition) — each document's text packed into pixels and decoded
+    back by the pure-python codec (conformance vs Java ImageIO pinned
+    in pytest; the driver gates losslessness over every document's
+    bytes)."""
     import pandas as pd
     from pyspark.sql import types as T
 
     from xponents_spark.operators.multimodal import (
-        decode_text_bmp, decode_text_gif, decode_text_png, make_text_bmp,
+        decode_text_animated_gif, decode_text_bmp, decode_text_gif,
+        decode_text_png, make_text_animated_gif, make_text_bmp,
         make_text_gif, make_text_png)
 
     codecs = [("gif", make_text_gif, decode_text_gif),
               ("bmp", make_text_bmp, decode_text_bmp),
               ("png", make_text_png, decode_text_png),
               ("png_adam7", lambda t: make_text_png(t, interlace=True),
-               decode_text_png)]
+               decode_text_png),
+              # round 6: text recovered from frame 2 of a 3-frame GIF89a
+              # animation -- requires real disposal/transparency
+              # composition (VERDICT r5 item 5)
+              ("gif_anim", make_text_animated_gif,
+               decode_text_animated_gif)]
     docs = _docs(spark, sf_dir).select("doc_id", "text")
     schema = T.StructType([T.StructField("doc_id", T.LongType()),
                            T.StructField("format", T.StringType()),
@@ -1445,7 +1453,8 @@ def oracle_sql() -> dict[str, str]:
             ") f(container, entry_path, entry_kind, txt)"),
         "image_text_recovery": (
             "SELECT d.doc_id, f.format, d.text FROM documents d "
-            "CROSS JOIN (VALUES ('gif'), ('bmp'), ('png'), ('png_adam7')) "
+            "CROSS JOIN (VALUES ('gif'), ('bmp'), ('png'), ('png_adam7'), "
+            "('gif_anim')) "
             "f(format)"),
         "jpeg_fidelity_check": O.EMPTY_JPEG_VIOLATIONS,
         "codec_fallback_rate": (
