@@ -466,3 +466,45 @@ def test_animated_gif_imageio_conformance(tmp_path):
         ours = np.frombuffer(frames[k][4], dtype=np.uint8) \
                  .reshape(h, w).astype(np.int64)
         assert np.array_equal(theirs, ours), f"frame {k}"
+
+
+def test_xor_obfuscation_declared_out_with_verifier():
+    """[MS-OFFCRYPTO] 2.3.7 (VERDICT r5 item 7): the XorArray generation
+    depends on the spec's InitialCode[15]/XorMatrix[105] magic tables,
+    which have no offline oracle in this sandbox — a fObfuscated .doc
+    raises an EncryptedDocError that names exactly that; the table-free
+    sibling (2.3.7.1 password verifier) IS implemented and its
+    fold formulation must agree with the independent rotl15 closed form
+    on every probe password."""
+    import struct
+
+    import pytest
+
+    from xponents_spark.textract.cfb import write_cfb
+    from xponents_spark.textract.office import (EncryptedDocError,
+                                                extract_doc_text,
+                                                xor_password_verifier)
+
+    # fObfuscated FIB -> cited error, not a crash or a silent wrong text
+    fib = bytearray(1536)
+    struct.pack_into("<H", fib, 0, 0xA5EC)
+    struct.pack_into("<H", fib, 0x000A, 0x8100)   # fEncrypted|fObfuscated
+    payload = write_cfb({"WordDocument": bytes(fib), "0Table": b"\x00" * 64})
+    with pytest.raises(EncryptedDocError, match="XorMatrix"):
+        extract_doc_text(payload, password="x")
+
+    def rotl15(v, n):
+        n %= 15
+        return ((v << n) | (v >> (15 - n))) & 0x7FFF
+
+    def closed_form(pw):
+        h = 0
+        for i, c in enumerate(pw, 1):
+            h ^= rotl15(ord(c) & 0xFF, i)
+        return h ^ len(pw) ^ 0xCE4B
+
+    for pw in ("", "a", "abc", "VelvetSweatshop", "pässword", "x" * 15):
+        assert xor_password_verifier(pw) == closed_form(pw), pw
+    # 16-bit range and sensitivity
+    assert 0 <= xor_password_verifier("gate-pw") <= 0xFFFF
+    assert xor_password_verifier("abc") != xor_password_verifier("abd")
