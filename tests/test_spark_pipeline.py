@@ -2207,8 +2207,9 @@ def test_range_join_hostile_intervals(spark):
     """Hostile-input guards (ADVICE r5 / VERDICT r5 item 4): a degenerate
     interval (end <= start, e.g. an epoch-0 sentinel) is dropped before
     the explode instead of generating a DESCENDING bucket sequence; an
-    interval spanning more buckets than max_buckets_per_interval raises
-    loudly with the coarsen-or-asof advice."""
+    interval spanning more buckets than max_buckets_per_interval trips
+    the zero-cost runtime assert_true with the coarsen-or-asof advice
+    (a task failure naming the cap, not a silent memory/time sink)."""
     import datetime as dt
 
     import pytest
@@ -2225,14 +2226,17 @@ def test_range_join_hostile_intervals(spark):
            range_join(pts, wins, bucket_seconds=3600).collect()]
     assert got == [(1, 10)]          # sentinel row dropped, no explosion
 
-    # explode-factor guard: one 10-day interval at 1-second buckets
+    # explode-factor tripwire: one 10-day interval at 1-second buckets
     wide = spark.createDataFrame([(7, t(0), t(864000))],
                                  ["w_id", "start", "end"])
-    with pytest.raises(ValueError, match="coarsen bucket_seconds"):
+    with pytest.raises(Exception, match="coarsen bucket_seconds"):
         range_join(pts, wide, bucket_seconds=1,
-                   max_buckets_per_interval=100_000)
-    # ...and the opt-out still plans (guard skipped, lazy as before)
-    range_join(pts, wide, bucket_seconds=1,
+                   max_buckets_per_interval=100_000).collect()
+    # guarded healthy plan runs exactly like the unguarded one
+    assert range_join(pts, wins, bucket_seconds=3600,
+                      max_buckets_per_interval=None).count() == 1
+    # ...and the opt-out lets a deliberate wide explode through
+    range_join(pts, wide, bucket_seconds=86400,
                max_buckets_per_interval=None).explain()
 
 

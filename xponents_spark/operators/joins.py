@@ -62,12 +62,15 @@ def range_join(left: DataFrame, right: DataFrame, on: str | None = None,
     dropped BEFORE the explode — they can never match the exact filter,
     but Spark's sequence(stop < start) would otherwise generate a
     DESCENDING bucket array, so one epoch-0 sentinel row explodes into
-    decades of buckets.  ``max_buckets_per_interval`` (default 100k)
-    eagerly scans the (pruned start/end columns of the) right side and
-    raises when an interval would explode past it, with the
-    coarsen-or-asof advice above — a loud plan-time failure instead of a
-    silent task-memory one.  Pass ``None`` to skip the scan when the
-    interval distribution is already known.
+    decades of buckets.  ``max_buckets_per_interval`` (default 100k) is
+    a ZERO-COST runtime tripwire: an ``assert_true`` rides the sequence
+    bounds (one comparison per right row, no extra scan or job), so an
+    interval that would explode past the cap fails its task LOUDLY with
+    the coarsen-or-asof advice instead of silently eating task
+    memory/time.  Pass ``None`` to disable.  (The buckets-per-interval
+    histogram, when wanted, is one zero-shuffle agg:
+    ``right.select(((epoch(end)-1-epoch(start)) / bucket + 1).alias('nb'))
+    .agg(max('nb'), avg('nb'))``.)
     """
     bucket = F.floor(_epoch(F.col(ts_col)) / bucket_seconds)
     start_b = F.floor(_epoch(F.col(start_col)) / bucket_seconds)
@@ -76,16 +79,18 @@ def range_join(left: DataFrame, right: DataFrame, on: str | None = None,
     end_b = F.floor((_epoch(F.col(end_col)) - 1) / bucket_seconds)
     right = right.filter(_epoch(F.col(end_col)) > _epoch(F.col(start_col)))
     if max_buckets_per_interval is not None:
-        stats = right.select((end_b - start_b + 1).alias("nb")) \
-                     .agg(F.max("nb").alias("mx"), F.avg("nb").alias("mean")) \
-                     .first()
-        if stats and stats["mx"] is not None and \
-                stats["mx"] > max_buckets_per_interval:
-            raise ValueError(
-                f"range_join: an interval spans {stats['mx']} buckets of "
-                f"{bucket_seconds}s (mean {stats['mean']:.1f}, cap "
-                f"{max_buckets_per_interval}) — coarsen bucket_seconds, "
-                f"use asof_join, or raise/disable max_buckets_per_interval")
+        nb = end_b - start_b + 1
+        guard = F.assert_true(
+            nb <= max_buckets_per_interval,
+            F.concat(F.lit("range_join: an interval spans "),
+                     nb.cast("string"),
+                     F.lit(f" buckets of {bucket_seconds}s (cap "
+                           f"{max_buckets_per_interval}) — coarsen "
+                           f"bucket_seconds, use asof_join, or "
+                           f"raise/disable max_buckets_per_interval")))
+        # assert_true is NULL on success: fold it into the start bound so
+        # the guard cannot be pruned away as an unused column
+        start_b = start_b + F.coalesce(guard.cast("long"), F.lit(0))
     r_buckets = F.sequence(start_b, end_b)
     keys = ["_bucket"] + ([on] if on else [])
     lt = left.withColumn("_bucket", bucket)
