@@ -82,14 +82,25 @@ def run(k: int, texts: list[str]) -> dict:
 def main():
     mp.set_start_method("spawn")
     texts = _texts()
+    # CONTROL_PAIR picks the process counts: "8,32" (default, the saturated
+    # pair's ceiling) or "4,16" (the contracted pair's ceiling — 16
+    # independent processes on this 32-core host measure what the host
+    # itself charges a 4->16-core scale-up: shared memory bandwidth and
+    # effective clocks, with zero engine code in the loop).
+    lo, hi = (int(x) for x in
+              os.environ.get("CONTROL_PAIR", "8,32").split(","))
     out = []
-    for k in (8, 32, 8, 32):   # interleave to de-correlate ambient noise
+    for k in (lo, hi, lo, hi):   # interleave to de-correlate ambient noise
         r = run(k, texts)
         out.append(r)
         print(json.dumps(r))
-    best8 = max(r["agg_turns_per_sec"] for r in out if r["procs"] == 8)
-    best32 = max(r["agg_turns_per_sec"] for r in out if r["procs"] == 32)
-    print(json.dumps({"host_efficiency_8_to_32": round(best32 / (4 * best8), 3)}))
+    best_lo = max(r["agg_turns_per_sec"] for r in out if r["procs"] == lo)
+    best_hi = max(r["agg_turns_per_sec"] for r in out if r["procs"] == hi)
+    ratio = hi // lo
+    print(json.dumps({f"host_efficiency_{lo}_to_{hi}":
+                      round(best_hi / (ratio * best_lo), 3),
+                      "host_efficiency_8_to_32":
+                      round(best_hi / (ratio * best_lo), 3)}))
 
 
 if __name__ == "__main__":

@@ -1,6 +1,15 @@
 #!/usr/bin/env python
-"""Round-5 scaling protocol (BASELINE.json north_rule: throughput scaling
-efficiency >= 0.8 from N to 4N executors).
+"""Scaling protocol (BASELINE.json north_rule: throughput scaling
+efficiency >= 0.8 from N to 4N executors).  Established round 5; round 6
+re-runs it unchanged except that the engine's session defaults now set
+spark.locality.wait=0s (see session.py) after the round-6 run-1 miss
+(BENCH/scaling_r06_run1.json, median raw 0.744) was diagnosed with an
+EMPTY same-plan job: ~5-7 s of the 4N side's ~22 s wall was delay
+scheduling — free cores idling up to the 3 s default for their cached
+block's preferred executor, a stall that by construction never charges
+the 1-executor N side (always PROCESS_LOCAL).  wait=0 cut the 4N job
+24.0 -> 16.3 s and left N unchanged (57.1 s, within noise of every prior
+N measurement).
 
 CONTRACTED PAIR — the literal north-rule deployment shape, UNCONTENDED on
 this 32-core host:
@@ -85,10 +94,10 @@ def run_spark_once(master: str) -> dict:
         f"no probe output for {master}: {out.stdout[-500:]}\n{out.stderr[-500:]}")
 
 
-def run_host_control() -> dict:
-    """No-Spark ceiling: 8 vs 32 independent python processes running the
+def run_host_control(pair: str = "8,32") -> dict:
+    """No-Spark ceiling: K vs 4K independent python processes running the
     extraction kernel — what the HOST can scale, measured in-window."""
-    env = dict(os.environ, CONTROL_TURNS="20000")
+    env = dict(os.environ, CONTROL_TURNS="40000", CONTROL_PAIR=pair)
     out = subprocess.run(
         [sys.executable, os.path.join(HERE, "host_scaling_control.py")],
         env=env, capture_output=True, text=True, timeout=900)
@@ -178,6 +187,22 @@ def main():
     except Exception as e:
         print(f"saturated-pair evidence SKIPPED ({e!s:.120})", flush=True)
 
+    # host ceiling for the CONTRACTED pair's core counts (4 vs 16
+    # independent no-Spark processes): context for raw numbers — what this
+    # virtualized host itself charges a 4->16-core scale-up (clocks /
+    # memory bandwidth / hypervisor), with zero engine code in the loop.
+    contracted_host = {}
+    try:
+        h = run_host_control("4,16")
+        contracted_host = {
+            "pair": [4, 16],
+            "rows": h["rows"],
+            "host_efficiency_4_to_16": h["efficiency"],
+        }
+        print(f"contracted-pair host control: {h['efficiency']}", flush=True)
+    except Exception as e:
+        print(f"contracted host control SKIPPED ({e!s:.120})", flush=True)
+
     summary = {
         "protocol": (
             f"contracted pair {N_MASTER} -> {N4_MASTER} (4 -> 16 of 32 "
@@ -205,8 +230,18 @@ def main():
             "same JVMs, same windows — the engine's own N->4N scaling."),
         "windows": windows,
         "saturated_pair": sat,
+        "contracted_pair_host_control": contracted_host,
+        "engine_change_note": (
+            "Round 6: session defaults set spark.locality.wait=0s after "
+            "the run-1 miss (BENCH/scaling_r06_run1.json, raw 0.744) was "
+            "localized to delay scheduling with an empty same-plan job — "
+            "free cores idled up to 3 s for cache-preferred executors, a "
+            "cost only a multi-executor topology pays.  4N wall 24.0 -> "
+            "16.3 s; N unchanged.  See session.py for the deployment "
+            "rationale and the HDFS-colocated override."),
     }
-    path = os.path.join(REPO, "BENCH", "scaling_r05.json")
+    path = os.path.join(REPO, "BENCH",
+                        os.environ.get("PROTO_OUT", "scaling_r06.json"))
     with open(path, "w") as fh:
         json.dump(summary, fh, indent=2)
     print(json.dumps({k: summary[k] for k in
