@@ -499,6 +499,14 @@ def semantic_dedup(df: DataFrame, threshold: float = 0.9,
         make_assign(np.vstack(cent_rows)), assign_schema)
 
     # --- giant-cluster split loop (driver-coordinated, shuffle-free) ----
+    # With the guard active, `assigned` has two consumers (the sizing agg
+    # here and the final groupBy below) — checkpoint it so the assignment
+    # scan + matmul runs ONCE, written to executor-local storage exactly
+    # like each split level already does, instead of recomputing from the
+    # source for the final pass.  max_cluster=None keeps the original
+    # zero-materialization single-pass plan.
+    if max_cluster is not None:
+        assigned = assigned.localCheckpoint(eager=False)
     frozen: set[int] = set()
     prev_sizes: dict[int, int] = {}
     for _level in range(max_split_levels if max_cluster is not None else 0):
