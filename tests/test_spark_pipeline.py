@@ -2356,6 +2356,21 @@ def test_sessionize_semantics(spark):
         .toString().count("Exchange")
     assert withw - base == 0
 
+    # TIMESTAMP_NTZ input (what a parquet file written without a session
+    # tz carries — e.g. testdata events.parquet): Spark 4 forbids the
+    # direct NTZ->long cast, so sessionize must route through the pinned
+    # UTC session tz and produce the SAME labels as the tz-aware run
+    ntz = df.withColumn("ts", df.ts.cast("timestamp_ntz"))
+    assert dict(ntz.dtypes)["ts"] == "timestamp_ntz"
+    got_ntz = {(r["conv_id"], r["turn_idx"]): r["session_id"]
+               for r in sessionize(ntz, gap_seconds=1800).collect()}
+    assert got_ntz == {k: v[1] for k, v in got.items()}
+    stats_ntz = {r["session_id"]: (r["n_turns"], r["span_sec"])
+                 for r in session_stats(
+                     sessionize(ntz, gap_seconds=1800),
+                     ).collect()}
+    assert stats_ntz["c1#1"] == (2, 100)
+
 
 def test_container_explode_stage(spark):
     """extract_container_entries: one archive/mail row explodes to one

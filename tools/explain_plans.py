@@ -116,11 +116,56 @@ def main():
     from xponents_spark.operators.similarity import (semantic_dedup,
                                                      train_ivf_centroids)
     cents = train_ivf_centroids(emb, n_centroids=8)
-    sections.append(("semantic dedup / SemDeDup (expect: scan -> "
-                     "MapInPandas assignment -> ONE Exchange on list_id "
-                     "-> FlatMapGroupsInPandas; no join-back for the "
-                     "cluster id)",
+    sections.append(("semantic dedup / SemDeDup (expect: checkpointed "
+                     "assignment [Scan ExistingRDD — the scan+MapInPandas "
+                     "matmul runs ONCE for the sizing agg and this pass, "
+                     "see similarity.py] -> ONE Exchange on list_id -> "
+                     "FlatMapGroupsInPandas; no join-back for the cluster "
+                     "id; max_cluster=None restores the direct "
+                     "scan->MapInPandas single-pass plan)",
                      formatted(semantic_dedup(emb, centroids=cents))))
+
+    from xponents_spark.operators.dedup import decontaminate
+    bench_docs = docs.limit(50).selectExpr("doc_id AS bench_id",
+                                           "text")
+    sections.append(("decontaminate / benchmark 13-gram collision (expect: "
+                     "corpus side scan -> gram-array Project -> Generate -> "
+                     "BroadcastHashJoin [BuildRight = benchmark grams] — "
+                     "the 100 TB corpus never shuffles before the join; "
+                     "the only Exchanges aggregate the tiny contaminated "
+                     "hit set)",
+                     formatted(decontaminate(docs, bench_docs))))
+
+    from xponents_spark.operators.redact import redact_pii
+    sections.append(("redact_pii (expect: ONE Project over the scan — "
+                     "whole-stage codegen regexp chain, zero Exchange, "
+                     "zero Python)",
+                     formatted(redact_pii(docs))))
+
+    from xponents_spark.operators.corpus import hash_split, mixture_sample
+    from pyspark.sql import functions as F
+    mixed = mixture_sample(
+        hash_split(docs).withColumn(
+            "source", F.concat(F.lit("s"), (docs.doc_id % 3).cast("string"))),
+        rates={"s0": 2.5, "s1": 1.0, "s2": 0.25}, source_col="source")
+    sections.append(("corpus_split_mix (expect: ONE WholeStageCodegen span "
+                     "— scan -> Filter -> Project -> Generate, zero "
+                     "Exchange, zero Python; split + mixture assignment "
+                     "are pure functions of (key, salt))",
+                     formatted(mixed)))
+
+    from xponents_spark.operators.sessions import sessionize
+    events = spark.read.parquet(f"{SF}/events.parquet")
+    ts_events = events.withColumn(
+        "conv_id", events.user_id.cast("string")).withColumn(
+        "turn_idx", events.event_id).select("conv_id", "turn_idx", "ts")
+    sections.append(("sessionize (expect: scan -> derive ts -> ONE "
+                     "Exchange hashpartitioning(conv_id) -> Sort -> "
+                     "Window(lag) -> Window(running sum) -> Project; ZERO "
+                     "Exchange when the input is already "
+                     "conv_id-partitioned — pinned by "
+                     "test_sessionize_semantics)",
+                     formatted(sessionize(ts_events))))
 
     os.makedirs("BENCH", exist_ok=True)
     with open("BENCH/PLANS.md", "w") as fh:

@@ -25,6 +25,20 @@ from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 
+def _epoch_seconds(df: DataFrame, ts_col: str):
+    """ts column -> epoch seconds, tolerating TIMESTAMP_NTZ inputs.
+
+    Spark 4 forbids the direct NTZ->long cast; route NTZ through a
+    session-timezone cast first (the engine pins the session to UTC in
+    session.py, so the instant is deterministic).  Plain TIMESTAMP and
+    numeric columns keep the original single-cast expression.
+    """
+    c = F.col(ts_col)
+    if dict(df.dtypes).get(ts_col) == "timestamp_ntz":
+        c = c.cast("timestamp")
+    return c.cast("long")
+
+
 def sessionize(df: DataFrame, key_col: str = "conv_id",
                ts_col: str = "ts", gap_seconds: int = 1800,
                tiebreak_col: str = "turn_idx",
@@ -39,7 +53,8 @@ def sessionize(df: DataFrame, key_col: str = "conv_id",
     across runs (the session boundary could land on either row).
     """
     w = Window.partitionBy(key_col).orderBy(ts_col, tiebreak_col)
-    gap = F.col(ts_col).cast("long") - F.lag(F.col(ts_col).cast("long")).over(w)
+    epoch = _epoch_seconds(df, ts_col)
+    gap = epoch - F.lag(epoch).over(w)
     new_session = F.when(gap.isNull() | (gap > gap_seconds), 1).otherwise(0)
     return (df
             .withColumn("session_seq",
@@ -56,7 +71,7 @@ def session_stats(df: DataFrame, key_col: str = "conv_id",
     """Per-session rollup: turn count + wall-clock span — the episode
     length distribution every transcript-curation pipeline reports.
     One partial-agg shuffle on the session id."""
+    epoch = _epoch_seconds(df, ts_col)
     return (df.groupBy(key_col, session_col)
               .agg(F.count("*").alias("n_turns"),
-                   (F.max(F.col(ts_col).cast("long"))
-                    - F.min(F.col(ts_col).cast("long"))).alias("span_sec")))
+                   (F.max(epoch) - F.min(epoch)).alias("span_sec")))
