@@ -225,7 +225,14 @@ def bench_queries(spark) -> dict[str, float]:
              "event_hourly_windows", "characterize",
              "decontaminate", "redact_pii", "corpus_split_mix",
              "container_text_recovery", "sessionize", "asof_join",
-             "range_join"]
+             "range_join",
+             # round-6 additions: NEW keys only (existing series keep
+             # measuring the same work round-over-round)
+             "gopher_filter_full", "ngram_jaccard_pairs",
+             "near_dup_groups", "remove_duplicated_spans",
+             "embedding_near_dups", "near_dups_all",
+             "image_text_recovery", "pdf_text_recovery",
+             "office_text_recovery"]
     qs = entry.queries()
     # merged out of queries() (driver 50-cap) but still benched per-scheme
     # so the per-query time series stays comparable across rounds
