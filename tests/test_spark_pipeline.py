@@ -2546,3 +2546,25 @@ def test_semantic_dedup_giant_cluster_guard(spark):
     assert len(out3) == 120
     assert {r["rep_id"] for r in out3} == {out3[0]["rep_id"]}
     assert sum(1 for r in out3 if r["keep"]) == 1
+
+
+def test_session_scheduling_defaults(spark):
+    """Engine session defaults that exist for documented scale reasons —
+    pin them so a refactor cannot silently revert the measured wins.
+
+    locality.wait=0s: delay scheduling idled free multi-executor cores up
+    to 3 s per task wave waiting for cache-preferred executors (round-6
+    diagnosis, BENCH/scaling_r06_run1.json -> scaling_r06.json: raw
+    N->4N median 0.744 -> 0.930).  SPARK_GRAFT_LOCALITY_WAIT overrides
+    for HDFS-colocated clusters.
+    """
+    assert spark.conf.get("spark.locality.wait") == "0s"
+    # v2 committer: O(1) job commit (serial rename pass is Amdahl cost)
+    assert spark.conf.get(
+        "spark.hadoop.mapreduce.fileoutputcommitter.algorithm.version") == "2"
+    # the documented override knob exists (no second JVM session needed
+    # to assert the plumbing)
+    import inspect
+
+    from xponents_spark.session import get_spark as gs
+    assert "SPARK_GRAFT_LOCALITY_WAIT" in inspect.getsource(gs)
