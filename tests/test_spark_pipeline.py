@@ -1900,8 +1900,11 @@ def test_ngram_repetition_full_family(spark):
         if not text:
             return None, None
         c = Counter(grams)
-        top = max(((cnt, g) for g, cnt in c.items()), default=(0, ""))
-        top_frac = min(top[0] * len(top[1]) / len(text), 1.0)
+        # tie-break parity with the operator + oracle: most frequent,
+        # ties -> LONGEST gram (any (cnt, len)-tied gram gives the same
+        # cnt*len product, so the fraction is tie-rule-independent)
+        top = max(((cnt, len(g)) for g, cnt in c.items()), default=(0, 0))
+        top_frac = min(top[0] * top[1] / len(text), 1.0)
         dup = sum((cnt - 1) * len(g) for g, cnt in c.items() if cnt > 1)
         return top_frac, min(dup / len(text), 1.0)
 

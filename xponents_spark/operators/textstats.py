@@ -204,12 +204,18 @@ def repetition_stats(df: DataFrame, text_col: str = "text",
             "CASE WHEN size(w) >= 2 THEN transform(sequence(1, size(w) - 1), "
             "i -> concat_ws(' ', slice(w, i, 2))) "
             "ELSE array() END")).alias("gram"))
-    # top 2-gram by (count, gram): max(struct) is deterministic under ties
+    # top 2-gram by (count, length): deterministic under ties, and any
+    # (cnt, len)-tied gram yields the SAME cnt*len product — the family's
+    # uniform tie rule (ngram_repetition_stats, the single-pass walk and
+    # every oracle use it), chosen so the hashed-gram exchange never needs
+    # the string back
     top2 = (g2.groupBy(id_col, "gram").agg(F.count("*").alias("cnt"))
               .groupBy(id_col)
-              .agg(F.max(F.struct(F.col("cnt"), F.col("gram"))).alias("top"))
+              .agg(F.max(F.struct(F.col("cnt"),
+                                  F.length("gram").alias("glen")))
+                   .alias("top"))
               .select(id_col,
-                      (F.col("top.cnt") * F.length("top.gram"))
+                      (F.col("top.cnt") * F.col("top.glen"))
                       .alias("top2_chars")))
 
     g5 = base.select(
@@ -306,20 +312,27 @@ def gopher_quality_filter(df: DataFrame, text_col: str = "text",
 
 
 def _run_length_top(arr_sql: str) -> str:
-    """SQL: max (count, gram) run over a SORTED string array — count of the
-    most frequent element with ties to the lexicographically largest (the
-    same semantics as the relational ``max(struct(cnt, gram))``).  One
-    O(n log n) array_sort + one O(n) aggregate walk, all JVM-side."""
+    """SQL: max (count, length) run over a SORTED string array — count of
+    the most frequent element, ties to the LONGEST (the family's uniform
+    tie rule; same semantics as the relational
+    ``max(struct(cnt, length(gram)))``, and any (cnt, len)-tied gram
+    yields the same cnt*len product downstream).  One O(n log n)
+    array_sort + one O(n) aggregate walk, all JVM-side."""
     return (
         "aggregate(array_sort({a}), "
-        "named_struct('prev', '', 'run', 0, 'bc', 0, 'bg', ''), "
+        "named_struct('prev', '', 'run', 0, 'bc', 0, 'bl', 0), "
         "(acc, x) -> named_struct("
         "  'prev', x, "
         "  'run', IF(x = acc.prev, acc.run + 1, 1), "
-        "  'bc', IF(IF(x = acc.prev, acc.run + 1, 1) >= acc.bc, "
+        "  'bc', IF(IF(x = acc.prev, acc.run + 1, 1) > acc.bc "
+        "           OR (IF(x = acc.prev, acc.run + 1, 1) = acc.bc "
+        "               AND length(x) >= acc.bl), "
         "           IF(x = acc.prev, acc.run + 1, 1), acc.bc), "
-        "  'bg', IF(IF(x = acc.prev, acc.run + 1, 1) >= acc.bc, x, acc.bg)), "
-        "acc -> named_struct('cnt', acc.bc, 'gram', acc.bg))"
+        "  'bl', IF(IF(x = acc.prev, acc.run + 1, 1) > acc.bc "
+        "           OR (IF(x = acc.prev, acc.run + 1, 1) = acc.bc "
+        "               AND length(x) >= acc.bl), "
+        "           length(x), acc.bl)), "
+        "acc -> named_struct('cnt', acc.bc, 'glen', acc.bl))"
     ).format(a=arr_sql)
 
 
@@ -386,7 +399,7 @@ def gopher_quality_filter_single_pass(
         / F.nullif(F.expr(f"size({lines_sql})").cast("double"), F.lit(0.0)))
     top2 = F.expr(_run_length_top(g2_sql))
     top2_frac = F.least(
-        (top2["cnt"] * F.length(top2["gram"])).cast("double") / nc, F.lit(1.0))
+        (top2["cnt"] * top2["glen"]).cast("double") / nc, F.lit(1.0))
     dup5_frac = F.least(
         F.expr(_dup_chars(g5_sql)).cast("double") / nc, F.lit(1.0))
 
@@ -468,8 +481,8 @@ def c4_quality_filter(df: DataFrame, text_col: str = "text",
 def ngram_repetition_stats(df: DataFrame, text_col: str = "text",
                            id_col: str = "doc_id",
                            top_ns: tuple[int, ...] = (2, 3, 4),
-                           dup_ns: tuple[int, ...] = (5, 6, 7, 8, 9, 10)
-                           ) -> DataFrame:
+                           dup_ns: tuple[int, ...] = (5, 6, 7, 8, 9, 10),
+                           hash_grams: bool = True) -> DataFrame:
     """The FULL Gopher n-gram repetition family (Rae et al. 2021 Table A1):
     ``top_{n}gram_char_frac`` for each n in ``top_ns`` (characters covered
     by all occurrences of the most frequent word n-gram / length) and
@@ -482,6 +495,13 @@ def ngram_repetition_stats(df: DataFrame, text_col: str = "text",
     (id, n, gram) structs — so all nine signals ride a single
     (id, n, gram) exchange with map-side partial aggregation plus one
     (id) rollup, instead of len(top_ns)+len(dup_ns) separate wide passes.
+    With ``hash_grams`` (default) the gram STRING never leaves the scan
+    stage: the exchange and agg keys carry (id, n, xxhash64(gram)) with
+    the gram's char length riding along — all fractions only need counts
+    and lengths, never the text, so rows shrink from up-to-10-word
+    strings to two fixed ints (same trick, same collision math as
+    ``decontaminate(hash_grams=)``: a cross-gram collision within one
+    (doc, n) needs ~2^32 distinct grams in ONE doc to reach even 1e-9).
     Same clamp-at-1.0 contract as ``repetition_stats``; empty docs yield
     NULL fractions here (repetition_stats' gram fractions return 1.0 on
     empty docs via the least(NULL, 1.0) quirk — pinned by its oracle, so
@@ -490,25 +510,36 @@ def ngram_repetition_stats(df: DataFrame, text_col: str = "text",
     text = F.col(text_col)
     base = df.select(F.col(id_col), F.length(text).alias("n_chars"),
                      _tokens(text_col).alias("w"))
+    gram_expr = ("concat_ws(' ', slice(w, i, {n}))" if not hash_grams else
+                 "xxhash64(concat_ws(' ', slice(w, i, {n})))")
+    gram_type = "gram" if not hash_grams else "gh"
     arms = ", ".join(
         f"CASE WHEN size(w) >= {n} THEN "
         f"transform(sequence(1, size(w) - {n - 1}), "
-        f"i -> struct({n} AS n, concat_ws(' ', slice(w, i, {n})) AS gram)) "
+        f"i -> struct({n} AS n, " + gram_expr.format(n=n) +
+        f" AS {gram_type}, "
+        # gram char length = word lengths + (n-1) separators; computed
+        # in-scan so the hashed path never materializes the string twice
+        f"aggregate(slice(w, i, {n}), {n - 1}, "
+        f"(a, x) -> a + length(x)) AS glen)) "
         "ELSE array() END" for n in ns)
     grams = (base.select(
         id_col, F.explode(F.expr(f"flatten(array({arms}))")).alias("t"))
-        .select(id_col, F.col("t.n").alias("n"), F.col("t.gram").alias("gram")))
-    counts = grams.groupBy(id_col, "n", "gram").agg(F.count("*").alias("cnt"))
+        .select(id_col, F.col("t.n").alias("n"),
+                F.col(f"t.{gram_type}").alias(gram_type),
+                F.col("t.glen").alias("glen")))
+    counts = grams.groupBy(id_col, "n", gram_type).agg(
+        F.count("*").alias("cnt"), F.first("glen").alias("glen"))
     aggs = []
     for n in top_ns:
         aggs.append(
             F.max(F.when(F.col("n") == n,
-                         F.struct(F.col("cnt"), F.col("gram"))))
+                         F.struct(F.col("cnt"), F.col("glen"))))
              .alias(f"_top{n}"))
     for n in dup_ns:
         aggs.append(
             F.sum(F.when((F.col("n") == n) & (F.col("cnt") > 1),
-                         (F.col("cnt") - 1) * F.length("gram")).otherwise(0))
+                         (F.col("cnt") - 1) * F.col("glen")).otherwise(0))
              .alias(f"_dup{n}_chars"))
     per_doc = counts.groupBy(id_col).agg(*aggs)
     nc = F.nullif(F.col("n_chars").cast("double"), F.lit(0.0))
@@ -520,9 +551,12 @@ def ngram_repetition_stats(df: DataFrame, text_col: str = "text",
         return F.when(nc.isNotNull(), F.least(num / nc, F.lit(1.0)))
 
     for n in top_ns:
+        # ties on cnt break by glen: any (cnt, glen)-tied gram yields the
+        # SAME cnt*glen product, so the fraction is deterministic and
+        # engine-independent — the oracle mirrors ORDER BY cnt, length
         cols.append(_clamped(
             (F.coalesce(F.col(f"_top{n}.cnt"), F.lit(0))
-             * F.coalesce(F.length(f"_top{n}.gram"), F.lit(0)))
+             * F.coalesce(F.col(f"_top{n}.glen"), F.lit(0)))
             .cast("double")).alias(f"top_{n}gram_char_frac"))
     for n in dup_ns:
         cols.append(_clamped(

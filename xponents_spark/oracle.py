@@ -280,7 +280,8 @@ g2 AS (SELECT doc_id, array_to_string(w[i:i+1], ' ') AS gram
 top2 AS (SELECT doc_id, cnt * length(gram) AS top2_chars
          FROM (SELECT doc_id, gram, count(*) AS cnt,
                       row_number() OVER (PARTITION BY doc_id
-                                         ORDER BY count(*) DESC, gram DESC)
+                                         ORDER BY count(*) DESC,
+                                                  length(gram) DESC)
                         AS rn
                FROM g2 GROUP BY doc_id, gram)
          WHERE rn = 1),
@@ -526,8 +527,10 @@ def gopher_filter_full_oracle() -> str:
     paragraph duplicates, top-3/4-gram and dup-6..10-gram fractions.
     CASE on a NULL fraction (empty doc) yields NULL and concat_ws skips
     it, matching the Spark side's when()-on-NULL behaviour; top-gram
-    ties break (cnt, gram) lexicographically-greatest in both engines
-    (max(struct) == ORDER BY cnt DESC, gram DESC)."""
+    ties break (cnt, length(gram))-greatest in both engines — any gram
+    tied on BOTH yields the identical cnt*length product, so the
+    fraction is engine-independent by construction (this also lets the
+    Spark side shuffle xxhash64(gram) instead of the string)."""
     from .operators.textstats import GOPHER_THRESHOLDS_FULL as T
     top_ns, dup_ns = (3, 4), (6, 7, 8, 9, 10)
     ctes = []
@@ -540,8 +543,9 @@ def gopher_filter_full_oracle() -> str:
         ctes.append(
             f"top{n}f AS (SELECT doc_id, cnt * length(gram) AS chars FROM"
             f" (SELECT doc_id, gram, count(*) AS cnt, row_number() OVER"
-            f" (PARTITION BY doc_id ORDER BY count(*) DESC, gram DESC)"
-            f" AS rn FROM g{n} GROUP BY doc_id, gram) q WHERE rn = 1)")
+            f" (PARTITION BY doc_id ORDER BY count(*) DESC,"
+            f" length(gram) DESC) AS rn"
+            f" FROM g{n} GROUP BY doc_id, gram) q WHERE rn = 1)")
     for n in dup_ns:
         ctes.append(
             f"dup{n}f AS (SELECT doc_id, sum(CASE WHEN cnt > 1 THEN"
