@@ -165,7 +165,8 @@ def minhash_near_dups(df: DataFrame, text_col: str = "text",
 
 def ngram_jaccard_pairs(df: DataFrame, text_col: str = "text",
                         id_col: str = "doc_id", n: int = 3,
-                        threshold: float = 0.5) -> DataFrame:
+                        threshold: float = 0.5,
+                        hash_shingles: bool = True) -> DataFrame:
     """EXACT word-n-gram Jaccard similarity join — the ground truth that
     ``minhash_near_dups`` approximates.
 
@@ -175,7 +176,14 @@ def ngram_jaccard_pairs(df: DataFrame, text_col: str = "text",
     ``|A∩B| / (|A|+|B|-|A∩B|)``.  Returns (doc_a, doc_b, n_inter, jaccard)
     with doc_a < doc_b and jaccard >= threshold.
 
-    Scale note: the shuffle is on shingle strings, so cost is driven by
+    With ``hash_shingles`` (default) the exchange and join keys are
+    ``xxhash64(shingle)`` longs, not the shingle strings — set counts are
+    hash-invariant (distinct applies AFTER hashing) and a false
+    intersection needs a cross-doc 64-bit collision (~|A||B|/2^64 per
+    pair), the same budget ``decontaminate(hash_grams=)`` documents.
+    ``hash_shingles=False`` keeps the string path.
+
+    Scale note: the shuffle is keyed on shingles, so cost is driven by
     shingle document-frequency (a shingle in d docs yields O(d²) join rows).
     This is the exact/verification path, sized for corpora where df is
     bounded; at 100 TB run ``minhash_near_dups`` (LSH banding) to generate
@@ -186,10 +194,13 @@ def ngram_jaccard_pairs(df: DataFrame, text_col: str = "text",
     # dropped — so 'exact ground truth for MinHash' holds on text with
     # newlines/tabs/vertical-tabs/repeated spaces too
     w = f"filter(split({text_col}, '\\\\s+'), x -> x != '')"
+    gram = f"concat_ws(' ', slice({w}, i, {n}))"
+    if hash_shingles:
+        gram = f"xxhash64({gram})"
     grams = F.expr(
         f"array_distinct(transform("
         f"  sequence(1, greatest(size({w}) - {n - 1}, 1)),"
-        f"  i -> concat_ws(' ', slice({w}, i, {n}))))")
+        f"  i -> {gram}))")
     sh = df.select(F.col(id_col), F.explode(grams).alias("s"))
     sizes = sh.groupBy(id_col).agg(F.count("*").alias("n_sh"))
     inter = (sh.alias("a")
