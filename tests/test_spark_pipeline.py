@@ -2571,3 +2571,46 @@ def test_session_scheduling_defaults(spark):
 
     from xponents_spark.session import get_spark as gs
     assert "SPARK_GRAFT_LOCALITY_WAIT" in inspect.getsource(gs)
+
+
+def test_hashed_gram_paths_equal_string_paths(spark):
+    """The hashed exchanges are plan optimizations, not semantics: on a
+    seeded randomized corpus (repeats, ties, empties, unicode, huge
+    runs), ngram_repetition_stats(hash_grams=) and
+    ngram_jaccard_pairs(hash_shingles=) produce IDENTICAL rows to their
+    string-keyed paths."""
+    import random
+
+    from xponents_spark.operators.dedup import ngram_jaccard_pairs
+    from xponents_spark.operators.textstats import ngram_repetition_stats
+
+    rng = random.Random(0xC0FFEE)
+    vocab = ["the", "cat", "sat", "mat", "δ", "東京", "a", "b", "--", "x1"]
+    docs = []
+    for i in range(40):
+        n = rng.choice([0, 1, 3, 8, 30, 120])
+        words = [rng.choice(vocab) for _ in range(n)]
+        if rng.random() < 0.3 and n >= 10:      # force heavy repetition
+            words = words[:5] * (n // 5)
+        docs.append((i, " ".join(words)))
+    docs += [(100, ""), (101, "x " * 200), (102, "solo")]
+    df = spark.createDataFrame(docs, "doc_id long, text string")
+
+    a = {r["doc_id"]: r.asDict() for r in
+         ngram_repetition_stats(df, hash_grams=True).collect()}
+    b = {r["doc_id"]: r.asDict() for r in
+         ngram_repetition_stats(df, hash_grams=False).collect()}
+    assert a.keys() == b.keys()
+    for k in a:
+        for col, va in a[k].items():
+            vb = b[k][col]
+            assert (va is None and vb is None) or va == vb or \
+                abs(va - vb) < 1e-12, (k, col, va, vb)
+
+    pa = sorted((r["doc_a"], r["doc_b"], r["n_inter"], round(r["jaccard"], 12))
+                for r in ngram_jaccard_pairs(
+                    df, threshold=0.2, hash_shingles=True).collect())
+    pb = sorted((r["doc_a"], r["doc_b"], r["n_inter"], round(r["jaccard"], 12))
+                for r in ngram_jaccard_pairs(
+                    df, threshold=0.2, hash_shingles=False).collect())
+    assert pa == pb and pa            # non-vacuous: repeats guarantee pairs
