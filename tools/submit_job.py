@@ -12,7 +12,24 @@ from pyspark.sql import functions as F
 
 def main():
     sf_dir, out = sys.argv[1], sys.argv[2]
-    spark = SparkSession.builder.appName("xponents-extract").getOrCreate()
+    # Engine session defaults (AQE, Arrow, v2 committer, locality.wait=0 —
+    # the round-6 multi-executor fix) apply ONLY where the submitter's
+    # --conf / spark-defaults did not already set the key, so cluster
+    # operators keep the last word.
+    from pyspark import SparkConf
+    from pyspark.context import SparkContext
+
+    from xponents_spark.session import engine_conf
+    # bring the JVM gateway up FIRST: a pre-gateway SparkConf() cannot see
+    # spark-submit's --conf / spark-defaults.conf and the engine defaults
+    # would silently stomp them (verified both ways under spark-submit)
+    SparkContext._ensure_initialized()
+    submitted = SparkConf()          # JVM-backed: loads submitted spark.*
+    b = SparkSession.builder.appName("xponents-extract")
+    for k, v in engine_conf().items():
+        if not submitted.contains(k):
+            b = b.config(k, v)
+    spark = b.getOrCreate()
     from xponents_spark.pipeline import extract
     from xponents_spark.plans import salted_repartition
     from xponents_spark.sources import synthesize_transcripts

@@ -12,6 +12,28 @@ import os
 
 from pyspark.sql import SparkSession
 
+# The engine's static session defaults — shared between get_spark (local
+# harness) and the spark-submit entry (tools/submit_job.py), where they
+# apply ONLY when the submitter's --conf has not already set the key.
+# Rationale for each value: see the builder comments in get_spark below.
+ENGINE_CONF = {
+    "spark.sql.session.timeZone": "UTC",
+    "spark.sql.adaptive.enabled": "true",
+    "spark.sql.adaptive.coalescePartitions.enabled": "true",
+    "spark.sql.adaptive.skewJoin.enabled": "true",
+    "spark.sql.execution.arrow.pyspark.enabled": "true",
+    "spark.sql.files.maxPartitionBytes": "128m",
+    "spark.hadoop.mapreduce.fileoutputcommitter.algorithm.version": "2",
+}
+
+
+def engine_conf() -> dict:
+    """Static defaults plus the env-overridable entries, resolved now."""
+    conf = dict(ENGINE_CONF)
+    conf["spark.locality.wait"] = os.environ.get(
+        "SPARK_GRAFT_LOCALITY_WAIT", "0s")
+    return conf
+
 
 def get_spark(app: str = "xponents-spark", master: str | None = None,
               shuffle_partitions: int | None = None,
@@ -53,41 +75,39 @@ def get_spark(app: str = "xponents-spark", master: str | None = None,
     except (OSError, ValueError, IndexError):
         pass
     default_mem = f"{want_gb}g"
+    # Shared static defaults (ENGINE_CONF + locality, see engine_conf):
+    # - UTC session tz: timestamp determinism vs the DuckDB oracle
+    # - AQE + coalesce + skew-join: runtime re-planning
+    # - Arrow: the pandas-UDF transport
+    # - maxPartitionBytes=128m: extraction output rows are wide (match
+    #   arrays); keep file splits sane
+    # - v2 file-output committer: task commit places files directly, job
+    #   commit is O(1) — v1's driver-side serial rename pass is Amdahl
+    #   overhead that grows with task count (measured ~3% end-to-end at
+    #   96 output files, charged disproportionately to larger clusters).
+    #   Safe for this engine: writes are overwrite-idempotent and
+    #   resumability/atomicity live in the manifest layer
+    #   (plans/checkpoints.py), not in commit renames.
+    # - Delay scheduling OFF (locality.wait=0s): the hot path is short
+    #   (~0.3 s) Arrow tasks over cached/columnar input, and the 3 s
+    #   default makes FREE cores sit idle waiting for their block's
+    #   preferred executor whenever block placement is uneven — a stall
+    #   charged only to multi-executor clusters (a 1-executor job is
+    #   always PROCESS_LOCAL).  Measured on the 400k-turn probe job,
+    #   local-cluster[4,4,6144]: wall 24.0 s -> 16.3 s (-32%) with
+    #   wait=0; an EMPTY same-plan job (pure per-job overhead) drops
+    #   7.0 s -> 4.0 s.  The remedy cost is a remote cache-block fetch
+    #   (ms on any datacenter network), and the target deployment scans
+    #   object-store Iceberg where scan locality does not exist anyway.
+    #   Override for HDFS-colocated clusters where NODE_LOCAL disk reads
+    #   matter: SPARK_GRAFT_LOCALITY_WAIT=3s.
+    b = SparkSession.builder.appName(app).master(master)
+    for k, v in engine_conf().items():
+        b = b.config(k, v)
     return (
-        SparkSession.builder
-        .appName(app)
-        .master(master)
-        .config("spark.sql.session.timeZone", "UTC")
+        b
         .config("spark.sql.shuffle.partitions", str(shuffle_partitions))
-        .config("spark.sql.adaptive.enabled", "true")
-        .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
-        .config("spark.sql.adaptive.skewJoin.enabled", "true")
-        .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .config("spark.sql.execution.arrow.maxRecordsPerBatch", str(arrow_batch))
-        # extraction output rows are wide (match arrays); keep file splits sane
-        .config("spark.sql.files.maxPartitionBytes", "128m")
-        # v2 file-output committer: task commit places files directly, job
-        # commit is O(1) — v1's driver-side serial rename pass is Amdahl
-        # overhead that grows with task count (measured ~3% end-to-end at
-        # 96 output files, charged disproportionately to larger clusters).
-        # Safe for this engine: writes are overwrite-idempotent and
-        # resumability/atomicity live in the manifest layer
-        # (plans/checkpoints.py), not in commit renames.
-        .config("spark.hadoop.mapreduce.fileoutputcommitter.algorithm.version", "2")
-        # Delay scheduling OFF: the hot path is short (~0.3 s) Arrow tasks
-        # over cached/columnar input, and the 3 s default makes FREE cores
-        # sit idle waiting for their block's preferred executor whenever
-        # block placement is uneven — a stall charged only to multi-executor
-        # clusters (a 1-executor job is always PROCESS_LOCAL).  Measured on
-        # the 400k-turn probe job, local-cluster[4,4,6144]: wall 24.0 s ->
-        # 16.3 s (-32%) with wait=0; an EMPTY same-plan job (pure per-job
-        # overhead) drops 7.0 s -> 4.0 s.  The remedy cost is a remote
-        # cache-block fetch (ms on any datacenter network), and the target
-        # deployment scans object-store Iceberg where scan locality does
-        # not exist anyway.  Override for HDFS-colocated clusters where
-        # NODE_LOCAL disk reads matter: SPARK_GRAFT_LOCALITY_WAIT=3s.
-        .config("spark.locality.wait",
-                os.environ.get("SPARK_GRAFT_LOCALITY_WAIT", "0s"))
         .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEM", default_mem))
         .getOrCreate()
     )
