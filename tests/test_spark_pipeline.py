@@ -2614,3 +2614,14 @@ def test_hashed_gram_paths_equal_string_paths(spark):
                 for r in ngram_jaccard_pairs(
                     df, threshold=0.2, hash_shingles=False).collect())
     assert pa == pb and pa            # non-vacuous: repeats guarantee pairs
+
+    # ExactSubstr: the 128-bit-key extreme-scale path removes IDENTICAL
+    # spans to the string-keyed default (the destructive op, so exactness
+    # of the hashed path matters most here)
+    from xponents_spark.operators.dedup import remove_duplicated_spans
+    ra = sorted(map(tuple, remove_duplicated_spans(
+        df, k=4, hash_grams=True).collect()))
+    rb = sorted(map(tuple, remove_duplicated_spans(
+        df, k=4, hash_grams=False).collect()))
+    assert ra == rb
+    assert any(r[3] > 0 for r in ra)  # non-vacuous: something was removed

@@ -441,7 +441,8 @@ def near_dup_components(pairs: DataFrame, docs: DataFrame,
 
 def duplicated_spans(df: DataFrame, k: int = 8,
                      text_col: str = "text",
-                     id_col: str = "doc_id") -> DataFrame:
+                     id_col: str = "doc_id",
+                     hash_grams: bool = False) -> DataFrame:
     """Exact duplicated-substring detection (the Lee et al. 2022
     "Deduplicating Training Data" ExactSubstr operator): find, per
     document, the maximal token spans covered by any ``k``-token substring
@@ -461,12 +462,21 @@ def duplicated_spans(df: DataFrame, k: int = 8,
          end over a (doc, start)-ordered window -> island ids -> min/max
          per island.  One window + one aggregate, both partitioned by doc.
 
-    Exact by construction: the group key is the shingle STRING (no hash
-    collisions); at extreme scale swap in a 128-bit hash key to slim the
-    exchange (collision probability negligible) — the plan is unchanged.
+    Exact by construction: the default group key is the shingle STRING
+    (no hash collisions — this operator DELETES text downstream, so the
+    default takes zero collision risk).  ``hash_grams=True`` is the
+    documented extreme-scale path: the key becomes a struct of two
+    independently-seeded ``xxhash64`` values (an effective 128-bit key,
+    collision ~n²/2¹²⁸ — vanishing even at 10¹² shingles) so the
+    (shingle) exchange carries 16 bytes instead of a k-token string; the
+    plan is unchanged.
     """
     from pyspark.sql import Window
 
+    gram_sql = f"concat_ws(' ', slice(w, i, {k}))"
+    if hash_grams:
+        gram_sql = (f"struct(xxhash64({gram_sql}) AS h1, "
+                    f"xxhash64(2654435761, {gram_sql}) AS h2)")
     toks = F.split(F.trim(F.col(text_col)), r"\s+")
     sh = (df.select(F.col(id_col), toks.alias("w"))
             .filter(F.size("w") >= k)
@@ -474,7 +484,7 @@ def duplicated_spans(df: DataFrame, k: int = 8,
                 id_col,
                 F.posexplode(F.expr(
                     f"transform(sequence(1, size(w) - {k - 1}), "
-                    f"i -> concat_ws(' ', slice(w, i, {k})))"))
+                    f"i -> {gram_sql})"))
                  .alias("pos", "gram")))
     dup = (sh.groupBy("gram").agg(F.count("*").alias("cnt"))
              .filter(F.col("cnt") >= 2)
@@ -505,7 +515,8 @@ def duplicated_spans(df: DataFrame, k: int = 8,
 
 def remove_duplicated_spans(df: DataFrame, k: int = 8,
                             text_col: str = "text",
-                            id_col: str = "doc_id") -> DataFrame:
+                            id_col: str = "doc_id",
+                            hash_grams: bool = False) -> DataFrame:
     """The removal half of the ExactSubstr pass: cut every duplicated span
     found by :func:`duplicated_spans` out of each document, returning
     ``(doc_id, clean_text, n_tokens, n_tokens_removed)``.
@@ -515,7 +526,7 @@ def remove_duplicated_spans(df: DataFrame, k: int = 8,
     (x, i) -> ..)`` + ``exists`` filter drops covered token positions —
     no Python in the path, no extra shuffle beyond duplicated_spans' own.
     """
-    spans = (duplicated_spans(df, k, text_col, id_col)
+    spans = (duplicated_spans(df, k, text_col, id_col, hash_grams)
              .groupBy(id_col)
              .agg(F.collect_list(F.struct("span_start", "span_end"))
                   .alias("_spans")))
