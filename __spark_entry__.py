@@ -32,7 +32,8 @@ from xponents_spark.operators import (
     token_stats,
 )
 from xponents_spark.pipeline import exploded_matches, extract
-from xponents_spark.plans import ordered_output, salted_repartition
+from xponents_spark.plans import (ordered_output, salted_repartition,
+                                  spread_small_input)
 from xponents_spark.sources import synthesize_transcripts
 
 SF0001 = "/root/testdata/sf0.001"
@@ -69,15 +70,31 @@ def entry(spark: SparkSession) -> DataFrame:
 # --- query helpers -----------------------------------------------------------
 
 def _docs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return spark.read.parquet(f"{sf_dir}/documents.parquet")
+    # r7: the sf documents table is ONE parquet split, so every Python/
+    # explode stage over it otherwise runs as ONE task regardless of core
+    # count (measured: image_text_recovery 13.0 s single-task vs 1.7 s
+    # spread at local[32]); spread_small_input is a no-op at cluster scale
+    return spread_small_input(
+        spark.read.parquet(f"{sf_dir}/documents.parquet"),
+        key_cols=("doc_id",))
 
 
 def _emb(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    return spread_small_input(
+        spark.read.parquet(f"{sf_dir}/embeddings.parquet"),
+        key_cols=("vec_id",))
+
+
+def _transcripts_spread(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Synthesized transcripts with the same scan-parallelism floor the
+    flagship gets from its salted repartition (the synth derives from the
+    single-split documents scan, so extraction otherwise runs 1-task)."""
+    return spread_small_input(synthesize_transcripts(spark, sf_dir),
+                              key_cols=("conv_id", "turn_idx"))
 
 
 def _extracted(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return extract(synthesize_transcripts(spark, sf_dir))
+    return extract(_transcripts_spread(spark, sf_dir))
 
 
 def q_transcripts(spark, sf_dir):
@@ -85,7 +102,7 @@ def q_transcripts(spark, sf_dir):
 
 
 def q_main_content(spark, sf_dir):
-    t = synthesize_transcripts(spark, sf_dir)
+    t = _transcripts_spread(spark, sf_dir)
     return extract(t, features=("content",)).select("conv_id", "turn_idx", "main_text")
 
 
@@ -153,7 +170,7 @@ def _taxcat_gate_parquet(spark) -> str:
 
 
 def q_taxons(spark, sf_dir):
-    t = synthesize_transcripts(spark, sf_dir)
+    t = _transcripts_spread(spark, sf_dir)
     out = extract(t, taxcat_parquet=_taxcat_gate_parquet(spark))
     ex = exploded_matches(out)
     return (ex.filter(F.col("label").isin("person", "org", "nationality"))
@@ -166,7 +183,7 @@ def q_conv_scoped_places(spark, sf_dir):
     all fully determined by the pinned fixtures (oracle.conv_scoped_oracle),
     so the driver hash-checks every row of the rescored output."""
     from xponents_spark.pipeline import extract_conversation_scoped
-    out = extract_conversation_scoped(synthesize_transcripts(spark, sf_dir))
+    out = extract_conversation_scoped(_transcripts_spread(spark, sf_dir))
     ex = exploded_matches(out)
     return (ex.filter(F.col("label").isin("place", "country"))
               .select(*_MATCH_BASE_COLS, "cc", "confidence"))
@@ -979,7 +996,7 @@ def q_conv_scoped_invariants(spark, sf_dir):
     I2: for an identical (turn, span, place_id) kept across passes, pass-2
         confidence never drops (the preferred-geography bias only adds)."""
     from xponents_spark.pipeline import extract_conversation_scoped
-    t = synthesize_transcripts(spark, sf_dir)
+    t = _transcripts_spread(spark, sf_dir)
     keys = ["conv_id", "turn_idx", "span_start", "span_end"]
     ex1 = exploded_matches(extract(t))
     m1 = (ex1.filter(F.col("label").isin("place", "country"))
@@ -1043,7 +1060,7 @@ def q_redact_pii(spark, sf_dir):
     match counts, byte-compared against DuckDB running the identical
     pattern list."""
     from xponents_spark.operators.redact import PII_PATTERNS, redact_pii
-    t = synthesize_transcripts(spark, sf_dir)
+    t = _transcripts_spread(spark, sf_dir)
     return redact_pii(t, text_col="text").select(
         "conv_id", "turn_idx", "text_redacted",
         *[f"n_{name}" for name, _, _ in PII_PATTERNS])
@@ -1060,7 +1077,9 @@ def q_corpus_split_mix(spark, sf_dir):
     subsamples) — both pure narrow projections whose exact assignment the
     DuckDB oracle replays through the portable 60-bit md5 bucket."""
     from xponents_spark.operators.corpus import hash_split, mixture_sample
-    docs = _docs(spark, sf_dir).select("doc_id")
+    # raw read (not _docs): this gate is a pure narrow projection whose
+    # zero-Exchange plan shape is the point — no spread needed or wanted
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").select("doc_id")
     src = docs.withColumn(
         "source",
         F.when(F.col("doc_id") % 3 == 0, "web")

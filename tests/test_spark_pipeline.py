@@ -56,6 +56,21 @@ def test_salting_spreads_skewed_conversation(spark):
     assert len(counts) == 8
     assert max(counts) < 2000 * 0.25   # one conversation fans out
 
+def test_spread_small_input_parallelizes_single_split(spark):
+    """r7: a dimension-sized (single-split) input spreads to >= 2x the
+    session's parallelism so CPU-dense map stages use every core; an
+    input that already carries enough partitions passes through
+    untouched (the cluster-scale no-op guard)."""
+    from xponents_spark.plans import spread_small_input
+    one = spark.range(0, 1000, 1, 1).withColumnRenamed("id", "doc_id")
+    par = spark.sparkContext.defaultParallelism
+    spread = spread_small_input(one, key_cols=("doc_id",))
+    assert spread.rdd.getNumPartitions() == max(par * 2, 8)
+    assert spread.count() == 1000          # row-preserving
+    wide = spark.range(0, 1000, 1, par).withColumnRenamed("id", "doc_id")
+    assert spread_small_input(wide, key_cols=("doc_id",)) is wide
+
+
 def test_resumable_checkpoints(spark, sf_dir, tmp_path):
     t = synthesize_transcripts(spark, sf_dir)
     out = str(tmp_path / "run")
@@ -2571,6 +2586,11 @@ def test_session_scheduling_defaults(spark):
 
     from xponents_spark.session import get_spark as gs
     assert "SPARK_GRAFT_LOCALITY_WAIT" in inspect.getsource(gs)
+    # r7: InferFiltersFromGenerate re-runs every explode's array-building
+    # expression as a pushed-down filter (measured 2x map CPU on
+    # decontaminate); excluded as an engine default
+    assert "InferFiltersFromGenerate" in spark.conf.get(
+        "spark.sql.optimizer.excludedRules")
 
 
 def test_hashed_gram_paths_equal_string_paths(spark):
@@ -2625,3 +2645,68 @@ def test_hashed_gram_paths_equal_string_paths(spark):
         df, k=4, hash_grams=False).collect()))
     assert ra == rb
     assert any(r[3] > 0 for r in ra)  # non-vacuous: something was removed
+
+
+def test_single_pass_textstats_equal_relational(spark):
+    """r7: the single-pass (zero-Exchange) defaults of repetition_stats
+    and gopher_quality_filter_full produce IDENTICAL rows to their
+    relational twins on a seeded randomized corpus with repeated lines,
+    blank-line paragraphs, heavy n-gram repetition, empties and unicode
+    (the structures every Table-A1 signal keys on)."""
+    import random
+
+    from xponents_spark.operators.textstats import (
+        gopher_quality_filter_full, repetition_stats)
+
+    rng = random.Random(0xBEEF7)
+    vocab = ["the", "cat", "sat", "mat", "δ", "東京", "a", "b", "--", "x1"]
+
+    def line(n):
+        return " ".join(rng.choice(vocab) for _ in range(n))
+
+    docs = []
+    for i in range(40):
+        n_lines = rng.choice([1, 2, 5, 12])
+        lines = [line(rng.choice([0, 1, 4, 9, 25])) for _ in range(n_lines)]
+        if rng.random() < 0.4 and n_lines >= 3:        # repeated lines
+            lines = lines[:2] * (n_lines // 2)
+        sep = "\n\n" if rng.random() < 0.4 else "\n"   # paragraphs too
+        text = sep.join(lines)
+        if rng.random() < 0.3:                         # heavy gram repeats
+            text = text + "\n" + " ".join(["spam ham"] * 40)
+        docs.append((i, text))
+    docs += [(100, ""), (101, "x " * 200), (102, "solo"),
+             (103, "p1\n\np1\n\np2"), (104, "\n\n\n"),
+             (105, "a b c d e f g h i j " * 30)]
+    df = spark.createDataFrame(docs, "doc_id long, text string")
+
+    a = {r["doc_id"]: r.asDict() for r in
+         repetition_stats(df, single_pass=True).collect()}
+    b = {r["doc_id"]: r.asDict() for r in
+         repetition_stats(df, single_pass=False).collect()}
+    assert a.keys() == b.keys()
+    for k in a:
+        for col, va in a[k].items():
+            vb = b[k][col]
+            assert (va is None and vb is None) or va == vb or \
+                abs(va - vb) < 1e-12, (k, col, va, vb)
+
+    fa = sorted(map(tuple, gopher_quality_filter_full(
+        df, single_pass=True).collect()))
+    fb = sorted(map(tuple, gopher_quality_filter_full(
+        df, single_pass=False).collect()))
+    assert fa == fb
+    # non-vacuous: the corpus must trip Table-A1-specific reasons
+    joined = "|".join(r[2] for r in fa)
+    assert "dup-" in joined and "top-" in joined
+
+
+def test_gopher_full_single_pass_plan_has_no_exchange(spark):
+    """r7 plan pin: the default full Gopher gate is ONE narrow map stage —
+    no Exchange, no Python, no join (guide §2.4)."""
+    from xponents_spark.operators.textstats import gopher_quality_filter_full
+    df = spark.createDataFrame([(1, "a b c")], "doc_id long, text string")
+    plan = gopher_quality_filter_full(df)._jdf.queryExecution() \
+        .executedPlan().toString()
+    assert "Exchange" not in plan
+    assert "Join" not in plan

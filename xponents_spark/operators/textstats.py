@@ -143,10 +143,65 @@ def fingerprint(df: DataFrame, text_col: str = "text",
 
 
 def repetition_stats(df: DataFrame, text_col: str = "text",
-                     id_col: str = "doc_id") -> DataFrame:
+                     id_col: str = "doc_id",
+                     single_pass: bool = True) -> DataFrame:
     """Within-document repetition signals in the Gopher family (Rae et al.
     2021, §A1.1 repetition filters — published quality heuristics for
-    training-data curation):
+    training-data curation).
+
+    r7 (guide §2.4 "remove shuffles outright"): every signal here is a
+    WITHIN-document statistic, so the default is now the ``single_pass``
+    in-row plan — ONE Project over the scan, zero Exchange, zero joins,
+    using the same ``array_sort`` + ``aggregate`` run-length walks the
+    driver-gated ``gopher_quality_filter_single_pass`` variant already
+    proved value-identical (O(m log m) per doc, NOT the O(m²)
+    self-filter shape).  ``single_pass=False`` keeps the relational
+    explode -> groupBy plan for corpora whose individual documents are
+    too large to hold as in-row arrays; both paths are value-identical
+    (randomized equivalence pytest + the driver's SQL oracle).
+    """
+    if single_pass:
+        return _repetition_stats_single_pass(df, text_col, id_col)
+    return _repetition_stats_relational(df, text_col, id_col)
+
+
+def _repetition_stats_single_pass(df: DataFrame, text_col: str,
+                                  id_col: str) -> DataFrame:
+    """In-row repetition_stats: identical output (including the
+    least(NULL, 1.0) = 1.0 empty-doc quirk its oracle pins), one
+    codegen'd Project.  ``_w``/``_lines`` materialize in a first
+    projection so the split runs once, not once per consuming
+    expression (the decontaminate CollapseProject note)."""
+    pre = df.select(
+        F.col(id_col), F.col(text_col).alias("_t"),
+        F.split(F.col(text_col), "\n").alias("_lines"),
+        _tokens(text_col).alias("_w"))
+    g2 = ("CASE WHEN size(_w) >= 2 THEN transform(sequence(1, size(_w) - 1), "
+          "i -> concat_ws(' ', slice(_w, i, 2))) ELSE array() END")
+    g5 = ("CASE WHEN size(_w) >= 5 THEN transform(sequence(1, size(_w) - 4), "
+          "i -> concat_ws(' ', slice(_w, i, 5))) ELSE array() END")
+    n_chars = F.length("_t")
+    nc = F.nullif(n_chars.cast("double"), F.lit(0.0))
+    line_total = F.size("_lines")
+    top2 = F.expr(_run_length_top(g2))
+    return pre.select(
+        F.col(id_col),
+        F.coalesce(line_total, F.lit(0)).cast("int").alias("n_lines"),
+        ((line_total - F.size(F.array_distinct("_lines"))).cast("double")
+         / F.nullif(line_total.cast("double"), F.lit(0.0)))
+        .alias("dup_line_frac"),
+        (F.coalesce(F.expr(_dup_chars("_lines")), F.lit(0)).cast("double")
+         / nc).alias("dup_line_char_frac"),
+        F.least(F.coalesce(top2["cnt"] * top2["glen"], F.lit(0))
+                .cast("double") / nc, F.lit(1.0))
+        .alias("top_2gram_char_frac"),
+        F.least(F.coalesce(F.expr(_dup_chars(g5)), F.lit(0)).cast("double")
+                / nc, F.lit(1.0)).alias("dup_5gram_char_frac"))
+
+
+def _repetition_stats_relational(df: DataFrame, text_col: str = "text",
+                                 id_col: str = "doc_id") -> DataFrame:
+    """The relational (explode -> groupBy(id, gram) -> per-doc agg) plan:
 
     * ``n_lines``               — newline-delimited line count;
     * ``dup_line_frac``         — repeated line occurrences / lines
@@ -283,7 +338,10 @@ def gopher_quality_filter(df: DataFrame, text_col: str = "text",
         id_col, "n_tokens", "token_chars")
     qs = quality_score(df, text_col, id_col).select(
         id_col, "punct_ratio", "stopword_ratio")
-    rs = repetition_stats(df, text_col, id_col).select(
+    # single_pass=False on purpose: THIS variant's point (and its gate
+    # row's) is the relational plan shape; the one-Project twin is
+    # gopher_quality_filter_single_pass
+    rs = repetition_stats(df, text_col, id_col, single_pass=False).select(
         id_col, "dup_line_frac", "top_2gram_char_frac",
         "dup_5gram_char_frac")
     j = ts.join(qs, id_col).join(rs, id_col)
@@ -583,15 +641,139 @@ GOPHER_THRESHOLDS_FULL = dict(GOPHER_THRESHOLDS, **{
 
 def gopher_quality_filter_full(df: DataFrame, text_col: str = "text",
                                id_col: str = "doc_id",
-                               thresholds: dict | None = None) -> DataFrame:
+                               thresholds: dict | None = None,
+                               single_pass: bool = True) -> DataFrame:
     """The Gopher gate with the COMPLETE Table-A1 repetition family: the
-    base ``gopher_quality_filter`` checks plus dup-line-char and
-    top-3/4-gram and dup-6..10-gram fractions (``ngram_repetition_stats``
-    — one extra tagged explode, not eight extra wide passes).  Reasons
-    merge with the base gate's; a doc keeps iff every check passes."""
+    base ``gopher_quality_filter`` checks plus dup-line-char, paragraph
+    duplicates, top-3/4-gram and dup-6..10-gram fractions.  Reasons merge
+    with the base gate's; a doc keeps iff every check passes.
+
+    r7 (guide §2.4/§1.2 "the distributed algorithm first"): every
+    Table-A1 signal is a WITHIN-document statistic, so the default is now
+    ONE narrow projection — zero Exchange, zero joins — via the same
+    sorted run-length walks as ``gopher_quality_filter_single_pass``.
+    The previous composition recomputed the line/2-gram/5-gram explodes
+    THREE times (base gate via repetition_stats, repetition_stats again
+    for dup_line_char_frac, and the n=2..10 tagged explode) across ~8
+    aggregation frames and 4 joins; sf0.1 measured 10.0 s -> sub-second.
+    ``single_pass=False`` keeps that relational composition (the
+    huge-single-document fallback, same contract as repetition_stats);
+    both paths are value-identical (randomized pytest + SQL oracle)."""
+    if single_pass:
+        return _gopher_full_single_pass(df, text_col, id_col,
+                                        thresholds or GOPHER_THRESHOLDS_FULL)
+    return _gopher_full_relational(df, text_col, id_col, thresholds)
+
+
+def _gopher_full_single_pass(df: DataFrame, text_col: str, id_col: str,
+                             t: dict) -> DataFrame:
+    """One-Project full Gopher gate.  The token/line/paragraph arrays
+    materialize in a first projection (referenced many times, so
+    CollapseProject keeps them evaluated once — the decontaminate
+    note); everything else is the literal expression set of the
+    relational signals, so every fraction compares bit-identically."""
+    stop_arr = ", ".join(f"'{s}'" for s in _STOPWORDS)
+    pre = df.select(
+        F.col(id_col), F.col(text_col).alias("_t"),
+        F.split(F.col(text_col), "\n").alias("_lines"),
+        F.expr(f"filter(transform(split({text_col}, '\\n{{2,}}'), "
+               "p -> trim(p)), p -> p != '')").alias("_paras"),
+        _tokens(text_col).alias("_w"))
+
+    def gram(n: int) -> str:
+        return (f"CASE WHEN size(_w) >= {n} THEN "
+                f"transform(sequence(1, size(_w) - {n - 1}), "
+                f"i -> concat_ws(' ', slice(_w, i, {n}))) "
+                "ELSE array() END")
+
+    n_tok = F.size("_w")
+    n_chars = F.length("_t")
+    token_chars = F.expr("aggregate(transform(_w, x -> length(x)), "
+                         "CAST(0 AS BIGINT), (acc, x) -> acc + x)")
+    n_stop = F.expr(f"size(filter(_w, x -> x IN ({stop_arr})))")
+    n_punct = n_chars - F.length(
+        F.regexp_replace(F.col("_t"), r"[!-/:-@\[-`{-~]", ""))
+    n_chars_nz = F.nullif(n_chars, F.lit(0))
+    n_tok_nz = F.nullif(n_tok, F.lit(0))
+    nc = F.nullif(n_chars.cast("double"), F.lit(0.0))
+
+    punct_ratio = n_punct.cast("double") / n_chars_nz
+    stopword_ratio = n_stop.cast("double") / n_tok_nz
+    mean_wl = token_chars.cast("double") / n_tok_nz.cast("double")
+    line_total = F.size("_lines")
+    dup_line_frac = ((line_total - F.size(F.array_distinct("_lines")))
+                     .cast("double")
+                     / F.nullif(line_total.cast("double"), F.lit(0.0)))
+    top2 = F.expr(_run_length_top(gram(2)))
+    top2_frac = F.least(
+        (top2["cnt"] * top2["glen"]).cast("double") / nc, F.lit(1.0))
+    dup5_frac = F.least(
+        F.expr(_dup_chars(gram(5))).cast("double") / nc, F.lit(1.0))
+    base_checks = [
+        (n_tok < t["min_words"], "too-few-words"),
+        (n_tok > t["max_words"], "too-many-words"),
+        (mean_wl < t["min_mean_word_len"], "short-words"),
+        (mean_wl > t["max_mean_word_len"], "long-words"),
+        (punct_ratio > t["max_punct_ratio"], "punct-heavy"),
+        (stopword_ratio < t["min_stopword_ratio"], "no-stopwords"),
+        (dup_line_frac > t["max_dup_line_frac"], "dup-lines"),
+        (top2_frac > t["max_top2gram_char_frac"], "top-2gram"),
+        (dup5_frac > t["max_dup5gram_char_frac"], "dup-5grams"),
+    ]
+
+    # Table-A1 extras — the literal relational expressions, in-row
+    dup_line_char_frac = (
+        F.coalesce(F.expr(_dup_chars("_lines")), F.lit(0)).cast("double")
+        / nc)
+    para_total = F.size("_paras")
+    dup_para_frac = ((para_total - F.size(F.array_distinct("_paras")))
+                     .cast("double")
+                     / F.nullif(para_total.cast("double"), F.lit(0.0)))
+    dup_para_char_frac = (
+        F.coalesce(F.expr(_dup_chars("_paras")), F.lit(0)).cast("double")
+        / nc)
+    extra_checks = [
+        (dup_line_char_frac > t["max_dup_line_char_frac"], "dup-line-chars"),
+        (dup_para_frac > t["max_dup_para_frac"], "dup-paras"),
+        (dup_para_char_frac > t["max_dup_para_char_frac"], "dup-para-chars"),
+    ]
+    for n in (3, 4):
+        top = F.expr(_run_length_top(gram(n)))
+        frac = F.when(nc.isNotNull(), F.least(
+            (F.coalesce(top["cnt"], F.lit(0))
+             * F.coalesce(top["glen"], F.lit(0))).cast("double") / nc,
+            F.lit(1.0)))
+        extra_checks.append(
+            (frac > t[f"max_top{n}gram_char_frac"], f"top-{n}gram"))
+    for n in (6, 7, 8, 9, 10):
+        frac = F.when(nc.isNotNull(), F.least(
+            F.coalesce(F.expr(_dup_chars(gram(n))), F.lit(0))
+            .cast("double") / nc, F.lit(1.0)))
+        extra_checks.append(
+            (frac > t[f"max_dup{n}gram_char_frac"], f"dup-{n}grams"))
+
+    base = F.concat_ws("|", *[
+        F.when(cond, F.lit(name)) for cond, name in base_checks])
+    extra = F.concat_ws("|", *[
+        F.when(cond, F.lit(name)) for cond, name in extra_checks])
+    reasons = F.concat_ws("|", F.nullif(base, F.lit("")),
+                          F.nullif(extra, F.lit("")))
+    return pre.select(
+        F.col(id_col),
+        (reasons == "").alias("keep"),
+        reasons.alias("reasons"))
+
+
+def _gopher_full_relational(df: DataFrame, text_col: str = "text",
+                            id_col: str = "doc_id",
+                            thresholds: dict | None = None) -> DataFrame:
+    """The pre-r7 relational composition (base gate + repetition_stats +
+    ngram_repetition_stats tagged explode + paragraph stats, joined on
+    id): kept as the huge-single-document fallback and as the
+    equivalence anchor for the single-pass default."""
     t = thresholds or GOPHER_THRESHOLDS_FULL
     base_gate = gopher_quality_filter(df, text_col, id_col, t)
-    rs = repetition_stats(df, text_col, id_col).select(
+    rs = repetition_stats(df, text_col, id_col, single_pass=False).select(
         id_col, "dup_line_char_frac")
     ng = ngram_repetition_stats(df, text_col, id_col)
     ps = paragraph_repetition_stats(df, text_col, id_col).select(

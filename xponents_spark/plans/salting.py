@@ -26,6 +26,38 @@ def salted_repartition(df: DataFrame, num_partitions: int | None = None) -> Data
     return df.repartition(*cols)
 
 
+def spread_small_input(df: DataFrame, key_cols: tuple[str, ...] = (),
+                       min_partitions: int | None = None,
+                       factor: int = 2) -> DataFrame:
+    """Scan-parallelism floor for CPU-dense stages over SMALL inputs.
+
+    A dimension-sized parquet file (one split under
+    ``maxPartitionBytes``/``openCostInBytes`` packing) scans as ONE
+    partition, so every downstream map-only stage — Arrow codec work,
+    explodes, regex chains — runs on ONE core no matter how many the
+    session has (guide §2.5 "input skew … repartition immediately after
+    the read", §6 split sizing).  This helper hash-repartitions such
+    inputs to ``factor``× the session's parallelism (2× smooths
+    per-row cost skew, the same sizing as the flagship's salted
+    repartition) and is a NO-OP whenever the plan already carries at
+    least ``defaultParallelism`` partitions — i.e. at cluster scale,
+    where the scan's own splits provide the parallelism and an extra
+    exchange of the corpus would be pure cost.
+
+    The partition key is deterministic (hash of ``key_cols``, default
+    every column of the frame) per guide §2.5: a rand()-derived key
+    re-rolls under task retry and can duplicate/lose rows.
+    """
+    sc = df.sparkSession.sparkContext
+    par = sc.defaultParallelism
+    if min_partitions is None:
+        min_partitions = max(par * factor, 8)
+    if df.rdd.getNumPartitions() >= par:
+        return df
+    cols = [F.col(c) for c in (key_cols or df.columns)]
+    return df.repartition(min_partitions, *cols)
+
+
 def ordered_output(df: DataFrame) -> DataFrame:
     """Stable (conv_id, turn_idx) global ordering for output/verify parity
     (the north rule's 'stable turn ordering').  A total sort is a range

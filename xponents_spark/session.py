@@ -24,6 +24,21 @@ ENGINE_CONF = {
     "spark.sql.execution.arrow.pyspark.enabled": "true",
     "spark.sql.files.maxPartitionBytes": "128m",
     "spark.hadoop.mapreduce.fileoutputcommitter.algorithm.version": "2",
+    # r7: InferFiltersFromGenerate duplicates the generator's INPUT
+    # expression into a `size(e) > 0 AND e IS NOT NULL` filter below the
+    # explode.  Every explode in this engine generates from a DENSE
+    # computed array (token n-grams, shingles, band keys — built by the
+    # projection right above, ~never empty by construction), so the
+    # inferred filter re-runs the full tokenize+slice+concat pipeline per
+    # row for no row pruning: measured 2x map-stage CPU on decontaminate
+    # (4.6 s -> 1.65 s at sf0.1) and the same double-build in
+    # duplicated_spans / remove_duplicated_spans plans.  The rule's
+    # upside (dropping generate-nothing rows before a shuffle) does not
+    # apply here — the explode pipelines into the same stage as its
+    # projection.  Guide §4.4's lesson (stop the optimizer duplicating
+    # expensive expressions), applied at the engine level.
+    "spark.sql.optimizer.excludedRules":
+        "org.apache.spark.sql.catalyst.optimizer.InferFiltersFromGenerate",
 }
 
 
