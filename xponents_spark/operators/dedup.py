@@ -201,20 +201,25 @@ def ngram_jaccard_pairs(df: DataFrame, text_col: str = "text",
         f"array_distinct(transform("
         f"  sequence(1, greatest(size({w}) - {n - 1}, 1)),"
         f"  i -> {gram}))")
-    sh = df.select(F.col(id_col), F.explode(grams).alias("s"))
-    sizes = sh.groupBy(id_col).agg(F.count("*").alias("n_sh"))
+    # r7 (guide §2.4): the per-doc set size is size(grams) — a zero-shuffle
+    # scalar computed BEFORE the explode and carried through it (one extra
+    # int per exchange row), so the former sizes groupBy + two id-keyed
+    # re-attach joins (3 exchanges) disappear; the only wide ops left are
+    # the shingle self-join and the pair aggregation
+    sh = (df.select(F.col(id_col), grams.alias("g"))
+            .select(F.col(id_col), F.size("g").alias("n_sh"),
+                    F.explode("g").alias("s")))
     inter = (sh.alias("a")
              .join(sh.alias("b"),
                    (F.col("a.s") == F.col("b.s"))
                    & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")))
              .groupBy(F.col(f"a.{id_col}").alias("doc_a"),
-                      F.col(f"b.{id_col}").alias("doc_b"))
+                      F.col(f"b.{id_col}").alias("doc_b"),
+                      F.col("a.n_sh").alias("na"),
+                      F.col("b.n_sh").alias("nb"))
              .agg(F.count("*").alias("n_inter")))
-    jac = F.col("n_inter") / (F.col("sa.n_sh") + F.col("sb.n_sh")
-                              - F.col("n_inter"))
+    jac = F.col("n_inter") / (F.col("na") + F.col("nb") - F.col("n_inter"))
     return (inter
-            .join(sizes.alias("sa"), F.col("doc_a") == F.col(f"sa.{id_col}"))
-            .join(sizes.alias("sb"), F.col("doc_b") == F.col(f"sb.{id_col}"))
             .select("doc_a", "doc_b", "n_inter", jac.alias("jaccard"))
             .filter(F.col("jaccard") >= threshold))
 
@@ -249,10 +254,11 @@ def simhash_signatures(df: DataFrame, text_col: str = "text",
                 bits = ((h64[:, None] >> np.arange(64, dtype=np.uint64)[None, :])
                         & np.uint64(1)).astype(np.int32)
                 vote = (2 * bits - 1).sum(axis=0)
-                sim = 0
-                for i in range(64):
-                    if vote[i] > 0:
-                        sim |= (1 << i)
+                # r7: bit-assembly vectorized (was a 64-iteration python
+                # loop per doc); exact — each weight is a distinct power
+                # of two, the uint64 sum cannot carry
+                sim = int(((vote > 0).astype(np.uint64)
+                           << np.arange(64, dtype=np.uint64)).sum())
                 hashes.append(sim - (1 << 64) if sim >= (1 << 63) else sim)
             yield pd.DataFrame({id_col: pdf[id_col], "simhash": hashes})
 
@@ -309,13 +315,14 @@ def _winnow(text: str, k: int, window: int) -> list[int]:
     if n <= window:
         return [int(h.min())]
     win = np.lib.stride_tricks.sliding_window_view(h, window)
-    mins = win.min(axis=1)
-    # rightmost position of the min per window; keep distinct (hash, pos)
+    # rightmost position of the min per window; a window's min VALUE is
+    # h[that absolute position], so the distinct picked values are just
+    # h[unique picked positions] — fully vectorized (r7: the per-window
+    # python dict loop was the operator's hottest line, O(chars) python
+    # per doc)
     pos = window - 1 - np.argmin(win[:, ::-1], axis=1)
-    picks = {}
-    for w_idx in range(len(mins)):
-        picks[w_idx + int(pos[w_idx])] = int(mins[w_idx])
-    return sorted(set(picks.values()))
+    picked = h[np.arange(win.shape[0]) + pos]
+    return [int(v) for v in np.unique(picked)]
 
 
 def winnow_fingerprints(df: DataFrame, text_col: str = "text",
@@ -331,11 +338,12 @@ def winnow_fingerprints(df: DataFrame, text_col: str = "text",
 
     def run(batches):
         for pdf in batches:
-            ids, fps = [], []
-            for i, text in zip(pdf[id_col].tolist(), pdf[text_col].tolist()):
-                for f in _winnow(text or "", k, window):
-                    ids.append(i)
-                    fps.append(f)
+            per_doc = [_winnow(text or "", k, window)
+                       for text in pdf[text_col].tolist()]
+            lens = [len(f) for f in per_doc]
+            ids = np.repeat(pdf[id_col].to_numpy(), lens)
+            fps = np.fromiter((v for f in per_doc for v in f),
+                              dtype=np.int64, count=int(sum(lens)))
             yield pd.DataFrame({id_col: ids, "fp": fps})
 
     return df.select(id_col, text_col).mapInPandas(run, schema=out_schema)
@@ -452,15 +460,26 @@ def duplicated_spans(df: DataFrame, k: int = 8,
     Returns ``(doc_id, span_start, span_end, span_tokens)`` with 0-based
     token offsets, ``span_end`` exclusive.
 
-    Shape (the 100 TB design):
-      1. explode k-token shingles with positions — rows = tokens per doc;
-      2. groupBy(shingle) count, keep count >= 2 (map-side partial
-         aggregation; the exchange carries one row per DISTINCT shingle);
-      3. join duplicated shingles back to positions (shuffle on the
-         shingle key; AQE handles hot-shingle skew);
+    Shape (the 100 TB design; r7 single-scan — VERDICT r6 watch item 2):
+      1. explode k-token shingles with positions — rows = tokens per doc,
+         ONCE (the pre-r7 plan fed the explode into BOTH a count
+         aggregation and the join-back side, running the k-gram
+         construction twice over the corpus);
+      2. ONE exchange on the shingle key, then a per-shingle window
+         count — every occurrence row learns its shingle's corpus count
+         from the same sorted run the old sort-merge join would have
+         built, with no second explode and no join;
+      3. keep count >= 2;
       4. per-doc gaps-and-islands interval merge: running max of covered
          end over a (doc, start)-ordered window -> island ids -> min/max
          per island.  One window + one aggregate, both partitioned by doc.
+    Trade vs the old plan: the gram exchange carries one row per
+    OCCURRENCE rather than per distinct shingle — exactly the rows the
+    join-back exchange already carried, so total exchanged bytes DROP by
+    the old count-side exchange; a pathological hot shingle lands in one
+    window partition, the same skew the old join had (AQE skew handling
+    applies to neither window, so the hashed-key path remains the
+    extreme-scale answer).
 
     Exact by construction: the default group key is the shingle STRING
     (no hash collisions — this operator DELETES text downstream, so the
@@ -486,10 +505,9 @@ def duplicated_spans(df: DataFrame, k: int = 8,
                     f"transform(sequence(1, size(w) - {k - 1}), "
                     f"i -> {gram_sql})"))
                  .alias("pos", "gram")))
-    dup = (sh.groupBy("gram").agg(F.count("*").alias("cnt"))
+    w_gram = Window.partitionBy("gram")
+    cov = (sh.withColumn("cnt", F.count("*").over(w_gram))
              .filter(F.col("cnt") >= 2)
-             .select("gram"))
-    cov = (sh.join(dup, "gram")
              .select(id_col, F.col("pos").alias("s"),
                      (F.col("pos") + k).alias("e")))
 

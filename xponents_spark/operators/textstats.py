@@ -180,22 +180,32 @@ def _repetition_stats_single_pass(df: DataFrame, text_col: str,
           "i -> concat_ws(' ', slice(_w, i, 2))) ELSE array() END")
     g5 = ("CASE WHEN size(_w) >= 5 THEN transform(sequence(1, size(_w) - 4), "
           "i -> concat_ws(' ', slice(_w, i, 5))) ELSE array() END")
-    n_chars = F.length("_t")
-    nc = F.nullif(n_chars.cast("double"), F.lit(0.0))
-    line_total = F.size("_lines")
-    top2 = F.expr(_run_length_top(g2))
-    return pre.select(
+    # signal layer: every O(m log m) walk lands in ONE column, so the
+    # output layer's fractions only touch cheap scalars (a struct field
+    # accessed twice would otherwise re-run its whole aggregate — HOFs
+    # are CodegenFallback, no subexpression elimination saves them)
+    sig = pre.select(
+        F.col(id_col),
+        F.length("_t").alias("_nchars"),
+        F.size("_lines").alias("_nlines"),
+        F.size(F.array_distinct("_lines")).alias("_nlines_d"),
+        F.expr(_dup_chars("_lines")).alias("_line_dup_chars"),
+        F.expr(_run_length_top(g2)).alias("_top2"),
+        F.expr(_dup_chars(g5)).alias("_g5_dup_chars"))
+    nc = F.nullif(F.col("_nchars").cast("double"), F.lit(0.0))
+    line_total = F.col("_nlines")
+    return sig.select(
         F.col(id_col),
         F.coalesce(line_total, F.lit(0)).cast("int").alias("n_lines"),
-        ((line_total - F.size(F.array_distinct("_lines"))).cast("double")
+        ((line_total - F.col("_nlines_d")).cast("double")
          / F.nullif(line_total.cast("double"), F.lit(0.0)))
         .alias("dup_line_frac"),
-        (F.coalesce(F.expr(_dup_chars("_lines")), F.lit(0)).cast("double")
+        (F.coalesce("_line_dup_chars", F.lit(0)).cast("double")
          / nc).alias("dup_line_char_frac"),
-        F.least(F.coalesce(top2["cnt"] * top2["glen"], F.lit(0))
-                .cast("double") / nc, F.lit(1.0))
+        F.least(F.coalesce(F.col("_top2.cnt") * F.col("_top2.glen"),
+                           F.lit(0)).cast("double") / nc, F.lit(1.0))
         .alias("top_2gram_char_frac"),
-        F.least(F.coalesce(F.expr(_dup_chars(g5)), F.lit(0)).cast("double")
+        F.least(F.coalesce("_g5_dup_chars", F.lit(0)).cast("double")
                 / nc, F.lit(1.0)).alias("dup_5gram_char_frac"))
 
 
@@ -686,29 +696,49 @@ def _gopher_full_single_pass(df: DataFrame, text_col: str, id_col: str,
                 f"i -> concat_ws(' ', slice(_w, i, {n}))) "
                 "ELSE array() END")
 
-    n_tok = F.size("_w")
-    n_chars = F.length("_t")
-    token_chars = F.expr("aggregate(transform(_w, x -> length(x)), "
-                         "CAST(0 AS BIGINT), (acc, x) -> acc + x)")
-    n_stop = F.expr(f"size(filter(_w, x -> x IN ({stop_arr})))")
-    n_punct = n_chars - F.length(
-        F.regexp_replace(F.col("_t"), r"[!-/:-@\[-`{-~]", ""))
+    # signal layer: each O(m log m) walk evaluated ONCE into its own
+    # column (HOFs are CodegenFallback — a struct field accessed twice,
+    # or `keep` re-deriving `reasons`, would re-run the whole walk)
+    sig_cols = [
+        F.col(id_col),
+        F.size("_w").alias("_ntok"),
+        F.length("_t").alias("_nchars"),
+        F.expr("aggregate(transform(_w, x -> length(x)), "
+               "CAST(0 AS BIGINT), (acc, x) -> acc + x)").alias("_tchars"),
+        F.expr(f"size(filter(_w, x -> x IN ({stop_arr})))").alias("_nstop"),
+        F.length(F.regexp_replace(F.col("_t"), r"[!-/:-@\[-`{-~]", ""))
+         .alias("_nkeep"),
+        F.size("_lines").alias("_nlines"),
+        F.size(F.array_distinct("_lines")).alias("_nlines_d"),
+        F.expr(_dup_chars("_lines")).alias("_line_dup_chars"),
+        F.size("_paras").alias("_nparas"),
+        F.size(F.array_distinct("_paras")).alias("_nparas_d"),
+        F.expr(_dup_chars("_paras")).alias("_para_dup_chars"),
+    ]
+    for n in (2, 3, 4):
+        sig_cols.append(F.expr(_run_length_top(gram(n))).alias(f"_top{n}"))
+    for n in (5, 6, 7, 8, 9, 10):
+        sig_cols.append(F.expr(_dup_chars(gram(n))).alias(f"_dup{n}"))
+    sig = pre.select(*sig_cols)
+
+    n_tok = F.col("_ntok")
+    n_chars = F.col("_nchars")
+    n_punct = n_chars - F.col("_nkeep")
     n_chars_nz = F.nullif(n_chars, F.lit(0))
     n_tok_nz = F.nullif(n_tok, F.lit(0))
     nc = F.nullif(n_chars.cast("double"), F.lit(0.0))
 
     punct_ratio = n_punct.cast("double") / n_chars_nz
-    stopword_ratio = n_stop.cast("double") / n_tok_nz
-    mean_wl = token_chars.cast("double") / n_tok_nz.cast("double")
-    line_total = F.size("_lines")
-    dup_line_frac = ((line_total - F.size(F.array_distinct("_lines")))
-                     .cast("double")
+    stopword_ratio = F.col("_nstop").cast("double") / n_tok_nz
+    mean_wl = F.col("_tchars").cast("double") / n_tok_nz.cast("double")
+    line_total = F.col("_nlines")
+    dup_line_frac = ((line_total - F.col("_nlines_d")).cast("double")
                      / F.nullif(line_total.cast("double"), F.lit(0.0)))
-    top2 = F.expr(_run_length_top(gram(2)))
     top2_frac = F.least(
-        (top2["cnt"] * top2["glen"]).cast("double") / nc, F.lit(1.0))
+        (F.col("_top2.cnt") * F.col("_top2.glen")).cast("double") / nc,
+        F.lit(1.0))
     dup5_frac = F.least(
-        F.expr(_dup_chars(gram(5))).cast("double") / nc, F.lit(1.0))
+        F.col("_dup5").cast("double") / nc, F.lit(1.0))
     base_checks = [
         (n_tok < t["min_words"], "too-few-words"),
         (n_tok > t["max_words"], "too-many-words"),
@@ -723,31 +753,27 @@ def _gopher_full_single_pass(df: DataFrame, text_col: str, id_col: str,
 
     # Table-A1 extras — the literal relational expressions, in-row
     dup_line_char_frac = (
-        F.coalesce(F.expr(_dup_chars("_lines")), F.lit(0)).cast("double")
-        / nc)
-    para_total = F.size("_paras")
-    dup_para_frac = ((para_total - F.size(F.array_distinct("_paras")))
-                     .cast("double")
+        F.coalesce("_line_dup_chars", F.lit(0)).cast("double") / nc)
+    para_total = F.col("_nparas")
+    dup_para_frac = ((para_total - F.col("_nparas_d")).cast("double")
                      / F.nullif(para_total.cast("double"), F.lit(0.0)))
     dup_para_char_frac = (
-        F.coalesce(F.expr(_dup_chars("_paras")), F.lit(0)).cast("double")
-        / nc)
+        F.coalesce("_para_dup_chars", F.lit(0)).cast("double") / nc)
     extra_checks = [
         (dup_line_char_frac > t["max_dup_line_char_frac"], "dup-line-chars"),
         (dup_para_frac > t["max_dup_para_frac"], "dup-paras"),
         (dup_para_char_frac > t["max_dup_para_char_frac"], "dup-para-chars"),
     ]
     for n in (3, 4):
-        top = F.expr(_run_length_top(gram(n)))
         frac = F.when(nc.isNotNull(), F.least(
-            (F.coalesce(top["cnt"], F.lit(0))
-             * F.coalesce(top["glen"], F.lit(0))).cast("double") / nc,
-            F.lit(1.0)))
+            (F.coalesce(F.col(f"_top{n}.cnt"), F.lit(0))
+             * F.coalesce(F.col(f"_top{n}.glen"), F.lit(0)))
+            .cast("double") / nc, F.lit(1.0)))
         extra_checks.append(
             (frac > t[f"max_top{n}gram_char_frac"], f"top-{n}gram"))
     for n in (6, 7, 8, 9, 10):
         frac = F.when(nc.isNotNull(), F.least(
-            F.coalesce(F.expr(_dup_chars(gram(n))), F.lit(0))
+            F.coalesce(F.col(f"_dup{n}"), F.lit(0))
             .cast("double") / nc, F.lit(1.0)))
         extra_checks.append(
             (frac > t[f"max_dup{n}gram_char_frac"], f"dup-{n}grams"))
@@ -758,10 +784,10 @@ def _gopher_full_single_pass(df: DataFrame, text_col: str, id_col: str,
         F.when(cond, F.lit(name)) for cond, name in extra_checks])
     reasons = F.concat_ws("|", F.nullif(base, F.lit("")),
                           F.nullif(extra, F.lit("")))
-    return pre.select(
-        F.col(id_col),
-        (reasons == "").alias("keep"),
-        reasons.alias("reasons"))
+    return (sig.select(F.col(id_col), reasons.alias("reasons"))
+            .select(F.col(id_col),
+                    (F.col("reasons") == "").alias("keep"),
+                    F.col("reasons")))
 
 
 def _gopher_full_relational(df: DataFrame, text_col: str = "text",
