@@ -80,9 +80,12 @@ def _docs(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _emb(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return spread_small_input(
-        spark.read.parquet(f"{sf_dir}/embeddings.parquet"),
-        key_cols=("vec_id",))
+    # NOT spread (r7): the embeddings table is ~2k vectors and every
+    # consumer's python stage is a sub-second batch matmul — measured,
+    # the spread exchange + 32-task overhead REGRESSED ann_cosine_topk
+    # 0.47 s -> 0.95 s and embedding_near_dups 0.91 s -> ~1.7 s; the
+    # single-split scan is the right plan at this operand size
+    return spark.read.parquet(f"{sf_dir}/embeddings.parquet")
 
 
 def _transcripts_spread(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -102,7 +105,10 @@ def q_transcripts(spark, sf_dir):
 
 
 def q_main_content(spark, sf_dir):
-    t = _transcripts_spread(spark, sf_dir)
+    # NOT spread (r7): content-only extraction is ~60 us/turn of python —
+    # the 32-task spread overhead (~0.3 s) exceeds the whole single-task
+    # stage; full-feature extraction queries (xcoord etc.) DO spread
+    t = synthesize_transcripts(spark, sf_dir)
     return extract(t, features=("content",)).select("conv_id", "turn_idx", "main_text")
 
 
@@ -948,7 +954,10 @@ def q_near_dup_groups(spark, sf_dir):
     from pyspark.sql import Window
 
     from xponents_spark.operators.dedup import near_dup_components
-    docs = _docs(spark, sf_dir)
+    # NOT spread (r7): the chain build re-shuffles by md5(text) anyway and
+    # the component rounds are tiny-data joins — spreading the scan only
+    # multiplied per-round task overhead (protocol 0.94 s -> ~2 s)
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
     w = Window.partitionBy(F.md5("text")).orderBy("doc_id")
     chain = (docs.select("doc_id", F.lead("doc_id").over(w).alias("doc_b"))
                  .filter(F.col("doc_b").isNotNull())
@@ -979,8 +988,12 @@ def q_winnow_dup_check(spark, sf_dir):
 
 
 def q_simhash_dedup(spark, sf_dir):
-    # hamming<=3 is the radius the 4x16-bit block scheme covers completely
-    return simhash_near_dups(_docs(spark, sf_dir), max_hamming=3)
+    # hamming<=3 is the radius the 4x16-bit block scheme covers completely.
+    # NOT spread (r7): the bigram-shingle signature stage is ~0.2 s of
+    # python for this corpus — the 32-task spread overhead regressed the
+    # row 0.38 s -> 0.73 s (protocol A/B); minhash/winnow DO spread
+    return simhash_near_dups(
+        spark.read.parquet(f"{sf_dir}/documents.parquet"), max_hamming=3)
 
 
 # --- invariant queries: approximate/two-pass ops made driver-checkable ------

@@ -57,7 +57,7 @@ def test_salting_spreads_skewed_conversation(spark):
     assert max(counts) < 2000 * 0.25   # one conversation fans out
 
 def test_spread_small_input_parallelizes_single_split(spark):
-    """r7: a dimension-sized (single-split) input spreads to >= 2x the
+    """r7: a dimension-sized (single-split) input spreads to the
     session's parallelism so CPU-dense map stages use every core; an
     input that already carries enough partitions passes through
     untouched (the cluster-scale no-op guard)."""
@@ -65,7 +65,7 @@ def test_spread_small_input_parallelizes_single_split(spark):
     one = spark.range(0, 1000, 1, 1).withColumnRenamed("id", "doc_id")
     par = spark.sparkContext.defaultParallelism
     spread = spread_small_input(one, key_cols=("doc_id",))
-    assert spread.rdd.getNumPartitions() == max(par * 2, 8)
+    assert spread.rdd.getNumPartitions() == max(par, 8)
     assert spread.count() == 1000          # row-preserving
     wide = spark.range(0, 1000, 1, par).withColumnRenamed("id", "doc_id")
     assert spread_small_input(wide, key_cols=("doc_id",)) is wide

@@ -333,6 +333,7 @@ def winnow_fingerprints(df: DataFrame, text_col: str = "text",
     match guarantee.  Arrow-batched numpy; no per-char python loops."""
     out_schema = T.StructType([
         T.StructField(id_col, df.schema[id_col].dataType, False),
+        T.StructField("n_fp", T.IntegerType(), False),
         T.StructField("fp", T.LongType(), False),
     ])
 
@@ -342,9 +343,13 @@ def winnow_fingerprints(df: DataFrame, text_col: str = "text",
                        for text in pdf[text_col].tolist()]
             lens = [len(f) for f in per_doc]
             ids = np.repeat(pdf[id_col].to_numpy(), lens)
+            # r7: the per-doc set size rides every row (one int) so
+            # winnow_near_dups needs no sizes groupBy or re-attach joins
+            # — same shape as ngram_jaccard_pairs' carried size
+            nfp = np.repeat(np.asarray(lens, dtype=np.int32), lens)
             fps = np.fromiter((v for f in per_doc for v in f),
                               dtype=np.int64, count=int(sum(lens)))
-            yield pd.DataFrame({id_col: ids, "fp": fps})
+            yield pd.DataFrame({id_col: ids, "n_fp": nfp, "fp": fps})
 
     return df.select(id_col, text_col).mapInPandas(run, schema=out_schema)
 
@@ -357,19 +362,21 @@ def winnow_near_dups(df: DataFrame, text_col: str = "text",
     on fingerprints (collision-driven, ~1/window of shingle volume) — the
     published fingerprint-index shape for plagiarism/near-dup detection."""
     fp = winnow_fingerprints(df, text_col, id_col, k, window).cache()
-    sizes = fp.groupBy(id_col).agg(F.count("*").alias("n_fp"))
+    # r7: n_fp rides each fingerprint row from the Arrow stage, so the
+    # sizes groupBy and both id-keyed re-attach joins (3 exchanges) are
+    # gone — the only wide ops are the fp self-join and the pair agg
     inter = (fp.alias("a")
              .join(fp.alias("b"),
                    (F.col("a.fp") == F.col("b.fp"))
                    & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")))
              .groupBy(F.col(f"a.{id_col}").alias("doc_a"),
-                      F.col(f"b.{id_col}").alias("doc_b"))
+                      F.col(f"b.{id_col}").alias("doc_b"),
+                      F.col("a.n_fp").alias("na"),
+                      F.col("b.n_fp").alias("nb"))
              .agg(F.count("*").alias("n_inter")))
-    jac = F.col("n_inter") / (F.col("sa.n_fp") + F.col("sb.n_fp")
+    jac = F.col("n_inter") / (F.col("na") + F.col("nb")
                               - F.col("n_inter"))
     return (inter
-            .join(sizes.alias("sa"), F.col("doc_a") == F.col(f"sa.{id_col}"))
-            .join(sizes.alias("sb"), F.col("doc_b") == F.col(f"sb.{id_col}"))
             .select("doc_a", "doc_b", jac.alias("fp_jaccard"))
             .filter(F.col("fp_jaccard") >= threshold))
 

@@ -28,7 +28,7 @@ def salted_repartition(df: DataFrame, num_partitions: int | None = None) -> Data
 
 def spread_small_input(df: DataFrame, key_cols: tuple[str, ...] = (),
                        min_partitions: int | None = None,
-                       factor: int = 2) -> DataFrame:
+                       factor: int = 1) -> DataFrame:
     """Scan-parallelism floor for CPU-dense stages over SMALL inputs.
 
     A dimension-sized parquet file (one split under
@@ -37,10 +37,14 @@ def spread_small_input(df: DataFrame, key_cols: tuple[str, ...] = (),
     explodes, regex chains — runs on ONE core no matter how many the
     session has (guide §2.5 "input skew … repartition immediately after
     the read", §6 split sizing).  This helper hash-repartitions such
-    inputs to ``factor``× the session's parallelism (2× smooths
-    per-row cost skew, the same sizing as the flagship's salted
-    repartition) and is a NO-OP whenever the plan already carries at
-    least ``defaultParallelism`` partitions — i.e. at cluster scale,
+    inputs to ``factor``× the session's parallelism (default 1×: for
+    the light Arrow stages these inputs feed, per-task worker/Arrow
+    overhead outweighs straggler smoothing — measured at sf0.1, the
+    image-codec stage ran 0.95 s at 32 partitions vs 1.16 s at 64, and
+    1-task-light stages pay ~0.15-0.3 s per extra 32 tasks; raise
+    ``factor`` for stages with heavy per-row skew) and is a NO-OP
+    whenever the plan already carries at least ``defaultParallelism``
+    partitions — i.e. at cluster scale,
     where the scan's own splits provide the parallelism and an extra
     exchange of the corpus would be pure cost.
 
