@@ -504,13 +504,18 @@ def duplicated_spans(df: DataFrame, k: int = 8,
         gram_sql = (f"struct(xxhash64({gram_sql}) AS h1, "
                     f"xxhash64(2654435761, {gram_sql}) AS h2)")
     toks = F.split(F.trim(F.col(text_col)), r"\s+")
+    # the short-doc guard lives INSIDE the expression (explode of an empty
+    # array emits nothing) rather than as a .filter(size(w) >= k): a
+    # pushed-down filter re-evaluates the whole split per input row below
+    # the projection (r7 — the same duplication InferFiltersFromGenerate
+    # caused, here self-inflicted)
     sh = (df.select(F.col(id_col), toks.alias("w"))
-            .filter(F.size("w") >= k)
             .select(
                 id_col,
                 F.posexplode(F.expr(
+                    f"CASE WHEN size(w) >= {k} THEN "
                     f"transform(sequence(1, size(w) - {k - 1}), "
-                    f"i -> {gram_sql})"))
+                    f"i -> {gram_sql}) ELSE array() END"))
                  .alias("pos", "gram")))
     w_gram = Window.partitionBy("gram")
     cov = (sh.withColumn("cnt", F.count("*").over(w_gram))
