@@ -96,9 +96,11 @@ def main():
                      formatted(minhash_near_dups(docs, threshold=0.2))))
 
     from xponents_spark.operators.dedup import duplicated_spans
-    sections.append(("duplicated_spans / ExactSubstr (expect: shingle "
-                     "explode -> partial HashAggregate before the gram "
-                     "exchange -> join back -> per-doc window islands)",
+    sections.append(("duplicated_spans / ExactSubstr (r7 single-scan: ONE "
+                     "shingle explode -> ONE exchange on the gram key -> "
+                     "per-gram window count >= 2 -> per-doc window islands; "
+                     "no second explode, no join-back — the corpus "
+                     "k-gram construction runs once)",
                      formatted(duplicated_spans(docs, k=8))))
 
     from xponents_spark.operators.textstats import (

@@ -510,9 +510,13 @@ def semantic_dedup(df: DataFrame, threshold: float = 0.9,
     frozen: set[int] = set()
     prev_sizes: dict[int, int] = {}
     for _level in range(max_split_levels if max_cluster is not None else 0):
+        # r7 (ADVICE r6): only clusters OVER the cap matter to the split/
+        # freeze logic, so filter the agg before collecting — the driver
+        # receives a handful of hot rows instead of one row per cluster
+        # (at the paper's ~n/20k sizing that is millions of rows)
         sizes = {int(r["list_id"]): int(r["n"]) for r in
                  assigned.groupBy("list_id").agg(F.count("*").alias("n"))
-                         .collect()}
+                         .filter(F.col("n") > max_cluster).collect()}
         # no-progress freeze: a cluster k-means could not shrink (e.g.
         # near-identical members) must not re-split forever
         frozen |= {l for l, n in sizes.items()
