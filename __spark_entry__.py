@@ -835,7 +835,13 @@ def q_ngram_jaccard(spark, sf_dir):
 
 
 def q_minhash_dedup(spark, sf_dir):
-    return minhash_near_dups(_docs(spark, sf_dir), threshold=0.2)
+    # NOT spread (r7): the signature stage over this corpus is light
+    # enough that the spread exchange is a wash at best (protocol A/Bs
+    # flip sign within noise; the same-window interleaved A/B read the
+    # raw path 0.09 s faster) — near_dups_all's heavier combined pass
+    # keeps the spread via _docs_with_planted_twins
+    return minhash_near_dups(
+        spark.read.parquet(f"{sf_dir}/documents.parquet"), threshold=0.2)
 
 
 def q_winnow_dedup(spark, sf_dir):
