@@ -2680,22 +2680,45 @@ def test_single_pass_textstats_equal_relational(spark):
              (105, "a b c d e f g h i j " * 30)]
     df = spark.createDataFrame(docs, "doc_id long, text string")
 
+    edge_rep = spark.createDataFrame(
+        [(300, None), (301, "\tx y z"), (302, "l\nl\nl2")],
+        "doc_id long, text string")
+    rdf = df.unionByName(edge_rep)
     a = {r["doc_id"]: r.asDict() for r in
-         repetition_stats(df, single_pass=True).collect()}
+         repetition_stats(rdf, single_pass=True, arrow=True).collect()}
+    j = {r["doc_id"]: r.asDict() for r in
+         repetition_stats(rdf, single_pass=True, arrow=False).collect()}
     b = {r["doc_id"]: r.asDict() for r in
-         repetition_stats(df, single_pass=False).collect()}
-    assert a.keys() == b.keys()
+         repetition_stats(rdf, single_pass=False).collect()}
+    assert a.keys() == j.keys() == b.keys()
     for k in a:
         for col, va in a[k].items():
-            vb = b[k][col]
+            vj, vb = j[k][col], b[k][col]
+            assert (va is None and vj is None) or va == vj or \
+                abs(va - vj) < 1e-12, (k, col, va, vj)
             assert (va is None and vb is None) or va == vb or \
                 abs(va - vb) < 1e-12, (k, col, va, vb)
 
+    # r7: three full-gate paths — numpy signal kernel (default), JVM
+    # in-row walks, relational composition — must agree row-for-row,
+    # including the NULL/empty/tab-leading token edge docs
+    edge = spark.createDataFrame(
+        [(200, None), (201, "\tx y z"), (202, " spaced  out "),
+         (203, "\n\np\n\np\n\n")],
+        "doc_id long, text string")
+    df = df.unionByName(edge)
     fa = sorted(map(tuple, gopher_quality_filter_full(
-        df, single_pass=True).collect()))
+        df, single_pass=True, arrow=True).collect()))
+    fj = sorted(map(tuple, gopher_quality_filter_full(
+        df, single_pass=True, arrow=False).collect()))
     fb = sorted(map(tuple, gopher_quality_filter_full(
         df, single_pass=False).collect()))
-    assert fa == fb
+    assert fa == fj
+    # relational runs over the non-NULL docs only for comparison (its
+    # explode frames drop a NULL-text doc's id entirely in some joins);
+    # the kernels' NULL semantics are pinned against the JVM single-pass
+    fb_ids = {r[0] for r in fb}
+    assert sorted(r for r in fa if r[0] in fb_ids) == fb
     # non-vacuous: the corpus must trip Table-A1-specific reasons
     joined = "|".join(r[2] for r in fa)
     assert "dup-" in joined and "top-" in joined

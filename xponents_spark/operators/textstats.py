@@ -144,7 +144,8 @@ def fingerprint(df: DataFrame, text_col: str = "text",
 
 def repetition_stats(df: DataFrame, text_col: str = "text",
                      id_col: str = "doc_id",
-                     single_pass: bool = True) -> DataFrame:
+                     single_pass: bool = True,
+                     arrow: bool = False) -> DataFrame:
     """Within-document repetition signals in the Gopher family (Rae et al.
     2021, §A1.1 repetition filters — published quality heuristics for
     training-data curation).
@@ -157,12 +158,44 @@ def repetition_stats(df: DataFrame, text_col: str = "text",
     proved value-identical (O(m log m) per doc, NOT the O(m²)
     self-filter shape).  ``single_pass=False`` keeps the relational
     explode -> groupBy plan for corpora whose individual documents are
-    too large to hold as in-row arrays; both paths are value-identical
-    (randomized equivalence pytest + the driver's SQL oracle).
+    too large to hold as in-row arrays.  ``arrow=True`` sources the
+    integers from the shared numpy signal kernel
+    (``_gopher_signals_arrow`` — see gopher_quality_filter_full) with
+    the fractions assembled by the SAME Catalyst expressions; measured
+    at sf0.1 the JVM walks stay the better default HERE (0.48 s vs
+    0.55 s: this operator needs only the n∈{2,5} signals, so the
+    kernel's full n=2..10 sweep plus the python-stage overhead is not
+    paid back — unlike the 17-signal full gate, where arrow wins 2.3x).
+    All paths are value-identical (randomized equivalence pytest + the
+    SQL oracle).
     """
     if single_pass:
+        if arrow:
+            return _repetition_stats_assemble(
+                _gopher_signals_arrow(df, text_col, id_col), id_col)
         return _repetition_stats_single_pass(df, text_col, id_col)
     return _repetition_stats_relational(df, text_col, id_col)
+
+
+def _repetition_stats_assemble(sig: DataFrame, id_col: str) -> DataFrame:
+    """repetition_stats outputs from the shared flat signal columns —
+    the literal single-pass expressions, so the fractions (and the
+    least(NULL, 1.0) = 1.0 empty-doc quirk) are bit-identical."""
+    nc = F.nullif(F.col("_nchars").cast("double"), F.lit(0.0))
+    line_total = F.col("_nlines")
+    return sig.select(
+        F.col(id_col),
+        F.coalesce(line_total, F.lit(0)).cast("int").alias("n_lines"),
+        ((line_total - F.col("_nlines_d")).cast("double")
+         / F.nullif(line_total.cast("double"), F.lit(0.0)))
+        .alias("dup_line_frac"),
+        (F.coalesce("_line_dup_chars", F.lit(0)).cast("double")
+         / nc).alias("dup_line_char_frac"),
+        F.least(F.coalesce(F.col("_top2_cnt") * F.col("_top2_glen"),
+                           F.lit(0)).cast("double") / nc, F.lit(1.0))
+        .alias("top_2gram_char_frac"),
+        F.least(F.coalesce("_dup5", F.lit(0)).cast("double")
+                / nc, F.lit(1.0)).alias("dup_5gram_char_frac"))
 
 
 def _repetition_stats_single_pass(df: DataFrame, text_col: str,
@@ -652,36 +685,178 @@ GOPHER_THRESHOLDS_FULL = dict(GOPHER_THRESHOLDS, **{
 def gopher_quality_filter_full(df: DataFrame, text_col: str = "text",
                                id_col: str = "doc_id",
                                thresholds: dict | None = None,
-                               single_pass: bool = True) -> DataFrame:
+                               single_pass: bool = True,
+                               arrow: bool = True) -> DataFrame:
     """The Gopher gate with the COMPLETE Table-A1 repetition family: the
     base ``gopher_quality_filter`` checks plus dup-line-char, paragraph
     duplicates, top-3/4-gram and dup-6..10-gram fractions.  Reasons merge
     with the base gate's; a doc keeps iff every check passes.
 
     r7 (guide §2.4/§1.2 "the distributed algorithm first"): every
-    Table-A1 signal is a WITHIN-document statistic, so the default is now
-    ONE narrow projection — zero Exchange, zero joins — via the same
-    sorted run-length walks as ``gopher_quality_filter_single_pass``.
-    The previous composition recomputed the line/2-gram/5-gram explodes
-    THREE times (base gate via repetition_stats, repetition_stats again
-    for dup_line_char_frac, and the n=2..10 tagged explode) across ~8
-    aggregation frames and 4 joins; sf0.1 measured 10.0 s -> sub-second.
-    ``single_pass=False`` keeps that relational composition (the
-    huge-single-document fallback, same contract as repetition_stats);
-    both paths are value-identical (randomized pytest + SQL oracle)."""
+    Table-A1 signal is a WITHIN-document statistic, so the default is
+    ONE narrow map stage — zero Exchange, zero joins.  The previous
+    composition recomputed the line/2-gram/5-gram explodes THREE times
+    across ~8 aggregation frames and 4 joins (sf0.1: 10.0 s).
+
+    The stage is split into a SIGNAL layer (exact integer statistics per
+    document) and a shared JVM ASSEMBLY layer (fractions, thresholds,
+    reason strings) so every double/NULL comparison runs through ONE set
+    of Catalyst expressions regardless of which signal kernel produced
+    the ints:
+
+    * ``arrow=True`` (default): the signals come from a vectorized
+      numpy kernel in one mapInPandas stage (guide §4.2 — hand whole
+      batches to native code).  Catalyst's higher-order functions are
+      CodegenFallback (interpreted per element), and the measured gap is
+      ~30x: the JVM walk set costs ~50 core-seconds at sf0.1 where the
+      numpy kernel does the same exact integer combinatorics in 1.7.
+      The kernel is EXACT, not probabilistic — n-gram identity is dense
+      token-id pairing (two 32-bit ids packed into 64 bits, renumbered
+      via np.unique per n), never a lossy hash — and reproduces Spark's
+      exact tokenization semantics (space-only ``trim``, the Java
+      whitespace class with kept empty fields, codepoint lengths).
+    * ``arrow=False``: the signals come from the in-row ``array_sort`` +
+      ``aggregate`` run-length walks (pure JVM; the
+      ``gopher_quality_filter_single_pass`` machinery).
+    * ``single_pass=False``: the pre-r7 relational composition (the
+      huge-single-document fallback).
+
+    All three paths are value-identical (randomized equivalence pytest
+    incl. NULL/empty/tab-edge docs + the driver's SQL oracle)."""
+    t = thresholds or GOPHER_THRESHOLDS_FULL
     if single_pass:
-        return _gopher_full_single_pass(df, text_col, id_col,
-                                        thresholds or GOPHER_THRESHOLDS_FULL)
+        sig = (_gopher_signals_arrow(df, text_col, id_col) if arrow
+               else _gopher_signals_jvm(df, text_col, id_col))
+        return _gopher_assemble(sig, id_col, t)
     return _gopher_full_relational(df, text_col, id_col, thresholds)
 
 
-def _gopher_full_single_pass(df: DataFrame, text_col: str, id_col: str,
-                             t: dict) -> DataFrame:
-    """One-Project full Gopher gate.  The token/line/paragraph arrays
-    materialize in a first projection (referenced many times, so
-    CollapseProject keeps them evaluated once — the decontaminate
-    note); everything else is the literal expression set of the
-    relational signals, so every fraction compares bit-identically."""
+# flat signal-layer columns shared by the numpy and JVM kernels; the
+# assembly layer only ever sees these names, so the kernels are
+# interchangeable and equivalence is testable column-by-column
+_GOPHER_SIG_INT32 = ("_ntok", "_nchars", "_nstop", "_nkeep", "_nlines",
+                     "_nlines_d", "_nparas", "_nparas_d",
+                     "_top2_cnt", "_top2_glen", "_top3_cnt", "_top3_glen",
+                     "_top4_cnt", "_top4_glen")
+_GOPHER_SIG_INT64 = ("_tchars", "_line_dup_chars", "_para_dup_chars",
+                     "_dup5", "_dup6", "_dup7", "_dup8", "_dup9", "_dup10")
+
+# exact mirrors of the Spark-side tokenization (pinned empirically and by
+# the randomized equivalence test):
+#   Spark trim()          == str.strip(' ')          (space only)
+#   Spark split(_, '\s+') == the Java \s class with ALL empty fields kept
+#   Spark length()        == codepoint count == python len()
+import re as _re
+
+_GOPHER_WS_RE = _re.compile("[ \t\n\x0b\f\r]+")
+_GOPHER_PARA_RE = _re.compile("\n{2,}")
+_GOPHER_PUNCT_RE = _re.compile(r"[!-/:-@\[-`{-~]")
+_GOPHER_STOPSET = frozenset(_STOPWORDS)
+
+
+def _gopher_sig_row(text):
+    """All signal-layer integers for one document — exact, vectorized.
+    Null-ness mirrors the JVM kernel on NULL text: every plain statistic
+    is NULL, while the gram signals are (0, 0)/0 (the JVM CASE falls to
+    ELSE array() and the walks return zeros)."""
+    import numpy as np
+    if text is None:
+        return (None,) * 8 + (0, 0, 0, 0, 0, 0) + (None, None, None,
+                                                   0, 0, 0, 0, 0, 0)
+    from collections import Counter
+    nchars = len(text)
+    nkeep = len(_GOPHER_PUNCT_RE.sub("", text))
+    lines = text.split("\n")
+    nlines = len(lines)
+    lc = Counter(lines)
+    nlines_d = len(lc)
+    line_dup_chars = sum((c - 1) * len(v) for v, c in lc.items() if c > 1)
+    pc = Counter(p for p in
+                 (q.strip(" ") for q in _GOPHER_PARA_RE.split(text))
+                 if p != "")
+    nparas = sum(pc.values())
+    nparas_d = len(pc)
+    para_dup_chars = sum((c - 1) * len(v) for v, c in pc.items() if c > 1)
+    w = _GOPHER_WS_RE.split(text.strip(" "))
+    ntok = len(w)
+    tchars = 0
+    nstop = 0
+    tok_ids: dict = {}
+    setdefault = tok_ids.setdefault
+    id_list = []
+    for x in w:
+        tchars += len(x)
+        if x in _GOPHER_STOPSET:
+            nstop += 1
+        id_list.append(setdefault(x, len(tok_ids)))
+    ids = np.asarray(id_list, dtype=np.uint64)
+    lens = np.fromiter((len(x) for x in w), dtype=np.int64, count=ntok)
+    glen_ps = np.concatenate(([0], np.cumsum(lens)))
+    cur = ids
+    tops = {}
+    dups = {}
+    for n in range(2, 11):
+        if ntok < n:
+            if n <= 4:
+                tops[n] = (0, 0)
+            else:
+                dups[n] = 0
+            continue
+        # EXACT n-gram identity: extend each (n-1)-gram id with the next
+        # token id — both < 2^32, packed losslessly into one uint64 —
+        # then renumber densely.  No hashing, no collisions.
+        pair = (cur[: ntok - n + 1] << np.uint64(32)) | ids[n - 1:]
+        _uniq, first_idx, inv = np.unique(pair, return_index=True,
+                                          return_inverse=True)
+        cur = inv.astype(np.uint64)
+        glen = glen_ps[n:] - glen_ps[:-n] + (n - 1)
+        cnts = np.bincount(inv)
+        gl_u = glen[first_idx]
+        if n <= 4:
+            k = np.lexsort((gl_u, cnts))[-1]   # max (cnt, glen) — the
+            tops[n] = (int(cnts[k]), int(gl_u[k]))  # family tie rule
+        else:
+            mask = cnts > 1
+            dups[n] = int(((cnts[mask] - 1) * gl_u[mask]).sum())
+    return (ntok, nchars, nstop, nkeep, nlines, nlines_d, nparas, nparas_d,
+            tops[2][0], tops[2][1], tops[3][0], tops[3][1],
+            tops[4][0], tops[4][1],
+            tchars, line_dup_chars, para_dup_chars,
+            dups[5], dups[6], dups[7], dups[8], dups[9], dups[10])
+
+
+def _gopher_signals_arrow(df: DataFrame, text_col: str,
+                          id_col: str) -> DataFrame:
+    """Signal layer via the numpy kernel (one Arrow stage, no shuffle)."""
+    import pandas as pd
+
+    from pyspark.sql import types as T
+    fields = [T.StructField(id_col, df.schema[id_col].dataType, False)]
+    fields += [T.StructField(c, T.IntegerType(), True)
+               for c in _GOPHER_SIG_INT32]
+    fields += [T.StructField(c, T.LongType(), True)
+               for c in _GOPHER_SIG_INT64]
+    schema = T.StructType(fields)
+    names = _GOPHER_SIG_INT32 + _GOPHER_SIG_INT64
+
+    def kernel(batches):
+        for pdf in batches:
+            rows = [_gopher_sig_row(x) for x in pdf[text_col].tolist()]
+            out = {id_col: pdf[id_col]}
+            for i, c in enumerate(names):
+                out[c] = [r[i] for r in rows]
+            yield pd.DataFrame(out)
+
+    return df.select(id_col, text_col).mapInPandas(kernel, schema=schema)
+
+
+def _gopher_signals_jvm(df: DataFrame, text_col: str,
+                        id_col: str) -> DataFrame:
+    """Signal layer via in-row array_sort + aggregate walks (pure JVM).
+    Each walk evaluates ONCE into its own column (HOFs are
+    CodegenFallback — a struct field accessed twice, or ``keep``
+    re-deriving ``reasons``, would re-run the whole walk); a final cheap
+    projection flattens the top-gram structs to the shared column set."""
     stop_arr = ", ".join(f"'{s}'" for s in _STOPWORDS)
     pre = df.select(
         F.col(id_col), F.col(text_col).alias("_t"),
@@ -696,9 +871,6 @@ def _gopher_full_single_pass(df: DataFrame, text_col: str, id_col: str,
                 f"i -> concat_ws(' ', slice(_w, i, {n}))) "
                 "ELSE array() END")
 
-    # signal layer: each O(m log m) walk evaluated ONCE into its own
-    # column (HOFs are CodegenFallback — a struct field accessed twice,
-    # or `keep` re-deriving `reasons`, would re-run the whole walk)
     sig_cols = [
         F.col(id_col),
         F.size("_w").alias("_ntok"),
@@ -720,7 +892,24 @@ def _gopher_full_single_pass(df: DataFrame, text_col: str, id_col: str,
     for n in (5, 6, 7, 8, 9, 10):
         sig_cols.append(F.expr(_dup_chars(gram(n))).alias(f"_dup{n}"))
     sig = pre.select(*sig_cols)
+    flat = [F.col(id_col),
+            F.col("_ntok"), F.col("_nchars"), F.col("_nstop"),
+            F.col("_nkeep"), F.col("_nlines"), F.col("_nlines_d"),
+            F.col("_nparas"), F.col("_nparas_d")]
+    for n in (2, 3, 4):
+        flat.append(F.col(f"_top{n}.cnt").alias(f"_top{n}_cnt"))
+        flat.append(F.col(f"_top{n}.glen").alias(f"_top{n}_glen"))
+    flat += [F.col("_tchars"), F.col("_line_dup_chars"),
+             F.col("_para_dup_chars")]
+    flat += [F.col(f"_dup{n}") for n in (5, 6, 7, 8, 9, 10)]
+    return sig.select(*flat)
 
+
+def _gopher_assemble(sig: DataFrame, id_col: str, t: dict) -> DataFrame:
+    """Shared JVM assembly over the flat signal columns: fractions,
+    thresholds, reason strings — the literal expression set of the
+    relational gate, so every double/NULL comparison is bit-identical no
+    matter which kernel produced the integers."""
     n_tok = F.col("_ntok")
     n_chars = F.col("_nchars")
     n_punct = n_chars - F.col("_nkeep")
@@ -735,7 +924,7 @@ def _gopher_full_single_pass(df: DataFrame, text_col: str, id_col: str,
     dup_line_frac = ((line_total - F.col("_nlines_d")).cast("double")
                      / F.nullif(line_total.cast("double"), F.lit(0.0)))
     top2_frac = F.least(
-        (F.col("_top2.cnt") * F.col("_top2.glen")).cast("double") / nc,
+        (F.col("_top2_cnt") * F.col("_top2_glen")).cast("double") / nc,
         F.lit(1.0))
     dup5_frac = F.least(
         F.col("_dup5").cast("double") / nc, F.lit(1.0))
@@ -766,8 +955,8 @@ def _gopher_full_single_pass(df: DataFrame, text_col: str, id_col: str,
     ]
     for n in (3, 4):
         frac = F.when(nc.isNotNull(), F.least(
-            (F.coalesce(F.col(f"_top{n}.cnt"), F.lit(0))
-             * F.coalesce(F.col(f"_top{n}.glen"), F.lit(0)))
+            (F.coalesce(F.col(f"_top{n}_cnt"), F.lit(0))
+             * F.coalesce(F.col(f"_top{n}_glen"), F.lit(0)))
             .cast("double") / nc, F.lit(1.0)))
         extra_checks.append(
             (frac > t[f"max_top{n}gram_char_frac"], f"top-{n}gram"))
