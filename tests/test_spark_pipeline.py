@@ -574,6 +574,42 @@ def test_winnowing_guarantee_property():
     assert _winnow(t, k, w) == _winnow(t, k, w)
 
 
+def test_winnow_prefix_filter_equals_naive(spark):
+    """The AllPairs/PPJoin prefix-filtered winnow join is EXACT: identical
+    row set (pairs AND fp_jaccard values) to the naive fingerprint-index
+    join, on a randomized corpus with pairs on both sides of the
+    threshold plus empty/short edge docs (r7 scale path)."""
+    import random
+
+    from xponents_spark.operators.dedup import winnow_near_dups
+
+    rng = random.Random(11)
+    vocab = [f"w{i}" for i in range(120)]
+    rows, did = [], 0
+    for _ in range(15):
+        base = [rng.choice(vocab) for _ in range(rng.randint(5, 60))]
+        for _ in range(rng.randint(1, 3)):
+            mut = list(base)
+            for _ in range(rng.randint(0, max(1, len(mut) // 3))):
+                mut[rng.randrange(len(mut))] = rng.choice(vocab)
+            rows.append((did, " ".join(mut)))
+            did += 1
+    rows += [(did, ""), (did + 1, ""), (did + 2, "ab"), (did + 3, "ab")]
+    sdf = spark.createDataFrame(rows, "doc_id long, text string")
+
+    def norm(df):
+        return sorted((r["doc_a"], r["doc_b"], repr(r["fp_jaccard"]))
+                      for r in df.collect())
+
+    for thr in (0.4, 0.6, 0.999):
+        naive = norm(winnow_near_dups(sdf, threshold=thr,
+                                      prefix_filter=False))
+        pref = norm(winnow_near_dups(sdf, threshold=thr,
+                                     prefix_filter=True))
+        assert naive == pref, (thr, naive, pref)
+        assert naive, f"thr={thr} produced no pairs — test corpus too thin"
+
+
 def test_resumable_rejects_bucket_count_change(spark, sf_dir, tmp_path):
     """Resuming with a different bucket count over a committed bucketize
     must fail loudly — silently skipping buckets loses data."""

@@ -356,27 +356,99 @@ def winnow_fingerprints(df: DataFrame, text_col: str = "text",
 
 def winnow_near_dups(df: DataFrame, text_col: str = "text",
                      id_col: str = "doc_id", k: int = 5, window: int = 4,
-                     threshold: float = 0.6) -> DataFrame:
-    """Near-dup pairs by winnowing-fingerprint Jaccard: explode -> equi-join
-    on fingerprint -> |A∩B| / (|A|+|B|-|A∩B|) >= threshold.  The shuffle is
-    on fingerprints (collision-driven, ~1/window of shingle volume) — the
-    published fingerprint-index shape for plagiarism/near-dup detection."""
+                     threshold: float = 0.6,
+                     prefix_filter: bool = False) -> DataFrame:
+    """Near-dup pairs by winnowing-fingerprint Jaccard:
+    |A∩B| / (|A|+|B|-|A∩B|) >= threshold over the per-doc fingerprint SETS.
+
+    Default: the naive fingerprint-index join (shuffle on fingerprints,
+    pair counts by group-by) — the published shape for plagiarism/near-dup
+    fingerprint indices, cost driven by fingerprint collisions.
+
+    ``prefix_filter=True`` switches to the AllPairs/PPJoin prefix-filtered
+    EXACT set-similarity join (Bayardo et al. WWW'07, Xiao et al. WWW'08):
+    order every doc's fingerprints by ascending document frequency,
+    self-join only each doc's first ``n - floor(t*n) + 1`` ("prefix")
+    fingerprints to generate candidate pairs, then verify each candidate
+    with the exact intersection of the full sets.  Theorem: two sets with
+    Jaccard >= t MUST share at least one element inside both prefixes
+    under any global total order, so the candidate set has NO false
+    negatives and verification makes the output identical to the naive
+    join (pinned by test + a randomized equivalence test).  This is the
+    right shape when hot fingerprints drive a pair explosion in a
+    fingerprint-DIVERSE corpus: hot fps sort last in frequency order and
+    fall out of every prefix.  It is NOT the default because the bench
+    corpus is pathologically dense (5,897 distinct fps across 5,050 docs;
+    12.49M of 12.68M possible pairs share >=1 fp), so prefixes still
+    produce ~9M candidates and verification erases the gain — measured
+    r7 interleaved A/B at sf0.1: naive 3.35 s vs prefix 4.39 s
+    (near_dups_all row).  On a corpus where distinct fps >> docs (real
+    100 TB text), the candidate count collapses and prefix wins."""
     fp = winnow_fingerprints(df, text_col, id_col, k, window).cache()
-    # r7: n_fp rides each fingerprint row from the Arrow stage, so the
-    # sizes groupBy and both id-keyed re-attach joins (3 exchanges) are
-    # gone — the only wide ops are the fp self-join and the pair agg
-    inter = (fp.alias("a")
-             .join(fp.alias("b"),
-                   (F.col("a.fp") == F.col("b.fp"))
-                   & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")))
-             .groupBy(F.col(f"a.{id_col}").alias("doc_a"),
-                      F.col(f"b.{id_col}").alias("doc_b"),
-                      F.col("a.n_fp").alias("na"),
-                      F.col("b.n_fp").alias("nb"))
-             .agg(F.count("*").alias("n_inter")))
+    if not prefix_filter:
+        # naive fingerprint-index join: n_fp rides each fingerprint row
+        # from the Arrow stage, so the only wide ops are the fp self-join
+        # and the pair agg
+        inter = (fp.alias("a")
+                 .join(fp.alias("b"),
+                       (F.col("a.fp") == F.col("b.fp"))
+                       & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")))
+                 .groupBy(F.col(f"a.{id_col}").alias("doc_a"),
+                          F.col(f"b.{id_col}").alias("doc_b"),
+                          F.col("a.n_fp").alias("na"),
+                          F.col("b.n_fp").alias("nb"))
+                 .agg(F.count("*").alias("n_inter")))
+        jac = F.col("n_inter") / (F.col("na") + F.col("nb")
+                                  - F.col("n_inter"))
+        return (inter
+                .select("doc_a", "doc_b", jac.alias("fp_jaccard"))
+                .filter(F.col("fp_jaccard") >= threshold))
+    # document frequency per fingerprint — the global order key.  Any
+    # total order keeps the theorem (correctness is order-independent);
+    # ascending frequency maximizes pruning.  (fp, n_fp) rows are DISTINCT
+    # per doc (np.unique in _winnow), so count(*) is document frequency.
+    freq = fp.groupBy("fp").agg(F.count("*").alias("fp_df"))
+    # prefix length n - floor(t*n) + 1: floor (not ceil) can only
+    # LENGTHEN the prefix under float rounding — required length is
+    # n - ceil_exact(t*n) + 1 and floor_float <= ceil_exact always, so
+    # rounding adds candidates, never drops true pairs.
+    arrs = (fp.join(freq, "fp")
+            .groupBy(id_col, "n_fp")
+            .agg(F.array_sort(
+                F.collect_list(F.struct("fp_df", "fp"))).alias("ord"))
+            .select(id_col, "n_fp",
+                    F.expr("transform(ord, s -> s.fp)").alias("fps"))
+            .withColumn("pfx_len",
+                        (F.col("n_fp")
+                         - F.floor(F.lit(float(threshold)) * F.col("n_fp"))
+                         + F.lit(1)).cast("int"))
+            .cache())
+    pref = arrs.select(F.col(id_col), "n_fp",
+                       F.explode(F.slice("fps", F.lit(1),
+                                         F.col("pfx_len"))).alias("fp"))
+    cand = (pref.alias("a")
+            .join(pref.alias("b"),
+                  (F.col("a.fp") == F.col("b.fp"))
+                  & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")))
+            .select(F.col(f"a.{id_col}").alias("doc_a"),
+                    F.col(f"b.{id_col}").alias("doc_b"),
+                    F.col("a.n_fp").alias("na"),
+                    F.col("b.n_fp").alias("nb"))
+            .distinct())
+    # verify candidates exactly against the full sets (arrs is one row
+    # per doc -> broadcast-sized at every scale that matters locally;
+    # at cluster scale it is an id-keyed equi-join)
+    ver = (cand
+           .join(arrs.select(F.col(id_col).alias("doc_a"),
+                             F.col("fps").alias("fps_a")), "doc_a")
+           .join(arrs.select(F.col(id_col).alias("doc_b"),
+                             F.col("fps").alias("fps_b")), "doc_b")
+           .withColumn("n_inter",
+                       F.size(F.array_intersect("fps_a", "fps_b"))
+                       .cast("long")))
     jac = F.col("n_inter") / (F.col("na") + F.col("nb")
                               - F.col("n_inter"))
-    return (inter
+    return (ver
             .select("doc_a", "doc_b", jac.alias("fp_jaccard"))
             .filter(F.col("fp_jaccard") >= threshold))
 
