@@ -491,7 +491,8 @@ def near_dup_components(pairs: DataFrame, docs: DataFrame,
         neigh = (sym.join(labels.withColumnRenamed("src", "dst"), "dst")
                     .groupBy("src").agg(F.min("label").alias("nbr_label")))
         new = (labels.join(neigh, "src", "left")
-               .select("src", F.least("label", F.coalesce("nbr_label", "label"))
+               .select("src", F.col("label").alias("old"),
+                       F.least("label", F.coalesce("nbr_label", "label"))
                        .alias("label")))
         # pointer jump: follow the current label one hop (labels are doc
         # ids, so every label has a row).  Min-propagation guarantees
@@ -500,7 +501,8 @@ def near_dup_components(pairs: DataFrame, docs: DataFrame,
         parent = labels.select(F.col("src").alias("label"),
                                F.col("label").alias("parent"))
         new = (new.join(parent, "label", "left")
-               .select("src", F.least("label", F.coalesce("parent", "label"))
+               .select("src", "old",
+                       F.least("label", F.coalesce("parent", "label"))
                        .alias("label")))
         # localCheckpoint, not cache: each round's plan references the
         # previous round's, so without lineage truncation the logical plan
@@ -509,9 +511,14 @@ def near_dup_components(pairs: DataFrame, docs: DataFrame,
         # same); local (non-resilient) is right here — a lost executor
         # restarts the job's current round, not a 100-round recompute.
         new = new.localCheckpoint(eager=True)
-        changed = (new.join(labels.withColumnRenamed("label", "old"), "src")
-                      .filter(F.col("label") != F.col("old")).limit(1).count())
-        labels = new
+        # the pre-jump label rides the checkpointed frame as `old`, so
+        # convergence detection is a limit-1 scan of the checkpoint — not
+        # a third join + full re-scan of the previous labels per round
+        # (one extra long column through the checkpoint buys one fewer
+        # shuffle per iteration)
+        changed = (new.filter(F.col("label") != F.col("old"))
+                   .limit(1).count())
+        labels = new.select("src", "label")
         if not changed:
             converged = True
             break
